@@ -1,0 +1,132 @@
+"""Synthesize the ``pages`` web-page table and read it as a Dataset.
+
+Input-hint schema: ``pages(url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string)``. There is no pages table in the driver
+testdata, so we derive one *deterministically* from
+``documents.parquet`` (doc_id, text, lang): each document becomes one
+ProMED-style alert web page (reference alert layout:
+promed_ner.py:57-76 header, promed_ner.py:27-46 body sections),
+with outbreak-entity mentions injected by a closed-form formula of
+``doc_id`` — which is what lets the DuckDB oracle SQL in
+``__ray_entry__`` compute the *expected* NER / triple output
+analytically while the Ray pipeline does real text matching.
+
+Synthesis formulas (mirrored in oracle SQL — keep in sync):
+
+- ``archive  = printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)``
+- ``ts       = 2024-01-01 00:00:00 + doc_id minutes``
+- ``n_ment   = 2 + doc_id % 4``
+- ``names[k] = MENTION_LEXICON[(doc_id*17 + k*31) % LEX_N].name``  (k < n_ment)
+"""
+
+from __future__ import annotations
+
+import datetime
+import html as _html
+
+import pyarrow as pa
+
+from ..fixtures.lexicon import LEX_N, MENTION_LEXICON
+
+_EPOCH = datetime.datetime(2024, 1, 1, 0, 0, 0)
+_LEX_NAMES = [name for _, name, _, _ in MENTION_LEXICON]
+
+
+def archive_number(doc_id: int) -> str:
+    return f"{20200000 + doc_id % 10000:08d}.{1000000 + doc_id}"
+
+
+def published_ts(doc_id: int) -> datetime.datetime:
+    return _EPOCH + datetime.timedelta(minutes=doc_id)
+
+
+def date_str(doc_id: int) -> str:
+    return published_ts(doc_id).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def subject_line(doc_id: int) -> str:
+    return f"PRO/AH/EDR> Outbreak alert {archive_number(doc_id)}"
+
+
+def mention_names(doc_id: int) -> list[str]:
+    n = 2 + doc_id % 4
+    return [_LEX_NAMES[(doc_id * 17 + k * 31) % LEX_N] for k in range(n)]
+
+
+def findings_sentence(doc_id: int) -> str:
+    return "Cases involving " + ", ".join(mention_names(doc_id)) + " were reported."
+
+
+def raw_alert_text(doc_id: int, text: str) -> str:
+    """The alert as flat text (what a WARC/WET extraction would yield).
+
+    Layout matches the reference's expected input: a header block
+    (promed_ner.py:60-65 regexes) followed by marker-delimited body
+    sections (promed_ner.py:27-46 state machine).
+    """
+    return (
+        f"Published Date: {date_str(doc_id)} UTC\n"
+        f"Subject: {subject_line(doc_id)}\n"
+        f"Archive Number: {archive_number(doc_id)}\n"
+        "\n"
+        "Overview\n"
+        "---\n"
+        f"{text}\n"
+        "--\n"
+        "Findings\n"
+        "******\n"
+        f"{findings_sentence(doc_id)}\n"
+        "--\n"
+    )
+
+
+def page_html(doc_id: int, text: str) -> bytes:
+    raw = raw_alert_text(doc_id, text)
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>ProMED {archive_number(doc_id)}</title>"
+        '<meta charset="utf-8"/></head>\n'
+        "<body>\n"
+        f"<h1>{_html.escape(subject_line(doc_id))}</h1>\n"
+        f"<pre>\n{_html.escape(raw)}</pre>\n"
+        "</body></html>\n"
+    ).encode("utf-8")
+
+
+def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang) batch → pages batch. Vectorized
+    Arrow in/out; the per-row string assembly is pure Python (string
+    templating has no Arrow kernel) but touches each row exactly once."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, tss, htmls, raws = [], [], [], []
+    for d, t in zip(doc_ids, texts):
+        t = t.strip()
+        urls.append(f"https://promed.example.org/post/{archive_number(d)}")
+        tss.append(published_ts(d))
+        htmls.append(page_html(d, t))
+        raws.append(raw_alert_text(d, t))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(raws, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None):
+    """documents.parquet → pages Dataset (column-pruned read)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=override_num_blocks,
+    )
+    return ds.map_batches(
+        synthesize_pages_batch, batch_format="pyarrow", batch_size=1024
+    )

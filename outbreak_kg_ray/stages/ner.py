@@ -1,0 +1,172 @@
+"""Lexical NER + grounding as a Ray Data actor-pool stage.
+
+Replaces the reference's Gilda annotator (promed_ner.py:49-50, module
+grounder; custom grounder kg/client.py:323-365) with a deterministic
+lexical grounder: case-insensitive, longest-match-first,
+non-overlapping scan over a fixed lexicon, with word-boundary guards.
+The namespace-priority resolution loop (promed_ner.py:160-176 / M15)
+is applied per mention.
+
+The grounder state (compiled pattern + term index) is built ONCE per
+actor in ``__init__`` and reused for every batch — this is the
+canonical stateful-stage pattern
+(``ds.map_batches(NerStage, concurrency=(lo,hi), batch_size=B)``).
+
+Mentions are annotated per body section on ``title`` and ``content``
+separately (reference promed_ner.py:144-150; the subject line is NOT
+annotated — see the reference's TODO at promed_ner.py:147).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import pyarrow as pa
+
+from ..config import GROUND_NS
+from ..fixtures.lexicon import MENTION_LEXICON
+
+# Default lexicon rows: (db, id, entry_name)
+DEFAULT_LEXICON: list[tuple[str, str, str]] = [
+    ("MESH", mid, name) for mid, name, _, _ in MENTION_LEXICON
+]
+
+
+class LexicalGrounder:
+    """Deterministic Gilda-style grounder.
+
+    Longest-match-first is implemented by ordering the alternation by
+    descending name length: at any scan position the longest lexicon
+    name wins, and ``finditer`` makes matches non-overlapping —
+    replacing Gilda's scored ``matches[0]`` (kg/client.py:377 / T5)
+    with an explicitly deterministic rule.
+    """
+
+    def __init__(self, lexicon: Iterable[tuple[str, str, str]] | None = None):
+        rows = list(lexicon) if lexicon is not None else DEFAULT_LEXICON
+        self._by_name: dict[str, tuple[str, str, str]] = {}
+        for db, id_, name in rows:
+            key = name.lower()
+            if key in self._by_name:
+                raise ValueError(f"duplicate lexicon name: {name!r}")
+            self._by_name[key] = (db, id_, name)
+        names = sorted(self._by_name, key=len, reverse=True)
+        alternation = "|".join(re.escape(n) for n in names)
+        self._pattern = re.compile(
+            rf"(?<!\w)(?:{alternation})(?!\w)", re.IGNORECASE
+        )
+
+    def annotate(self, text: str) -> list[tuple[str, str, str, str, int, int]]:
+        """→ [(matched_text, db, id, entry_name, start, end)] with
+        namespace-priority resolution (promed_ner.py:160-176)."""
+        out = []
+        for m in self._pattern.finditer(text):
+            db, id_, entry_name = self._by_name[m.group(0).lower()]
+            # priority-order namespace walk (single-grounding case):
+            for ns in GROUND_NS:
+                if ns == db:
+                    out.append((m.group(0), db, id_, entry_name, m.start(), m.end()))
+                    break
+        return out
+
+
+_MENTION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("section_idx", pa.int32()),
+        ("field", pa.string()),
+        ("text", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("db", pa.string()),
+        ("id", pa.string()),
+        ("entry_name", pa.string()),
+    ]
+)
+
+_TERM_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("db", pa.string()),
+        ("id", pa.string()),
+        ("entry_name", pa.string()),
+    ]
+)
+
+
+class NerStage:
+    """Actor-pool stage: docs(doc_id, sections) → mention rows.
+
+    mode="mentions": one row per annotation occurrence (like the
+    reference's ``annotations`` pickle, promed_ner.py:143-153).
+    mode="terms": per-doc DISTINCT sorted (db, id, entry_name) rows
+    (promed_ner.py:156-177 / A1) — dedup happens inside the call, so
+    correctness never depends on downstream block boundaries.
+    """
+
+    def __init__(self, mode: str = "mentions",
+                 lexicon: list[tuple[str, str, str]] | None = None):
+        assert mode in ("mentions", "terms")
+        self.mode = mode
+        self.grounder = LexicalGrounder(lexicon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        sections_col = batch.column("sections").to_pylist()
+        if self.mode == "mentions":
+            return self._mentions(doc_ids, sections_col)
+        return self._terms(doc_ids, sections_col)
+
+    def _mentions(self, doc_ids, sections_col) -> pa.Table:
+        cols = {name: [] for name in _MENTION_SCHEMA.names}
+        for doc_id, sections in zip(doc_ids, sections_col):
+            for si, sec in enumerate(sections or []):
+                for field in ("title", "content"):
+                    for txt, db, id_, name, s, e in self.grounder.annotate(
+                        sec[field]
+                    ):
+                        cols["doc_id"].append(doc_id)
+                        cols["section_idx"].append(si)
+                        cols["field"].append(field)
+                        cols["text"].append(txt)
+                        cols["start"].append(s)
+                        cols["end"].append(e)
+                        cols["db"].append(db)
+                        cols["id"].append(id_)
+                        cols["entry_name"].append(name)
+        return pa.table(cols, schema=_MENTION_SCHEMA)
+
+    def _terms(self, doc_ids, sections_col) -> pa.Table:
+        cols = {name: [] for name in _TERM_SCHEMA.names}
+        for doc_id, sections in zip(doc_ids, sections_col):
+            for db, id_, name in doc_terms(self.grounder, sections):
+                cols["doc_id"].append(doc_id)
+                cols["db"].append(db)
+                cols["id"].append(id_)
+                cols["entry_name"].append(name)
+        return pa.table(cols, schema=_TERM_SCHEMA)
+
+
+def doc_terms(grounder: LexicalGrounder, sections) -> list[tuple[str, str, str]]:
+    """Distinct sorted (db, id, entry_name) for one doc
+    (promed_ner.py:156-177)."""
+    terms = set()
+    for sec in sections or []:
+        for field in ("title", "content"):
+            for _txt, db, id_, name, _s, _e in grounder.annotate(sec[field]):
+                terms.add((db, id_, name))
+    return sorted(terms)
+
+
+def mentions_dataset(docs_ds, *, mode: str = "mentions",
+                     batch_size: int = 256,
+                     concurrency=(2, 8)):
+    """docs → mentions/terms Dataset via the NerStage actor pool."""
+    return docs_ds.select_columns(["doc_id", "sections"]).map_batches(
+        NerStage,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,75 @@
+"""Grounder determinism + per-alert term-set tests (ST1/M15/A1)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from outbreak_kg_ray.sources import pages as pg
+from outbreak_kg_ray.stages import extract as ex
+from outbreak_kg_ray.stages.ner import LexicalGrounder, NerStage, mentions_dataset
+from .oracle import expected_terms
+
+
+def test_longest_match_wins():
+    g = LexicalGrounder()
+    anns = g.annotate("Avian Influenza spreading; Influenza season.")
+    names = [a[3] for a in anns]
+    assert names == ["Avian Influenza", "Influenza"]
+
+
+def test_case_insensitive_and_boundaries():
+    g = LexicalGrounder()
+    assert [a[3] for a in g.annotate("reports of CHOLERA cases")] == ["Cholera"]
+    # no match inside a longer word
+    assert g.annotate("decholeraization") == []
+
+
+def test_overlapping_lexicon_names_non_overlapping_matches():
+    g = LexicalGrounder()
+    anns = g.annotate("Dengue Virus isolated from Dengue patients")
+    assert [a[3] for a in anns] == ["Dengue Virus", "Dengue"]
+    # spans must not overlap
+    spans = [(a[4], a[5]) for a in anns]
+    assert spans[0][1] <= spans[1][0]
+
+
+def test_duplicate_lexicon_name_rejected():
+    with pytest.raises(ValueError):
+        LexicalGrounder([("MESH", "D1", "X"), ("MESH", "D2", "x")])
+
+
+def test_terms_match_injection_formula(sf_dir):
+    docs = ex.extract_docs(pg.pages_dataset(sf_dir))
+    terms_ds = mentions_dataset(docs, mode="terms", concurrency=2)
+    df = terms_ds.to_pandas()
+    got = {}
+    for r in df.itertuples():
+        got.setdefault(r.doc_id, []).append((r.db, r.id, r.entry_name))
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).to_pylist()
+    for row in src:
+        d = row["doc_id"]
+        exp = expected_terms(d)
+        assert sorted(got[pg.archive_number(d)]) == exp, f"doc {d}"
+
+
+def test_ner_stage_mentions_mode_spans():
+    stage = NerStage(mode="mentions")
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "doc_id": ["x"],
+            "sections": [
+                [{"title": "Cholera update", "content": "Cases in Kenya and Brazil."}]
+            ],
+        }
+    )
+    out = stage(batch).to_pylist()
+    assert [(m["field"], m["entry_name"]) for m in out] == [
+        ("title", "Cholera"),
+        ("content", "Kenya"),
+        ("content", "Brazil"),
+    ]
+    m = out[1]
+    assert m["text"] == "Kenya" and m["start"] == 9 and m["end"] == 14
