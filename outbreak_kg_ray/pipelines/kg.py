@@ -1,0 +1,692 @@
+"""KG assembly pipelines — one Dataset pipeline per node/edge table,
+plus global canonicalization.
+
+Each builder mirrors one reference ``assemble_*`` function
+(kg/build.py:409-416) re-expressed Ray-Data-first: broadcast dicts
+replace row-at-a-time pandas filters, per-batch combining replaces
+global ``set()`` accumulation, and the Neo4j importer's duplicate
+suppression (kg/Dockerfile ``--skip-duplicate-nodes``) becomes an
+explicit ``groupby(curie)`` merge — the one deliberate all-to-all
+shuffle in the graph materialization.
+
+Column conventions (SQL-friendly; Neo4j-style headers are applied
+only by the golden TSV writer): nodes ``curie, name, labels[,
+timestamp]``; edges ``start_id, rel_type, end_id[, count,
+years_data]``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import KG_EXCLUDE_NAMES, LOCATION_MESH_MAPPING
+from ..fixtures import lexicon as lex
+from ..sources import tables as tbl
+from ..sources.pages import pages_dataset
+from ..stages.cooccur import cooccurrence_counts
+from ..stages.extract import extract_docs
+from ..stages.ner import mentions_dataset
+
+
+def docs_dataset(sf_dir: str):
+    return extract_docs(pages_dataset(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dedup helper: local per-batch dedup (combiner) + global hash agg
+# ---------------------------------------------------------------------------
+
+def distinct(ds, cols: list[str]):
+    """Exact row dedup on ``cols`` — the engine's replacement for the
+    reference's ``sorted(list(set(...)))`` emission (T1/D1). Local
+    per-batch dedup collapses most duplicates before the shuffle; the
+    global pass is a hash aggregate on already-small partials."""
+    from ray.data.aggregate import Count
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    deduped = ds.map_batches(local, batch_format="pyarrow")
+    out = deduped.groupby(cols).aggregate(Count(alias_name="_c"))
+    return out.drop_columns(["_c"])
+
+
+# ---------------------------------------------------------------------------
+# alert nodes + alert→entity mention edges (kg/build.py:159-186)
+# ---------------------------------------------------------------------------
+
+def alert_nodes(sf_dir: str):
+    """(promed:archive, archive, timestamp, 'alert') — timestamp via
+    broadcast outbreak-date lookup (J1, kg/build.py:165-170)."""
+    lookup = tbl.outbreak_date_lookup(sf_dir)
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "curie": [f"promed:{d}" for d in doc_ids],
+                "name": doc_ids,
+                "timestamp": [lookup.get(d, "") for d in doc_ids],
+                "labels": ["alert"] * len(doc_ids),
+            }
+        )
+
+    ds = docs_dataset(sf_dir).select_columns(["doc_id"]).map_batches(
+        to_nodes, batch_format="pyarrow"
+    )
+    return distinct(ds, ["curie", "name", "timestamp", "labels"])
+
+
+def alert_mention_edges(sf_dir: str):
+    """(promed:archive, mentions, MESH:id) for typed, non-stoplisted
+    grounded terms (kg/build.py:173-178)."""
+    mesh_types = lex.MESH_TYPES  # broadcast dict (M13 lookup table)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep_type = pa.array(
+            [
+                mesh_types.get(i) in ("disease", "pathogen", "geoloc")
+                for i in t.column("id").to_pylist()
+            ]
+        )
+        not_excluded = pc.invert(
+            pc.is_in(t.column("entry_name"), value_set=pa.array(sorted(KG_EXCLUDE_NAMES)))
+        )
+        is_mesh = pc.equal(t.column("db"), "MESH")
+        t = t.filter(pc.and_(pc.and_(keep_type, not_excluded), is_mesh))
+        doc_ids = t.column("doc_id").to_pylist()
+        ids = t.column("id").to_pylist()
+        return pa.table(
+            {
+                "start_id": [f"promed:{d}" for d in doc_ids],
+                "rel_type": ["mentions"] * len(doc_ids),
+                "end_id": [f"MESH:{i}" for i in ids],
+            }
+        )
+
+    terms = mentions_dataset(docs_dataset(sf_dir), mode="terms")
+    return distinct(terms.map_batches(to_edges, batch_format="pyarrow"),
+                    ["start_id", "rel_type", "end_id"])
+
+
+# ---------------------------------------------------------------------------
+# outbreak nodes + alert→outbreak edges (kg/build.py:136-156)
+# ---------------------------------------------------------------------------
+
+def outbreak_nodes(sf_dir: str):
+    ds = tbl.outbreaks_dataset(sf_dir)
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "curie": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
+                "name": t.column("outbreakName"),
+                "labels": ["outbreak"] * len(t),
+            }
+        )
+
+    return distinct(ds.map_batches(to_nodes, batch_format="pyarrow"),
+                    ["curie", "name", "labels"])
+
+
+def alert_outbreak_edges(sf_dir: str):
+    ds = tbl.outbreaks_dataset(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start_id": [
+                    f"promed:{a}" for a in t.column("archiveNumber").to_pylist()
+                ],
+                "rel_type": ["has_outbreak"] * len(t),
+                "end_id": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
+            }
+        )
+
+    return distinct(ds.map_batches(to_edges, batch_format="pyarrow"),
+                    ["start_id", "rel_type", "end_id"])
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence (kg/build.py:52-94)
+# ---------------------------------------------------------------------------
+
+def cooccurrence_edges(sf_dir: str):
+    """(a_curie, occurs_with, b_curie, count) over interesting pairs."""
+    counts = cooccurrence_counts(docs_dataset(sf_dir))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start_id": t.column("start_id"),
+                "rel_type": ["occurs_with"] * len(t),
+                "end_id": t.column("end_id"),
+                "count": t.column("count"),
+            }
+        )
+
+    return counts.map_batches(shape, batch_format="pyarrow")
+
+
+def cooccurrence_nodes(sf_dir: str):
+    """Typed endpoint nodes of interesting pairs (kg/build.py:74-83),
+    type priority pathogen > geoloc > disease."""
+    names, types = lex.MESH_NAMES, lex.MESH_TYPES
+
+    def label(mesh_id: str) -> str:
+        t = types.get(mesh_id)
+        ntype = "pathogen" if t == "pathogen" else (
+            "geoloc" if t == "geoloc" else "disease"
+        )
+        return ntype + ";entity"
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        curies = set(t.column("start_id").to_pylist()) | set(
+            t.column("end_id").to_pylist()
+        )
+        rows = sorted(curies)
+        ids = [c.split(":", 1)[1] for c in rows]
+        return pa.table(
+            {
+                "curie": rows,
+                "name": [names[i] for i in ids],
+                "labels": [label(i) for i in ids],
+            }
+        )
+
+    ds = cooccurrence_edges(sf_dir).map_batches(endpoints, batch_format="pyarrow")
+    return distinct(ds, ["curie", "name", "labels"])
+
+
+# ---------------------------------------------------------------------------
+# MeSH hierarchy (kg/build.py:97-133) — from the ontology lookup table
+# ---------------------------------------------------------------------------
+
+def mesh_hierarchy_nodes():
+    import ray.data as rd
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t.column("mesh_type"),
+                     value_set=pa.array(["disease", "pathogen", "geoloc"]))
+        )
+        return pa.table(
+            {
+                "curie": [f"MESH:{i}" for i in t.column("mesh_id").to_pylist()],
+                "name": t.column("name"),
+                "labels": [
+                    f"{mt};entity" for mt in t.column("mesh_type").to_pylist()
+                ],
+            }
+        )
+
+    return rd.from_arrow(tbl.ontology_table()).map_batches(
+        to_nodes, batch_format="pyarrow"
+    )
+
+
+def mesh_hierarchy_edges():
+    """isa edges where parent passes the child's own type predicate
+    (kg/build.py:114-124)."""
+    import ray.data as rd
+
+    types = lex.MESH_TYPES
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        starts, ends = [], []
+        for mid, mtype, parent in zip(
+            t.column("mesh_id").to_pylist(),
+            t.column("mesh_type").to_pylist(),
+            t.column("parent_id").to_pylist(),
+        ):
+            if mtype not in ("disease", "pathogen", "geoloc") or parent is None:
+                continue
+            if types.get(parent) != mtype:
+                continue
+            starts.append(f"MESH:{mid}")
+            ends.append(f"MESH:{parent}")
+        return pa.table(
+            {
+                "start_id": starts,
+                "rel_type": ["isa"] * len(starts),
+                "end_id": ends,
+            }
+        )
+
+    return rd.from_arrow(tbl.ontology_table()).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pathogen→disease xref mapping (kg/build.py:189-213)
+# ---------------------------------------------------------------------------
+
+def pathogen_disease_edges():
+    import ray.data as rd
+
+    ncbi, doid = lex.NCBITAXON_TO_MESH, lex.DOID_TO_MESH
+
+    def xref(curie: str) -> str | None:
+        ns, id_ = curie.split(":", 1)
+        if ns == "ncbitaxon":
+            return ncbi.get(id_)
+        if ns == "doid":
+            return doid.get(id_)
+        return None
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.starts_with(t.column(":START_ID"), "umls")),
+            pc.invert(pc.starts_with(t.column(":END_ID"), "umls")),
+        )
+        t = t.filter(keep)
+        starts, ends = [], []
+        for s, e in zip(t.column(":START_ID").to_pylist(),
+                        t.column(":END_ID").to_pylist()):
+            ms, me = xref(s), xref(e)
+            if not ms or not me:
+                continue
+            starts.append(f"MESH:{ms}")
+            ends.append(f"MESH:{me}")
+        return pa.table(
+            {
+                "start_id": starts,
+                "rel_type": ["has_pathogen"] * len(starts),
+                "end_id": ends,
+            }
+        )
+
+    ds = rd.from_arrow(tbl.pathogen_disease_rels_table()).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return distinct(ds, ["start_id", "rel_type", "end_id"])
+
+
+# ---------------------------------------------------------------------------
+# disease→phenotype (kg/build.py:216-228)
+# ---------------------------------------------------------------------------
+
+def disease_phenotype_edges():
+    import ray.data as rd
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.starts_with(t.column(":START_ID"), "mesh"),
+            pc.starts_with(t.column(":END_ID"), "mesh"),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "start_id": pc.utf8_upper(t.column(":START_ID")),
+                "rel_type": ["has_phenotype"] * len(t),
+                "end_id": pc.utf8_upper(t.column(":END_ID")),
+            }
+        )
+
+    ds = rd.from_arrow(tbl.disease_phenotype_rels_table()).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return distinct(ds, ["start_id", "rel_type", "end_id"])
+
+
+# ---------------------------------------------------------------------------
+# World-Bank indicators (kg/build.py:231-348)
+# ---------------------------------------------------------------------------
+
+def _hierarchy_name_to_curie() -> dict[str, str]:
+    """name → curie over hierarchy (typed) nodes only — the J2/J3
+    lookup side (mesh_hierarchy_nodes.tsv in the reference)."""
+    return {
+        name: f"MESH:{mid}"
+        for mid, name, mtype, _p in lex.ONTOLOGY
+        if mtype in ("disease", "pathogen", "geoloc")
+    }
+
+
+def _geoloc_names() -> set[str]:
+    return {
+        name for _m, name, mtype, _p in lex.ONTOLOGY if mtype == "geoloc"
+    }
+
+
+def _indicator_rows(t: pa.Table, kind: str, drop_codes: set[str]):
+    """Shared wide→long processing; yields per-row
+    (country_curie, series_code, series_name, {year: value})."""
+    name_to_curie = _hierarchy_name_to_curie()
+    geolocs = _geoloc_names()
+    countries = t.column("Country Name").to_pylist()
+    codes = t.column("Series Code").to_pylist()
+    snames = t.column("Series Name").to_pylist()
+    year_cols = [c for c in t.column_names
+                 if c not in ("Country Name", "Series Code", "Series Name")]
+    year_data = {c: t.column(c).to_pylist() for c in year_cols}
+    for i, (country, code, sname) in enumerate(zip(countries, codes, snames)):
+        if code in drop_codes:
+            continue  # J6 series-code anti-filter (kg/build.py:243-248)
+        mapped = LOCATION_MESH_MAPPING.get(country, country)  # M10
+        if mapped not in geolocs:
+            continue  # J2 inner join on geoloc name (kg/build.py:266-280)
+        years = {}
+        for c in year_cols:
+            val = year_data[c][i]
+            try:
+                f = float(val)
+            except (TypeError, ValueError):
+                continue  # '..' cells (kg/build.py:292-295)
+            years[c[:4]] = round(f, 3)
+        yield name_to_curie[mapped], code, sname, years
+
+
+def indicator_edges(kind: str):
+    """(country_curie, years_data_json, has_indicator, wdi:code)."""
+    import ray.data as rd
+
+    drop = (
+        {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        rows = list(_indicator_rows(t, kind, drop))
+        return pa.table(
+            {
+                "start_id": [r[0] for r in rows],
+                "years_data": [json.dumps(r[3]) for r in rows],
+                "rel_type": ["has_indicator"] * len(rows),
+                "end_id": [f"wdi:{r[1]}" for r in rows],
+            }
+        )
+
+    ds = rd.from_arrow(tbl.indicator_wide_table(kind)).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    return distinct(ds, ["start_id", "years_data", "rel_type", "end_id"])
+
+
+def indicator_nodes(kind: str):
+    import ray.data as rd
+
+    drop = (
+        {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
+    )
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        rows = list(_indicator_rows(t, kind, drop))
+        return pa.table(
+            {
+                "curie": [f"wdi:{r[1]}" for r in rows],
+                "name": [r[2] for r in rows],
+                "labels": ["indicator"] * len(rows),
+            }
+        )
+
+    ds = rd.from_arrow(tbl.indicator_wide_table(kind)).map_batches(
+        to_nodes, batch_format="pyarrow"
+    )
+    return distinct(ds, ["curie", "name", "labels"])
+
+
+def indicator_year_values(kind: str):
+    """Long-format (country_curie, series_code, year, value) — the
+    oracle-friendly exploded view of the years_data pivot (M11)."""
+    import ray.data as rd
+
+    drop = (
+        {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
+    )
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        out = {"country_curie": [], "series_code": [], "year": [], "value": []}
+        for curie, code, _sname, years in _indicator_rows(t, kind, drop):
+            for y, v in years.items():
+                out["country_curie"].append(curie)
+                out["series_code"].append(code)
+                out["year"].append(y)
+                out["value"].append(v)
+        return pa.table(
+            {
+                "country_curie": pa.array(out["country_curie"], pa.string()),
+                "series_code": pa.array(out["series_code"], pa.string()),
+                "year": pa.array(out["year"], pa.string()),
+                "value": pa.array(out["value"], pa.float64()),
+            }
+        )
+
+    return rd.from_arrow(tbl.indicator_wide_table(kind)).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# geonames canonicalization (kg/build.py:351-407 / J4, D4)
+# ---------------------------------------------------------------------------
+
+def _ground_geoname(name: str, hierarchy_names: dict[str, str]) -> str | None:
+    """Deterministic replacement for the reference's gilda grounding
+    of location names (kg/build.py:384-407): WB-name mapping then
+    case-insensitive exact match against hierarchy node names."""
+    mapped = LOCATION_MESH_MAPPING.get(name, name)
+    return hierarchy_names.get(mapped.lower())
+
+
+def _hierarchy_names_ci() -> dict[str, str]:
+    return {
+        name.lower(): f"MESH:{mid}"
+        for mid, name, mtype, _p in lex.ONTOLOGY
+        if mtype in ("disease", "pathogen", "geoloc")
+    }
+
+
+def geoname_nodes():
+    import ray.data as rd
+
+    hnames = _hierarchy_names_ci()
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        curies, names = [], []
+        for c, n in zip(t.column("curie").to_pylist(),
+                        t.column("name").to_pylist()):
+            if _ground_geoname(n, hnames):
+                continue  # D4 suppression: MeSH-groundable geoname dropped
+            curies.append(c)
+            names.append(n)
+        return pa.table(
+            {
+                "curie": curies,
+                "name": names,
+                "labels": ["geoloc"] * len(curies),
+            }
+        )
+
+    return distinct(
+        rd.from_arrow(tbl.geoname_terms_table()).map_batches(
+            to_nodes, batch_format="pyarrow"
+        ),
+        ["curie", "name", "labels"],
+    )
+
+
+def geoname_edges():
+    """isa edges from kept geoname nodes to their parent — remapped to
+    the MeSH curie when the parent grounds (kg/build.py:365-375)."""
+    import ray.data as rd
+
+    hnames = _hierarchy_names_ci()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        starts, ends = [], []
+        for c, n, pc_, pn in zip(
+            t.column("curie").to_pylist(),
+            t.column("name").to_pylist(),
+            t.column("parent_curie").to_pylist(),
+            t.column("parent_name").to_pylist(),
+        ):
+            if _ground_geoname(n, hnames):
+                continue  # node suppressed → no edges from it
+            if pc_ is None:
+                continue
+            mesh_parent = _ground_geoname(pn, hnames)
+            starts.append(c)
+            ends.append(mesh_parent if mesh_parent else pc_)
+        return pa.table(
+            {
+                "start_id": starts,
+                "rel_type": ["isa"] * len(starts),
+                "end_id": ends,
+            }
+        )
+
+    return distinct(
+        rd.from_arrow(tbl.geoname_terms_table()).map_batches(
+            to_edges, batch_format="pyarrow"
+        ),
+        ["start_id", "rel_type", "end_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# global canonicalization — replaces neo4j-admin import dedup (S14)
+# ---------------------------------------------------------------------------
+
+_NODE_SCHEMA = pa.schema(
+    [
+        ("curie", pa.string()),
+        ("name", pa.string()),
+        ("labels", pa.string()),
+        ("timestamp", pa.string()),
+    ]
+)
+
+_EDGE_SCHEMA = pa.schema(
+    [
+        ("start_id", pa.string()),
+        ("rel_type", pa.string()),
+        ("end_id", pa.string()),
+        ("count", pa.int64()),
+        ("years_data", pa.string()),
+    ]
+)
+
+
+def _conform(ds, schema: pa.Schema):
+    def fix(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name in t.column_names:
+                cols[f.name] = t.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(len(t), f.type)
+        return pa.table(cols, schema=schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def all_node_datasets(sf_dir: str) -> dict[str, "object"]:
+    return {
+        "alert": alert_nodes(sf_dir),
+        "outbreak": outbreak_nodes(sf_dir),
+        "cooccurrence": cooccurrence_nodes(sf_dir),
+        "mesh_hierarchy": mesh_hierarchy_nodes(),
+        "indicator_health": indicator_nodes("health"),
+        "indicator_dev": indicator_nodes("dev"),
+        "geoname": geoname_nodes(),
+    }
+
+
+def all_edge_datasets(sf_dir: str) -> dict[str, "object"]:
+    return {
+        "mentions": alert_mention_edges(sf_dir),
+        "has_outbreak": alert_outbreak_edges(sf_dir),
+        "occurs_with": cooccurrence_edges(sf_dir),
+        "isa_mesh": mesh_hierarchy_edges(),
+        "has_pathogen": pathogen_disease_edges(),
+        "has_phenotype": disease_phenotype_edges(),
+        "has_indicator_health": indicator_edges("health"),
+        "has_indicator_dev": indicator_edges("dev"),
+        "isa_geonames": geoname_edges(),
+    }
+
+
+def canonical_nodes(sf_dir: str):
+    """Union of all node tables + groupby(curie) merge: labels
+    unioned, deterministic min-name / max-timestamp tie-breaks
+    (documented deviation from the importer's first-file-wins)."""
+    import pandas as pd
+
+    parts = [_conform(ds, _NODE_SCHEMA) for ds in all_node_datasets(sf_dir).values()]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        labels = sorted(
+            {lbl for ls in g["labels"].dropna() for lbl in ls.split(";")}
+        )
+        ts = g["timestamp"].dropna()
+        return pd.DataFrame(
+            {
+                "curie": [g["curie"].iloc[0]],
+                "name": [g["name"].min()],
+                "labels": [";".join(labels)],
+                "timestamp": [ts.max() if len(ts) else None],
+            }
+        )
+
+    return unioned.groupby("curie").map_groups(merge, batch_format="pandas")
+
+
+def canonical_edges(sf_dir: str):
+    """Union of all edge tables + exact dedup on the full row.
+
+    Nullable key columns (count, years_data) are sentinel-filled for
+    the groupby (hash aggregation on null keys yields unstable block
+    schemas) and restored afterwards."""
+    parts = [_conform(ds, _EDGE_SCHEMA) for ds in all_edge_datasets(sf_dir).values()]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start_id": t.column("start_id"),
+                "rel_type": t.column("rel_type"),
+                "end_id": t.column("end_id"),
+                "count": t.column("count").fill_null(-1),
+                "years_data": t.column("years_data").fill_null(""),
+            },
+            schema=pa.schema(
+                [
+                    ("start_id", pa.string()),
+                    ("rel_type", pa.string()),
+                    ("end_id", pa.string()),
+                    ("count", pa.int64()),
+                    ("years_data", pa.string()),
+                ]
+            ),
+        )
+
+    def restore(t: pa.Table) -> pa.Table:
+        count = t.column("count")
+        years = t.column("years_data")
+        return pa.table(
+            {
+                "start_id": t.column("start_id"),
+                "rel_type": t.column("rel_type"),
+                "end_id": t.column("end_id"),
+                "count": pc.if_else(pc.equal(count, -1),
+                                    pa.nulls(len(t), pa.int64()), count),
+                "years_data": pc.if_else(pc.equal(years, ""),
+                                         pa.nulls(len(t), pa.string()), years),
+            },
+            schema=_EDGE_SCHEMA,
+        )
+
+    deduped = distinct(
+        unioned.map_batches(fill, batch_format="pyarrow"),
+        ["start_id", "rel_type", "end_id", "count", "years_data"],
+    )
+    return deduped.map_batches(restore, batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""Auxiliary table sources: outbreak catalog synthesis + fixture
+tables as Datasets, and small-side broadcast lookups.
+
+The reference reads these from CSV/TSV files
+(promed_outbreaks.csv kg/build.py:45-49; pathogen_disease_rels.tsv
+kg/build.py:191; disease_phenotype_rels.tsv kg/build.py:217; WDI
+TSVs kg/build.py:233-239). Here the outbreak catalog is synthesized
+deterministically from documents.parquet, and the relation/indicator
+fixtures come from ``fixtures.lexicon`` — both exposed as Datasets.
+
+Broadcast pattern: every small side table is also available as a
+plain dict/set for closure capture inside ``map_batches`` (a 100 TB
+run would ``ray.put`` the dict once and ``ray.get`` in actor
+``__init__``; at these sizes closure capture serializes it once
+into the task spec, which is the same no-shuffle shape).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..fixtures import lexicon as lex
+from .pages import archive_number, date_str
+
+# ---------------------------------------------------------------------------
+# Outbreak catalog (reference promed_outbreaks.csv). Synthesis:
+# docs with doc_id % 3 != 2 belong to outbreak (doc_id % 20).
+# ---------------------------------------------------------------------------
+
+N_OUTBREAKS = 20
+
+
+def outbreak_rows_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    ids, names, archives, dates = [], [], [], []
+    for d in doc_ids:
+        if d % 3 == 2:
+            continue
+        ob = d % N_OUTBREAKS
+        ids.append(ob)
+        names.append(f"Outbreak {ob:03d}")
+        archives.append(archive_number(d))
+        dates.append(date_str(d))
+    return pa.table(
+        {
+            "ID": pa.array(ids, pa.int64()),
+            "outbreakName": pa.array(names, pa.string()),
+            "archiveNumber": pa.array(archives, pa.string()),
+            "datePublished": pa.array(dates, pa.string()),
+        }
+    )
+
+
+def outbreaks_dataset(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(outbreak_rows_batch, batch_format="pyarrow")
+
+
+def outbreak_date_lookup(sf_dir: str) -> dict[str, str]:
+    """archiveNumber → datePublished broadcast dict for the J1
+    alert↔outbreak timestamp lookup (kg/build.py:165-170)."""
+    import pyarrow.parquet as pq
+
+    doc_ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    return {
+        archive_number(d): date_str(d) for d in doc_ids if d % 3 != 2
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fixture relation tables as Arrow
+# ---------------------------------------------------------------------------
+
+def ontology_table() -> pa.Table:
+    mids, names, types, parents = zip(*lex.ONTOLOGY)
+    return pa.table(
+        {
+            "mesh_id": pa.array(mids, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "mesh_type": pa.array(types, pa.string()),
+            "parent_id": pa.array(parents, pa.string()),
+        }
+    )
+
+
+def pathogen_disease_rels_table() -> pa.Table:
+    starts, ends = zip(*lex.PATHOGEN_DISEASE_RELS)
+    return pa.table({":START_ID": list(starts), ":END_ID": list(ends)})
+
+
+def disease_phenotype_rels_table() -> pa.Table:
+    starts, ends = zip(*lex.DISEASE_PHENOTYPE_RELS)
+    return pa.table({":START_ID": list(starts), ":END_ID": list(ends)})
+
+
+def geoname_terms_table() -> pa.Table:
+    curies, names, pcuries, pnames = zip(*lex.GEONAME_TERMS)
+    return pa.table(
+        {
+            "curie": list(curies),
+            "name": list(names),
+            "parent_curie": pa.array(pcuries, pa.string()),
+            "parent_name": pa.array(pnames, pa.string()),
+        }
+    )
+
+
+def indicator_wide_table(kind: str) -> pa.Table:
+    """WB-style wide table: Country Name, Series Code, Series Name,
+    one column per year (header '2018 [YR2018]' → builder uses
+    col[:4], kg/build.py:296)."""
+    series = lex.HEALTH_SERIES if kind == "health" else lex.DEV_SERIES
+    cols: dict[str, list] = {"Country Name": [], "Series Code": [], "Series Name": []}
+    for yc in lex.INDICATOR_YEAR_COLS:
+        cols[yc] = []
+    for ci, country in enumerate(lex.INDICATOR_COUNTRIES):
+        for si, (code, sname) in enumerate(series):
+            cols["Country Name"].append(country)
+            cols["Series Code"].append(code)
+            cols["Series Name"].append(sname)
+            for y, yc in zip(lex.INDICATOR_YEARS, lex.INDICATOR_YEAR_COLS):
+                cols[yc].append(lex.indicator_value(ci, si, int(y)))
+    return pa.table(cols)
+
+
+def mesh_name_to_curie() -> dict[str, str]:
+    """lowercased ontology name → MESH curie (the deterministic
+    replacement for gilda grounding of location names,
+    kg/build.py:384-407)."""
+    return {
+        name.lower(): f"MESH:{mid}" for mid, name, _t, _p in lex.ONTOLOGY
+    }
