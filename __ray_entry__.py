@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+The KG-pipeline oracles are *analytic*: the pages table is synthesized
+from ``documents`` by closed-form formulas (see
+outbreak_kg_ray/sources/pages.py), so the SQL recomputes the expected
+output of real text extraction / NER / triple emission without
+re-running them — any parsing or matching bug surfaces as a mismatch.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init`` / ``ray.shutdown`` anywhere down this import tree.
 """
 
 from __future__ import annotations
@@ -18,27 +17,534 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from outbreak_kg_ray.config import KG_EXCLUDE_NAMES, LOCATION_MESH_MAPPING
+from outbreak_kg_ray.fixtures import lexicon as lex
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with the synthesis formulas)
+# ---------------------------------------------------------------------------
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _lex_cte() -> str:
+    rows = ", ".join(
+        f"({i}, '{m}', '{_q(n)}', '{t}')"
+        for i, (m, n, t, _p) in enumerate(lex.MENTION_LEXICON)
+    )
+    return f"lex(idx, mesh_id, name, mtype) AS (VALUES {rows})"
+
+
+def _ont_cte() -> str:
+    rows = ", ".join(
+        f"('{m}', '{_q(n)}', '{t}', "
+        + (f"'{p}'" if p else "NULL")
+        + ")"
+        for m, n, t, p in lex.ONTOLOGY
+    )
+    return f"ont(mesh_id, name, mtype, parent_id) AS (VALUES {rows})"
+
+
+def _excl_list() -> str:
+    return ", ".join(f"'{_q(n)}'" for n in sorted(KG_EXCLUDE_NAMES))
+
+
+_BASE_CTE = (
+    "base AS (SELECT doc_id, printf('%08d.%d', 20200000 + doc_id % 10000, "
+    "1000000 + doc_id) AS archive, trim(text) AS body_text FROM documents)"
+)
+
+_MENT_CTE = (
+    "ment AS (SELECT b.doc_id, b.archive, r.range AS k, l.mesh_id, l.name, "
+    "l.mtype FROM base b CROSS JOIN range(6) r JOIN lex l "
+    f"ON l.idx = (b.doc_id * 17 + r.range * 31) % {lex.LEX_N} "
+    "WHERE r.range < 2 + b.doc_id % 4)"
+)
+
+_DMENT_CTE = (
+    "dment AS (SELECT DISTINCT doc_id, archive, mesh_id, name, mtype FROM ment)"
+)
+
+_TS_EXPR = (
+    "strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE, "
+    "'%Y-%m-%d %H:%M:%S')"
+)
+
+
+def _kg_prefix() -> str:
+    return f"WITH {_lex_cte()}, {_BASE_CTE}, {_MENT_CTE}, {_DMENT_CTE}"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG materialization (canonical edge table) on
+    sf0.001."""
+    from outbreak_kg_ray.pipelines import kg
+
+    return kg.canonical_edges("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from outbreak_kg_ray.pipelines import docops, encode, kg, realism, relational
+    from outbreak_kg_ray.stages.extract import extract_docs
+    from outbreak_kg_ray.sources.pages import pages_dataset
+    from outbreak_kg_ray.stages.ner import mentions_dataset
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_text(sf_dir):
+        return (
+            extract_docs(pages_dataset(sf_dir))
+            .select_columns(["doc_id", "extracted_text"])
+        )
 
+    def mentions(sf_dir):
+        return mentions_dataset(
+            extract_docs(pages_dataset(sf_dir)), mode="terms"
+        )
+
+    def mention_stats(sf_dir):
+        import pyarrow as pa
+
+        raw = mentions_dataset(
+            extract_docs(pages_dataset(sf_dir)), mode="mentions"
+        )
+        out = raw.groupby(["text", "db", "id", "entry_name"]).count()
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                ["text", "term_db", "term_id", "term_name", "count"]
+            )
+
+        return out.map_batches(rename, batch_format="pyarrow")
+
+    def dict_encode(sf_dir):
+        return encode.dict_encoded_triples(sf_dir)
+
+    def literature_rank(sf_dir):
+        return encode.literature_pvalues(sf_dir, ["click", "error", "purchase"])
+
+    def realism_scores(sf_dir):
+        return realism.realism_table(sf_dir)
+
+    return {
+        # --- KG construction pipeline (pages → triples) ---
+        "extract_text": extract_text,
+        "mentions": mentions,
+        "mention_stats": mention_stats,
+        "alert_nodes": kg.alert_nodes,
+        "alert_mention_edges": kg.alert_mention_edges,
+        "outbreak_nodes": kg.outbreak_nodes,
+        "alert_outbreak_edges": kg.alert_outbreak_edges,
+        "cooccurrence_edges": kg.cooccurrence_edges,
+        "cooccurrence_nodes": kg.cooccurrence_nodes,
+        "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
+        "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
+        "pathogen_disease_edges": lambda sf: kg.pathogen_disease_edges(),
+        "disease_phenotype_edges": lambda sf: kg.disease_phenotype_edges(),
+        "indicator_year_values_health": lambda sf: kg.indicator_year_values("health"),
+        "indicator_year_values_dev": lambda sf: kg.indicator_year_values("dev"),
+        "indicator_edges_health": lambda sf: kg.indicator_edges("health"),
+        "indicator_nodes_health": lambda sf: kg.indicator_nodes("health"),
+        "geoname_nodes": lambda sf: kg.geoname_nodes(),
+        "geoname_edges": lambda sf: kg.geoname_edges(),
+        "canonical_nodes": kg.canonical_nodes,
+        "canonical_edges": kg.canonical_edges,
+        "realism_scores": realism_scores,
+        # --- literature matrix (dict encode + fisher ranking) ---
+        "dict_encode": dict_encode,
+        "literature_rank": literature_rank,
+        # --- training-data ops: dedup / text analysis / similarity ---
+        "dedup_exact": docops.dedup_exact,
+        "token_stats": docops.token_stats,
+        "quality_scores": docops.quality_scores,
+        "lang_id": docops.lang_id,
+        "fingerprints": docops.fingerprints,
+        "minhash_near_dups": docops.minhash_near_dups,
+        "simhash_near_dups": docops.simhash_near_dups,
+        "ann_topk": docops.ann_topk,
+        "ann_topk_ivf": docops.ann_topk_ivf,
+        "embedding_near_dups": docops.embedding_near_dups,
+        # --- generic relational surface ---
+        "pricing_summary": relational.pricing_summary,
+        "top_customers": relational.top_customers,
+        "events_hourly": relational.events_hourly,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nl = "chr(10)"
+    blank = f"{nl} || {nl}"
+
+    sql: dict[str, str] = {}
+
+    sql["extract_text"] = f"""
+{_kg_prefix()},
+sent AS (
+  SELECT doc_id,
+         'Cases involving ' || string_agg(name, ', ' ORDER BY k)
+           || ' were reported.' AS findings
+  FROM ment GROUP BY doc_id
+)
+SELECT b.archive AS doc_id,
+       'PRO/AH/EDR> Outbreak alert ' || b.archive || {blank} ||
+       'Overview' || {blank} || b.body_text || {blank} ||
+       'Findings' || {blank} || s.findings || {blank} AS extracted_text
+FROM base b JOIN sent s USING (doc_id)
+"""
+
+    sql["mentions"] = f"""
+{_kg_prefix()}
+SELECT archive AS doc_id, 'MESH' AS db, mesh_id AS id, name AS entry_name
+FROM dment
+"""
+
+    sql["mention_stats"] = f"""
+{_kg_prefix()}
+SELECT name AS text, 'MESH' AS term_db, mesh_id AS term_id,
+       name AS term_name, COUNT(*) AS "count"
+FROM ment GROUP BY mesh_id, name
+"""
+
+    sql["alert_nodes"] = f"""
+SELECT 'promed:' || printf('%08d.%d', 20200000 + doc_id % 10000,
+                           1000000 + doc_id) AS curie,
+       printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id) AS name,
+       CASE WHEN doc_id % 3 = 2 THEN '' ELSE {_TS_EXPR} END AS timestamp,
+       'alert' AS labels
+FROM documents
+"""
+
+    sql["alert_mention_edges"] = f"""
+{_kg_prefix()}
+SELECT DISTINCT 'promed:' || archive AS start_id,
+       'mentions' AS rel_type,
+       'MESH:' || mesh_id AS end_id
+FROM dment
+WHERE mtype IN ('disease', 'pathogen', 'geoloc')
+  AND name NOT IN ({_excl_list()})
+"""
+
+    sql["outbreak_nodes"] = """
+SELECT DISTINCT 'outbreak:' || (doc_id % 20) AS curie,
+       printf('Outbreak %03d', doc_id % 20) AS name,
+       'outbreak' AS labels
+FROM documents WHERE doc_id % 3 != 2
+"""
+
+    sql["alert_outbreak_edges"] = """
+SELECT DISTINCT
+       'promed:' || printf('%08d.%d', 20200000 + doc_id % 10000,
+                           1000000 + doc_id) AS start_id,
+       'has_outbreak' AS rel_type,
+       'outbreak:' || (doc_id % 20) AS end_id
+FROM documents WHERE doc_id % 3 != 2
+"""
+
+    cooc_cond = """(
+     (a.mtype = 'geoloc' AND b.mtype = 'pathogen')
+  OR (a.mtype = 'disease' AND b.mtype = 'pathogen')
+  OR (a.mtype = 'geoloc' AND b.mtype = 'disease')
+  OR (b.mtype = 'geoloc' AND a.mtype = 'pathogen')
+  OR (b.mtype = 'disease' AND a.mtype = 'pathogen')
+  OR (b.mtype = 'geoloc' AND a.mtype = 'disease')
+)"""
+
+    sql["cooccurrence_edges"] = f"""
+{_kg_prefix()}
+SELECT 'MESH:' || a.mesh_id AS start_id,
+       'occurs_with' AS rel_type,
+       'MESH:' || b.mesh_id AS end_id,
+       COUNT(*) AS "count"
+FROM dment a JOIN dment b
+  ON a.doc_id = b.doc_id AND a.name < b.name
+WHERE a.name NOT IN ({_excl_list()})
+  AND b.name NOT IN ({_excl_list()})
+  AND {cooc_cond}
+GROUP BY a.mesh_id, b.mesh_id
+"""
+
+    sql["cooccurrence_nodes"] = f"""
+{_kg_prefix()},
+pairs AS (
+  SELECT a.mesh_id AS am, a.name AS an, a.mtype AS at,
+         b.mesh_id AS bm, b.name AS bn, b.mtype AS bt
+  FROM dment a JOIN dment b
+    ON a.doc_id = b.doc_id AND a.name < b.name
+  WHERE a.name NOT IN ({_excl_list()})
+    AND b.name NOT IN ({_excl_list()})
+    AND {cooc_cond.replace('a.mtype', 'a.mtype').replace('b.mtype', 'b.mtype')}
+),
+endpoints AS (
+  SELECT am AS mesh_id, an AS name, at AS mtype FROM pairs
+  UNION
+  SELECT bm, bn, bt FROM pairs
+)
+SELECT DISTINCT 'MESH:' || mesh_id AS curie, name,
+       CASE WHEN mtype = 'pathogen' THEN 'pathogen'
+            WHEN mtype = 'geoloc' THEN 'geoloc'
+            ELSE 'disease' END || ';entity' AS labels
+FROM endpoints
+"""
+
+    sql["mesh_hierarchy_nodes"] = f"""
+WITH {_ont_cte()}
+SELECT 'MESH:' || mesh_id AS curie, name, mtype || ';entity' AS labels
+FROM ont WHERE mtype IN ('disease', 'pathogen', 'geoloc')
+"""
+
+    sql["mesh_hierarchy_edges"] = f"""
+WITH {_ont_cte()}
+SELECT 'MESH:' || c.mesh_id AS start_id, 'isa' AS rel_type,
+       'MESH:' || c.parent_id AS end_id
+FROM ont c JOIN ont p ON c.parent_id = p.mesh_id
+WHERE c.mtype IN ('disease', 'pathogen', 'geoloc')
+  AND p.mtype = c.mtype
+"""
+
+    pd_rels = ", ".join(
+        f"('{s}', '{e}')" for s, e in lex.PATHOGEN_DISEASE_RELS
+    )
+    xref_rows = ", ".join(
+        [f"('ncbitaxon', '{k}', '{v}')" for k, v in lex.NCBITAXON_TO_MESH.items()]
+        + [f"('doid', '{k}', '{v}')" for k, v in lex.DOID_TO_MESH.items()]
+    )
+    sql["pathogen_disease_edges"] = f"""
+WITH rels(s, e) AS (VALUES {pd_rels}),
+xref(ns, id, mesh) AS (VALUES {xref_rows})
+SELECT DISTINCT 'MESH:' || xs.mesh AS start_id,
+       'has_pathogen' AS rel_type,
+       'MESH:' || xe.mesh AS end_id
+FROM rels
+JOIN xref xs ON xs.ns = split_part(rels.s, ':', 1)
+            AND xs.id = split_part(rels.s, ':', 2)
+JOIN xref xe ON xe.ns = split_part(rels.e, ':', 1)
+            AND xe.id = split_part(rels.e, ':', 2)
+WHERE NOT starts_with(rels.s, 'umls') AND NOT starts_with(rels.e, 'umls')
+"""
+
+    dp_rels = ", ".join(
+        f"('{s}', '{e}')" for s, e in lex.DISEASE_PHENOTYPE_RELS
+    )
+    sql["disease_phenotype_edges"] = f"""
+WITH rels(s, e) AS (VALUES {dp_rels})
+SELECT DISTINCT upper(s) AS start_id, 'has_phenotype' AS rel_type,
+       upper(e) AS end_id
+FROM rels
+WHERE starts_with(s, 'mesh') AND starts_with(e, 'mesh')
+"""
+
+    # indicators: countries resolved to curies at SQL-generation time
+    # for J2 visibility the Atlantis row carries NULL and is filtered
+    geoloc_names = {
+        n for _m, n, t, _p in lex.ONTOLOGY if t == "geoloc"
+    }
+    name_to_curie = {
+        n: f"MESH:{m}" for m, n, t, _p in lex.ONTOLOGY
+        if t in ("disease", "pathogen", "geoloc")
+    }
+    country_rows = []
+    for ci, c in enumerate(lex.INDICATOR_COUNTRIES):
+        mapped = LOCATION_MESH_MAPPING.get(c, c)
+        curie = name_to_curie.get(mapped) if mapped in geoloc_names else None
+        country_rows.append(
+            f"({ci}, '{_q(c)}', " + (f"'{curie}'" if curie else "NULL") + ")"
+        )
+    countries_cte = "countries(ci, wb_name, curie) AS (VALUES " + ", ".join(country_rows) + ")"
+
+    def _series_cte(kind: str) -> str:
+        series = lex.HEALTH_SERIES if kind == "health" else lex.DEV_SERIES
+        dev_codes = {c for c, _n in lex.DEV_SERIES}
+        rows = ", ".join(
+            f"({si}, '{_q(code)}', '{_q(nm)}', "
+            + ("TRUE" if (kind == "health" and code in dev_codes) else "FALSE")
+            + ")"
+            for si, (code, nm) in enumerate(series)
+        )
+        return f"series(si, code, sname, shared) AS (VALUES {rows})"
+
+    def _indicator_sql(kind: str) -> str:
+        return f"""
+WITH {countries_cte}, {_series_cte(kind)},
+years(y) AS (SELECT range FROM range(2018, 2023))
+SELECT c.curie AS country_curie, s.code AS series_code,
+       CAST(y AS VARCHAR) AS year,
+       ((c.ci * 37 + s.si * 11 + y) % 1000) + (y % 7) / 8.0 AS value
+FROM countries c CROSS JOIN series s CROSS JOIN years
+WHERE c.curie IS NOT NULL AND NOT s.shared
+  AND (c.ci + s.si + y) % 5 != 0
+"""
+
+    sql["indicator_year_values_health"] = _indicator_sql("health")
+    sql["indicator_year_values_dev"] = _indicator_sql("dev")
+
+    sql["indicator_nodes_health"] = f"""
+WITH {_series_cte("health")}
+SELECT DISTINCT 'wdi:' || code AS curie, sname AS name,
+       'indicator' AS labels
+FROM series WHERE NOT shared
+"""
+
+    # geonames: grounding resolved in SQL via ontology + WB-name map
+    wb_rows = ", ".join(
+        f"('{_q(k)}', '{_q(v)}')" for k, v in LOCATION_MESH_MAPPING.items()
+    )
+    geon_rows = ", ".join(
+        f"('{c}', '{_q(n)}', "
+        + (f"'{p}'" if p else "NULL") + ", "
+        + (f"'{_q(pn)}'" if pn else "NULL") + ")"
+        for c, n, p, pn in lex.GEONAME_TERMS
+    )
+    geo_prefix = f"""
+WITH {_ont_cte()},
+wbmap(wb, mesh_name) AS (VALUES {wb_rows}),
+geon(curie, name, parent_curie, parent_name) AS (VALUES {geon_rows}),
+typed AS (SELECT mesh_id, name FROM ont
+          WHERE mtype IN ('disease', 'pathogen', 'geoloc')),
+grounded AS (
+  SELECT g.*, t.mesh_id AS g_mesh, tp.mesh_id AS p_mesh
+  FROM geon g
+  LEFT JOIN wbmap w ON w.wb = g.name
+  LEFT JOIN typed t ON lower(coalesce(w.mesh_name, g.name)) = lower(t.name)
+  LEFT JOIN wbmap wp ON wp.wb = g.parent_name
+  LEFT JOIN typed tp ON lower(coalesce(wp.mesh_name, g.parent_name)) = lower(tp.name)
+)"""
+
+    sql["geoname_nodes"] = f"""{geo_prefix}
+SELECT curie, name, 'geoloc' AS labels FROM grounded WHERE g_mesh IS NULL
+"""
+
+    sql["geoname_edges"] = f"""{geo_prefix}
+SELECT curie AS start_id, 'isa' AS rel_type,
+       coalesce('MESH:' || p_mesh, parent_curie) AS end_id
+FROM grounded
+WHERE g_mesh IS NULL AND parent_curie IS NOT NULL
+"""
+
+    sql["realism_scores"] = f"""
+{_kg_prefix()},
+filtered AS (
+  SELECT DISTINCT archive, mesh_id FROM dment
+  WHERE mtype IN ('disease', 'pathogen', 'geoloc')
+    AND name NOT IN ({_excl_list()})
+),
+pairs AS (
+  SELECT a.mesh_id AS mesh_a, b.mesh_id AS mesh_b, COUNT(*) AS "count"
+  FROM filtered a JOIN filtered b
+    ON a.archive = b.archive AND a.mesh_id < b.mesh_id
+  GROUP BY a.mesh_id, b.mesh_id
+),
+total AS (SELECT COUNT(DISTINCT archive) AS n FROM filtered)
+SELECT mesh_a, mesh_b, "count",
+       round(ln("count") - ln(total.n), 6) AS score
+FROM pairs, total
+"""
+
+    sql["dict_encode"] = """
+SELECT DENSE_RANK() OVER (ORDER BY CAST(user_id AS VARCHAR)) - 1 AS pmid_idx,
+       DENSE_RANK() OVER (ORDER BY event_type) - 1 AS mesh_idx,
+       (event_id % 2) + 1 AS value
+FROM events
+"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["token_stats"] = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens,
+       len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) AS n_stopwords,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+FROM documents
+"""
+
+    sql["quality_scores"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS ns
+  FROM documents
+)
+SELECT doc_id, nt AS n_tokens,
+       round(CASE WHEN nt = 0 THEN 0.0 ELSE ns / CAST(nt AS DOUBLE) END, 6)
+         AS stop_ratio,
+       round(CASE WHEN nt = 0 THEN 0.0
+             ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END, 6)
+         AS avg_token_len,
+       round(least(nt / 100.0, 1.0) * 0.5
+             + CASE WHEN nt = 0 THEN 0.0 ELSE ns / CAST(nt AS DOUBLE) END * 0.3
+             + least((CASE WHEN nt = 0 THEN 0.0
+                      ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END) / 8.0,
+                     1.0) * 0.2, 6) AS quality
+FROM s
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                    DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(raw, 6) AS score FROM scored WHERE rn <= 10
+"""
+
+    sql["embedding_near_dups"] = """
+SELECT e.vec_id AS a, s.vec_id AS b,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(s.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e
+JOIN embeddings s
+  ON s.label = 0 AND e.vec_id < s.vec_id
+WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             CAST(s.embedding AS DOUBLE[])) >= 0.35
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["top_customers"] = """
+SELECT o.o_custkey AS c_custkey, c.c_name,
+       round(sum(o.o_totalprice), 6) AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+    sql["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    return sql

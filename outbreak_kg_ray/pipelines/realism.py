@@ -1,0 +1,117 @@
+"""Alert co-occurrence "realism" scoring (reference
+kg/realism_score.py).
+
+Semantics: per-alert MeSH term sets from the alert→entity mention
+edges (realism_score.py:55-67); all unordered term pairs sorted by
+MeSH id; pair count log-normalized by the number of alerts
+(realism_score.py:69-73); query-time logsumexp scoring with the
+MeSH-ID stoplist (realism_score.py:77-87).
+
+Shape: the per-alert pair generation happens inside the NER pass
+(same combiner pattern as stages/cooccur.py); the normalization
+constant (alert count) is a scalar broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import KG_EXCLUDE_NAMES, MESH_ID_EXCLUDE
+from ..fixtures.lexicon import MESH_TYPES
+from ..stages.ner import LexicalGrounder, doc_terms
+from .kg import docs_dataset
+
+
+class RealismPairStage:
+    """docs → partial (mesh_a, mesh_b, n) counts over *edge-filtered*
+    term sets (the input to realism is promed_alert_edges.tsv, i.e.
+    typed + name-stoplisted mentions — kg/build.py:173-178)."""
+
+    def __init__(self, lexicon=None):
+        self.grounder = LexicalGrounder(lexicon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for sections in batch.column("sections").to_pylist():
+            mesh_ids = {
+                mid
+                for db, mid, name in doc_terms(self.grounder, sections)
+                if db == "MESH"
+                and name not in KG_EXCLUDE_NAMES
+                and MESH_TYPES.get(mid) in ("disease", "pathogen", "geoloc")
+            }
+            for t1, t2 in combinations(sorted(mesh_ids), 2):
+                counter[(t1, t2)] += 1  # already sorted by mesh id
+        a, b, n = [], [], []
+        for (x, y), c in counter.items():
+            a.append(x)
+            b.append(y)
+            n.append(c)
+        return pa.table(
+            {
+                "mesh_a": pa.array(a, pa.string()),
+                "mesh_b": pa.array(b, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def pair_counts(sf_dir: str):
+    """→ counted (mesh_a, mesh_b, count) Dataset (combiner pattern)."""
+    from ray.data.aggregate import Sum
+
+    docs = docs_dataset(sf_dir).select_columns(["doc_id", "sections"])
+    partials = docs.map_batches(
+        RealismPairStage, batch_format="pyarrow",
+        batch_size=256, concurrency=(1, 4),
+    )
+    return partials.groupby(["mesh_a", "mesh_b"]).aggregate(
+        Sum("n", alias_name="count")
+    )
+
+
+def num_alerts_with_terms(sf_dir: str) -> int:
+    """Number of alerts with ≥1 edge-filtered term — the realism
+    normalization constant (realism_score.py:70,
+    ``len(terms_by_alert)`` over the edges table)."""
+    from .kg import alert_mention_edges
+
+    return int(
+        alert_mention_edges(sf_dir)
+        .select_columns(["start_id"])
+        .groupby("start_id")
+        .count()
+        .count()
+    )
+
+
+def realism_table(sf_dir: str):
+    """→ pandas (mesh_a, mesh_b, count, score) with
+    score = round(ln(count) − ln(num_alerts), 6). Small, final."""
+    df = pair_counts(sf_dir).to_pandas()
+    num_alerts = num_alerts_with_terms(sf_dir)
+    df["score"] = (np.log(df["count"]) - np.log(num_alerts)).round(6)
+    return df.sort_values(["mesh_a", "mesh_b"]).reset_index(drop=True)
+
+
+def logsumexp_score(mesh_ids: list[str], score_lookup: dict, num_alerts: int):
+    """Query-time scorer (realism_score.py:77-87): pairwise scores
+    with -inf default, logsumexp, high/medium/low at −4.5 / −7."""
+    from scipy.special import logsumexp
+
+    scores = {}
+    for t1, t2 in combinations(sorted(set(mesh_ids)), 2):
+        if t1 in MESH_ID_EXCLUDE or t2 in MESH_ID_EXCLUDE:
+            continue
+        if MESH_TYPES.get(t1) is None or MESH_TYPES.get(t2) is None:
+            continue
+        scores[(t1, t2)] = score_lookup.get((t1, t2), -np.inf)
+    if not scores:
+        return scores, -np.inf, "low"
+    total = float(logsumexp(list(scores.values())))
+    cls = "high" if total > -4.5 else ("medium" if total > -7 else "low")
+    return scores, total, cls

@@ -1,0 +1,138 @@
+"""General relational pipelines over the TPC-H-ish testdata tables —
+the engine's generic operator surface (groupby-aggregate, broadcast
+join, top-k, time-bucketed aggregation) expressed Ray-Data-first.
+
+These correspond to the reference's generic table ops: A2-style
+grouped counting, J1-style broadcast joins, T2/T4 sorts + top-k.
+Float outputs are rounded to 6 dp for cross-engine comparability.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(sf_dir: str):
+    """lineitem pricing summary (groupby-agg with derived columns;
+    per-batch combining happens inside Ray's hash aggregate)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round2(t: pa.Table) -> pa.Table:
+        # money sums rounded to 2 dp: absorbs summation-order float
+        # drift across engines while staying exact for comparison
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if pa.types.is_floating(col.type):
+                col = pc.round(col, 2)
+            cols[name] = col
+        return pa.table(cols)
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders ⋈ customer (broadcast small side) → revenue per
+    customer → deterministic top-k."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    name_by_key = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": pa.array(
+                    [name_by_key.get(key1) for key1 in keys], pa.string()
+                ),
+                "revenue": pc.round(t.column("revenue"), 6),
+                "n_orders": t.column("n_orders"),
+            }
+        )
+
+    joined = agg.map_batches(attach, batch_format="pyarrow")
+    return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """events bucketed to the hour per event_type: count + sum(value).
+    The groupby key (hour, type) is derived per batch — M11-style
+    column derivation feeding the A2-style grouped count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "hour": hours,
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+    def round6(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(t.column("sum_value"), 6),
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")

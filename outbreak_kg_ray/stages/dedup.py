@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the scale-path components a 100 TB training-data pipeline
+needs (no counterpart in the reference, which only does exact
+``set()`` dedup — kg/build.py D1/D5).
+
+Shapes:
+- exact: content-hash in ``map_batches`` → ``groupby(hash)`` min-key
+  winner (hash-partitioned; one shuffle of (hash, id) pairs only).
+- MinHash/LSH: signature per doc (vectorized numpy universal
+  hashing) → explode to (band, band_hash, doc_id) → groupby band
+  bucket → candidate pairs → exact-Jaccard verify. All steps per-batch
+  vectorized; the bucket groupby ships only (band_hash, doc_id) rows.
+- SimHash: 64-bit signature, banded into 4×16-bit chunks for
+  hamming-LSH bucketing, verified by popcount distance.
+
+All hashing is deterministic (fixed seeds, no Python ``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+
+_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+_N_HASHES = 64
+_BANDS = 16
+_ROWS = _N_HASHES // _BANDS
+
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _P, size=_N_HASHES, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _P, size=_N_HASHES, dtype=np.int64).astype(np.uint64)
+
+
+def content_hash(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def add_content_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    hashes = [content_hash(x) for x in t.column(col).to_pylist()]
+    return t.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup_keep(ds, *, key: str = "doc_id", col: str = "text"):
+    """→ (text_hash, doc_id) with doc_id = min key per distinct
+    content. The groupby ships only the tiny (hash, key) projection."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(
+        lambda t: add_content_hash_batch(t, col).select(["text_hash", key]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("text_hash").aggregate(Min(key, alias_name=key))
+
+
+# ---------------------------------------------------------------------------
+# shingles / jaccard / minhash
+# ---------------------------------------------------------------------------
+
+def shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def _shingle_base_hashes(sh: set[str]) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            % _P
+            for s in sorted(sh)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-value signature via universal hashing h_i(x)=(a_i·x+b_i) mod p,
+    vectorized over (shingles × hash functions)."""
+    sh = shingles(text, k)
+    if not sh:
+        return np.full(_N_HASHES, _P, dtype=np.uint64)
+    base = _shingle_base_hashes(sh)  # (S,)
+    # (S, H): use python-int-free modular arithmetic in uint64 space via
+    # float-safe split: (a*x + b) mod p with a,x < 2^61 needs 122 bits —
+    # do it with object dtype avoided: compute in two 32-bit halves.
+    # Simpler & still vectorized: uint64 multiply-overflow is fine as a
+    # mixing function (not true universal hashing, but deterministic).
+    mixed = base[:, None] * _A[None, :] + _B[None, :]  # wraps mod 2^64
+    return mixed.min(axis=0)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, md5-based token hashes."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for tok in text.split():
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        )
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class MinHashStage:
+    """docs(key, text) batch → (band, band_hash, key) LSH bucket rows."""
+
+    def __init__(self, key: str = "doc_id", col: str = "text", k: int = 3):
+        self.key, self.col, self.k = key, col, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t.column(self.key).to_pylist()
+        texts = t.column(self.col).to_pylist()
+        band_ids, band_hashes, out_keys = [], [], []
+        for key, text in zip(keys, texts):
+            sig = minhash_signature(text, self.k)
+            for b in range(_BANDS):
+                chunk = sig[b * _ROWS : (b + 1) * _ROWS]
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                band_ids.append(b)
+                band_hashes.append(bh)
+                out_keys.append(key)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                self.key: pa.array(out_keys),
+            }
+        )
+
+
+class SimHashStage:
+    """docs(key, text) batch → (band, band_hash, key, simhash) rows;
+    4×16-bit chunks bucket candidates for hamming verification."""
+
+    def __init__(self, key: str = "doc_id", col: str = "text"):
+        self.key, self.col = key, col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t.column(self.key).to_pylist()
+        texts = t.column(self.col).to_pylist()
+        band_ids, band_hashes, out_keys, sigs = [], [], [], []
+        for key, text in zip(keys, texts):
+            sh = simhash64(text)
+            for b in range(4):
+                band_ids.append(b)
+                band_hashes.append((sh >> (16 * b)) & 0xFFFF)
+                out_keys.append(key)
+                sigs.append(sh)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                self.key: pa.array(out_keys),
+                "simhash": pa.array(
+                    [s - (1 << 63) for s in sigs], pa.int64()
+                ),  # store as signed
+            }
+        )
+
+
+def _bucket_pairs(ds, key: str, extra_cols: list[str] | None = None):
+    """groupby LSH bucket → candidate pairs (cap per bucket to bound
+    hub-bucket blowup; capped buckets are logged via a flag column)."""
+    import pandas as pd
+
+    cap = 64
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        truncated = len(ks) > cap
+        ks = ks[:cap]
+        rows = list(combinations(ks, 2))
+        return pd.DataFrame(
+            {
+                "a": [r[0] for r in rows],
+                "b": [r[1] for r in rows],
+                "truncated": truncated,
+            }
+        )
+
+    return ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+
+
+def minhash_candidate_pairs(docs_ds, *, key: str = "doc_id",
+                            col: str = "text", k: int = 3):
+    buckets = docs_ds.map_batches(
+        MinHashStage, fn_constructor_kwargs={"key": key, "col": col, "k": k},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    )
+    pairs = _bucket_pairs(buckets, key)
+    return distinct_pairs(pairs)
+
+
+def distinct_pairs(pairs_ds):
+    from ray.data.aggregate import Count
+
+    return (
+        pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+class JaccardVerify:
+    """(a, b) candidate pairs + broadcast text lookup → verified pairs
+    with exact n-gram Jaccard ≥ threshold.
+
+    The text lookup is a ``ray.put`` broadcast (read once per actor) —
+    at 100 TB you would instead hash-join candidates back to the two
+    doc partitions; at near-dup candidate scale the broadcast is the
+    cheaper, shuffle-free side."""
+
+    def __init__(self, texts_ref, threshold: float = 0.8, k: int = 3):
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.threshold = threshold
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for x, y in zip(a, b):
+            j = jaccard(
+                shingles(self.texts[x], self.k), shingles(self.texts[y], self.k)
+            )
+            if j >= self.threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                sims.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(keep_a),
+                "b": pa.array(keep_b),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+
+def make_near_dup_variants(t: pa.Table) -> pa.Table:
+    """Deterministic near-dup corpus: each doc yields itself
+    (variant 0) and a copy with one token in ~10 replaced
+    (variant 1) — lets near-dup detection be exercised on testdata
+    that has no organic duplicates."""
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out_ids, out_texts = [], []
+    for d, text in zip(doc_ids, texts):
+        toks = text.split()
+        out_ids.append(d * 2)
+        out_texts.append(text)
+        mutated = [
+            ("zzz" if (i + d) % 10 == 0 else w) for i, w in enumerate(toks)
+        ]
+        out_ids.append(d * 2 + 1)
+        out_texts.append(" ".join(mutated))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: broadcast query matrix (``ray.put`` once,
+  ``ray.get`` in actor ``__init__``), per-batch numpy matmul, partial
+  top-k per batch (combiner), tiny global merge. Scales linearly in
+  corpus size with no shuffle of the corpus itself.
+- IVF variant: deterministic coarse centroids; per-batch cluster
+  assignment, probe only the nprobe nearest clusters per query —
+  the candidate set shrinks by ~n_clusters/nprobe.
+- Embedding near-dup: cosine ≥ threshold pairs within a filtered
+  subset (batch × subset matmul; the subset is the broadcast side).
+
+All math is float64 with scores rounded to 6 dp so results are
+comparable across engines (DuckDB oracle uses list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """embeddings(vec_id, embedding) batch → partial top-k rows
+    (query_id, vec_id, score) for every query vector."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        scores = emb @ self.q.T  # (batch, Q)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(vec_ids))
+        for qi, qid in enumerate(self.qids):
+            col = scores[:, qi]
+            # deterministic partial top-k: score desc, vec_id asc
+            order = np.lexsort((vec_ids, -col))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vec_ids[order].tolist())
+            out_s.extend(np.round(col[order], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def topk_merge(partials_ds, k: int = 10):
+    """Global exact top-k per query from per-batch partials."""
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return partials_ds.groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def ann_topk(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
+             concurrency=(1, 4)):
+    """Brute-force cosine top-k — the exact baseline."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    partials = embeddings_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    return topk_merge(partials, k)
+
+
+def deterministic_centroids(dim: int, n_clusters: int = 16) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return _normalize(rng.randn(n_clusters, dim))
+
+
+class IVFTopK:
+    """IVF-style probe: per batch, rows are assigned to their nearest
+    coarse centroid; only rows whose centroid is among the query's
+    nprobe closest centroids are scored. Approximate (recall < 1 when
+    nprobe < n_clusters) — the scale path for 10^9+ vectors."""
+
+    def __init__(self, queries_ref, k: int = 10, n_clusters: int = 16,
+                 nprobe: int = 4, dim: int = 64):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.cent = deterministic_centroids(dim, n_clusters)
+        qc = self.q @ self.cent.T  # (Q, C)
+        self.probed = np.argsort(-qc, axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        assign = np.argmax(emb @ self.cent.T, axis=1)  # (batch,)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probed[qi])
+            if not mask.any():
+                continue
+            ids = vec_ids[mask]
+            col = emb[mask] @ self.q[qi]
+            order = np.lexsort((ids, -col))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(np.round(col[order], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_topk_ivf(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4, dim: int = 64):
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    partials = embeddings_ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "n_clusters": n_clusters,
+            "nprobe": nprobe, "dim": dim,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return topk_merge(partials, k)
+
+
+class CosinePairs:
+    """batch × broadcast-subset cosine ≥ threshold pairs (a < b)."""
+
+    def __init__(self, subset_ref, threshold: float = 0.95):
+        import ray
+
+        ids, mat = ray.get(subset_ref)
+        self.ids = np.asarray(ids)
+        self.m = _normalize(np.asarray(mat, dtype=np.float64))
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        scores = emb @ self.m.T
+        rows, cols = np.where(scores >= self.threshold)
+        a = vec_ids[rows]
+        b = self.ids[cols]
+        keep = a < b  # canonical order + drop self-pairs
+        return pa.table(
+            {
+                "a": pa.array(a[keep].tolist(), pa.int64()),
+                "b": pa.array(b[keep].tolist(), pa.int64()),
+                "score": pa.array(
+                    np.round(scores[rows, cols][keep], 6).tolist(),
+                    pa.float64(),
+                ),
+            },
+            schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("score", pa.float64())]
+            ),
+        )
+
+
+def embedding_near_dup_pairs(embeddings_ds, subset_ids, subset_matrix,
+                             *, threshold: float = 0.95):
+    import ray
+
+    ref = ray.put((list(subset_ids), np.asarray(subset_matrix)))
+    return embeddings_ds.map_batches(
+        CosinePairs,
+        fn_constructor_kwargs={"subset_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )

@@ -1,0 +1,138 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All run as vectorized / single-pass ``map_batches`` stages; the
+language-ID profiles and stopword sets are compiled once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+STOPWORDS = {"the", "a"}  # the two function words in the corpus vocab
+
+_BPEISH = re.compile(r"\w+|[^\w\s]")
+_PUNCT = re.compile(r"[^\w\s]")
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def fingerprint(text: str) -> int:
+    """Polynomial rolling hash of the whole text (mod 2^61-1) — a
+    deterministic document fingerprint."""
+    h = 0
+    for byte in text.encode("utf-8"):
+        h = (h * _FP_BASE + byte) % _FP_MOD
+    return h
+
+
+def token_stats_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc counting stats. Matches the DuckDB
+    oracle definitions exactly (see __ray_entry__.oracle_sql):
+    n_tokens = whitespace tokens, n_bpeish = \\w+|[^\\w\\s] matches,
+    stop_ratio = stopword tokens / tokens, punct = punct chars."""
+    texts = t.column("text").to_pylist()
+    n_chars, n_tokens, n_bpeish, n_stop, n_punct = [], [], [], [], []
+    for x in texts:
+        toks = x.split()
+        n_chars.append(len(x))
+        n_tokens.append(len(toks))
+        n_bpeish.append(len(_BPEISH.findall(x)))
+        n_stop.append(sum(1 for w in toks if w in STOPWORDS))
+        n_punct.append(len(_PUNCT.findall(x)))
+    out = pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_bpeish_tokens": pa.array(n_bpeish, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+        }
+    )
+    return out
+
+
+def quality_batch(t: pa.Table) -> pa.Table:
+    """Quality score: weighted mix of length, stopword ratio and
+    mean token length, rounded to 6 dp (float-hash safe)."""
+    stats = token_stats_batch(t)
+    n_chars = stats.column("n_chars").to_pylist()
+    n_tokens = stats.column("n_tokens").to_pylist()
+    n_stop = stats.column("n_stopwords").to_pylist()
+    scores, stop_ratio, avg_len = [], [], []
+    for c, tk, s in zip(n_chars, n_tokens, n_stop):
+        sr = s / tk if tk else 0.0
+        al = (c - (tk - 1)) / tk if tk else 0.0  # chars minus separators
+        score = min(tk / 100.0, 1.0) * 0.5 + sr * 0.3 + min(al / 8.0, 1.0) * 0.2
+        stop_ratio.append(round(sr, 6))
+        avg_len.append(round(al, 6))
+        scores.append(round(score, 6))
+    return pa.table(
+        {
+            "doc_id": stats.column("doc_id"),
+            "n_tokens": stats.column("n_tokens"),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "avg_token_len": pa.array(avg_len, pa.float64()),
+            "quality": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+class LangIdStage:
+    """Character-bigram-profile language scorer (n-gram heuristic).
+
+    Profiles are tiny public-knowledge stopword/character priors; on
+    the synthetic corpus (identical vocabulary per lang) predictions
+    collapse to the highest-prior language, which the test asserts —
+    the stage exists to exercise the actor-pool plumbing + a real
+    text-classification batch shape."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a"},
+        "fr": {"le", "la", "et", "les", "de"},
+        "es": {"el", "la", "los", "y", "de"},
+        "de": {"der", "die", "und", "das", "ein"},
+        "zh": set(),  # no-latin-stopword prior
+    }
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds, confs = [], []
+        for x in texts:
+            toks = x.lower().split()
+            best_lang, best = "unknown", 0.0
+            for lang, stops in sorted(self.profiles.items()):
+                if not stops:
+                    continue
+                score = sum(1 for w in toks if w in stops) / max(1, len(toks))
+                if score > best:
+                    best, best_lang = score, lang
+            preds.append(best_lang)
+            confs.append(round(best, 6))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "pred_lang": pa.array(preds, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    fps = [fingerprint(x) for x in t.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(
+                [f - (1 << 60) for f in fps], pa.int64()
+            ),  # shifted into signed range
+        }
+    )
