@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data KG engine.
+
+Default mode runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "triples": T, "triples_per_sec": R}
+
+``--scaling`` runs the headline KG pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input — the sandbox
+surrogate for the north_rule's N-vs-4N-node cluster criterion — and
+reports both throughputs plus scaling efficiency
+``(tput_hi / tput_lo) / (cpus_hi / cpus_lo)``.
+
+The headline metric is end-to-end KG-construction triples/sec:
+pages synthesis -> byte-exact extraction -> lexical NER actor pool ->
+all node/edge builders -> global canonicalization -> Parquet sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/okg_bench"
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _consume(ds) -> int:
+    """Execute a pipeline to completion, return row count (streaming —
+    no driver-side materialization of the data itself)."""
+    if hasattr(ds, "count"):
+        return ds.count()
+    return len(ds)
+
+
+def run_headline(sf_dir: str) -> tuple[float, int]:
+    """End-to-end KG construction: canonical edge + node tables to
+    Parquet. Returns (seconds, n_triples)."""
+    from outbreak_kg_ray.pipelines import kg
+
+    out = os.path.join(SCRATCH, "kg")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t0 = time.perf_counter()
+    edges = kg.canonical_edges(sf_dir)
+    edges.write_parquet(os.path.join(out, "edges"))
+    nodes = kg.canonical_nodes(sf_dir)
+    nodes.write_parquet(os.path.join(out, "nodes"))
+    dt = time.perf_counter() - t0
+    import pyarrow.dataset as pads
+
+    n_edges = pads.dataset(os.path.join(out, "edges")).count_rows()
+    return dt, n_edges
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary per-pipeline timings (each consumed via count())."""
+    from outbreak_kg_ray.pipelines import docops, realism, relational
+    from outbreak_kg_ray.pipelines.kg import docs_dataset
+    from outbreak_kg_ray.stages.ner import mentions_dataset
+
+    cases = {
+        "extract_ner_mentions": lambda: mentions_dataset(
+            docs_dataset(sf_dir), mode="terms"
+        ),
+        "realism_scores": lambda: realism.realism_table(sf_dir),
+        "dedup_exact": lambda: docops.dedup_exact(sf_dir),
+        "minhash_near_dups": lambda: docops.minhash_near_dups(sf_dir),
+        "token_stats": lambda: docops.token_stats(sf_dir),
+        "ann_topk": lambda: docops.ann_topk(sf_dir),
+        "pricing_summary": lambda: relational.pricing_summary(sf_dir),
+        "events_hourly": lambda: relational.events_hourly(sf_dir),
+    }
+    out: dict[str, float] = {}
+    for name, fn in cases.items():
+        t0 = time.perf_counter()
+        _consume(fn())
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool) -> dict:
+    _init_ray(num_cpus)
+    kg_sec, n_triples = run_headline(sf_dir)
+    queries = {"kg_end_to_end": round(kg_sec, 3)}
+    if not headline_only:
+        queries.update(run_queries(sf_dir))
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "kg_construction_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same headline job at two parallelism levels in fresh processes
+    (cluster-size surrogate: num_cpus=8 vs num_cpus=32)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[8], results[32]
+    tput_lo = lo["triples_per_sec"]
+    tput_hi = hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "kg_end_to_end_8cpu": lo["queries"]["kg_end_to_end"],
+            "kg_end_to_end_32cpu": hi["queries"]["kg_end_to_end"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "triples": hi["triples"],
+        "triples_per_sec_8cpu": tput_lo,
+        "triples_per_sec_32cpu": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    if args._worker:
+        res = bench_once(args.sf_dir, NUM_CPUS, headline_only=True)
+    elif args.scaling:
+        res = run_scaling(args.sf_dir)
+    else:
+        res = bench_once(args.sf_dir, NUM_CPUS, headline_only=False)
+    print(json.dumps(res))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
