@@ -31,8 +31,53 @@ from ..stages.extract import extract_docs
 from ..stages.ner import mentions_dataset
 
 
-def docs_dataset(sf_dir: str):
-    return extract_docs(pages_dataset(sf_dir))
+def docs_dataset(sf_dir: str, **pages_kw):
+    return extract_docs(pages_dataset(sf_dir, **pages_kw))
+
+
+# ---------------------------------------------------------------------------
+# fused product path — ONE NER pass feeds every mention-derived builder
+# ---------------------------------------------------------------------------
+
+def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
+                        part_rows: int = 50_000, repeat: int = 1):
+    """Tagged doc/term/pair product rows (stages/fused.py).
+
+    With ``ckpt_root``, the stage is materialized per doc_id-range
+    partition with lineage + metrics (state/checkpoint.py) and a
+    re-run resumes from completed partitions — the scale path. Without
+    it, the products are materialized in the object store (they are
+    compact: grounded terms + combined pair partials, a small fraction
+    of the raw pages)."""
+    from ..stages.fused import kg_products
+
+    if ckpt_root is None:
+        return kg_products(docs_dataset(sf_dir, repeat=repeat)).materialize()
+
+    from ..state import Checkpointer, doc_range_partitions
+
+    ckpt = Checkpointer(ckpt_root)
+    parts = doc_range_partitions(
+        f"{sf_dir}/documents.parquet", part_rows=part_rows
+    )
+
+    def build(part):
+        pgs = pages_dataset(
+            sf_dir, doc_lo=part["lo"], doc_hi=part["hi"], repeat=repeat
+        )
+        return kg_products(extract_docs(pgs))
+
+    ckpt.partitioned_stage("kg_products", parts, build)
+    return ckpt.read("kg_products")
+
+
+def _kind_slice(products, kind: str, cols: list[str]):
+    """Zero-copy filter+project of the tagged-union products table."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), kind)).select(cols)
+
+    return products.map_batches(f, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -54,11 +99,18 @@ def distinct(ds, cols: list[str]):
     return out.drop_columns(["_c"])
 
 
+def _pa_distinct(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Driver-side exact dedup for the small static reference tables
+    (ontology / WDI / geonames — broadcast-small-side data, computed
+    once on the driver rather than as a distributed shuffle)."""
+    return t.select(cols).group_by(cols).aggregate([])
+
+
 # ---------------------------------------------------------------------------
 # alert nodes + alert→entity mention edges (kg/build.py:159-186)
 # ---------------------------------------------------------------------------
 
-def alert_nodes(sf_dir: str):
+def alert_nodes(sf_dir: str, products=None, *, dedup: bool = True):
     """(promed:archive, archive, timestamp, 'alert') — timestamp via
     broadcast outbreak-date lookup (J1, kg/build.py:165-170)."""
     lookup = tbl.outbreak_date_lookup(sf_dir)
@@ -74,13 +126,17 @@ def alert_nodes(sf_dir: str):
             }
         )
 
-    ds = docs_dataset(sf_dir).select_columns(["doc_id"]).map_batches(
-        to_nodes, batch_format="pyarrow"
-    )
+    if products is not None:
+        ids = _kind_slice(products, "doc", ["doc_id"])
+    else:
+        ids = docs_dataset(sf_dir).select_columns(["doc_id"])
+    ds = ids.map_batches(to_nodes, batch_format="pyarrow")
+    if not dedup:
+        return ds  # canonical merge dedups globally; doc rows are unique
     return distinct(ds, ["curie", "name", "timestamp", "labels"])
 
 
-def alert_mention_edges(sf_dir: str):
+def alert_mention_edges(sf_dir: str, products=None, *, dedup: bool = True):
     """(promed:archive, mentions, MESH:id) for typed, non-stoplisted
     grounded terms (kg/build.py:173-178)."""
     mesh_types = lex.MESH_TYPES  # broadcast dict (M13 lookup table)
@@ -107,56 +163,73 @@ def alert_mention_edges(sf_dir: str):
             }
         )
 
-    terms = mentions_dataset(docs_dataset(sf_dir), mode="terms")
-    return distinct(terms.map_batches(to_edges, batch_format="pyarrow"),
-                    ["start_id", "rel_type", "end_id"])
+    if products is not None:
+        terms = _kind_slice(products, "term", ["doc_id", "db", "id", "entry_name"])
+    else:
+        terms = mentions_dataset(docs_dataset(sf_dir), mode="terms")
+    edges = terms.map_batches(to_edges, batch_format="pyarrow")
+    if not dedup:
+        return edges  # per-doc term rows are already distinct (A1)
+    return distinct(edges, ["start_id", "rel_type", "end_id"])
 
 
 # ---------------------------------------------------------------------------
 # outbreak nodes + alert→outbreak edges (kg/build.py:136-156)
 # ---------------------------------------------------------------------------
 
+def outbreak_nodes_table(sf_dir: str) -> pa.Table:
+    t = tbl.outbreaks_table(sf_dir)
+    out = pa.table(
+        {
+            "curie": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
+            "name": t.column("outbreakName"),
+            "labels": ["outbreak"] * len(t),
+        }
+    )
+    return _pa_distinct(out, ["curie", "name", "labels"])
+
+
 def outbreak_nodes(sf_dir: str):
-    ds = tbl.outbreaks_dataset(sf_dir)
+    import ray.data as rd
 
-    def to_nodes(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "curie": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
-                "name": t.column("outbreakName"),
-                "labels": ["outbreak"] * len(t),
-            }
-        )
+    return rd.from_arrow(outbreak_nodes_table(sf_dir))
 
-    return distinct(ds.map_batches(to_nodes, batch_format="pyarrow"),
-                    ["curie", "name", "labels"])
+
+def alert_outbreak_edges_table(sf_dir: str) -> pa.Table:
+    t = tbl.outbreaks_table(sf_dir)
+    out = pa.table(
+        {
+            "start_id": [
+                f"promed:{a}" for a in t.column("archiveNumber").to_pylist()
+            ],
+            "rel_type": ["has_outbreak"] * len(t),
+            "end_id": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
+        }
+    )
+    return _pa_distinct(out, ["start_id", "rel_type", "end_id"])
 
 
 def alert_outbreak_edges(sf_dir: str):
-    ds = tbl.outbreaks_dataset(sf_dir)
+    import ray.data as rd
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "start_id": [
-                    f"promed:{a}" for a in t.column("archiveNumber").to_pylist()
-                ],
-                "rel_type": ["has_outbreak"] * len(t),
-                "end_id": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
-            }
-        )
-
-    return distinct(ds.map_batches(to_edges, batch_format="pyarrow"),
-                    ["start_id", "rel_type", "end_id"])
+    return rd.from_arrow(alert_outbreak_edges_table(sf_dir))
 
 
 # ---------------------------------------------------------------------------
 # co-occurrence (kg/build.py:52-94)
 # ---------------------------------------------------------------------------
 
-def cooccurrence_edges(sf_dir: str):
+def cooccurrence_edges(sf_dir: str, products=None):
     """(a_curie, occurs_with, b_curie, count) over interesting pairs."""
-    counts = cooccurrence_counts(docs_dataset(sf_dir))
+    if products is not None:
+        from ray.data.aggregate import Sum
+
+        partials = _kind_slice(products, "pair", ["start_id", "end_id", "n"])
+        counts = partials.groupby(["start_id", "end_id"]).aggregate(
+            Sum("n", alias_name="count")
+        )
+    else:
+        counts = cooccurrence_counts(docs_dataset(sf_dir))
 
     def shape(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -171,7 +244,7 @@ def cooccurrence_edges(sf_dir: str):
     return counts.map_batches(shape, batch_format="pyarrow")
 
 
-def cooccurrence_nodes(sf_dir: str):
+def cooccurrence_nodes(sf_dir: str, products=None, *, dedup: bool = True):
     """Typed endpoint nodes of interesting pairs (kg/build.py:74-83),
     type priority pathogen > geoloc > disease."""
     names, types = lex.MESH_NAMES, lex.MESH_TYPES
@@ -197,7 +270,11 @@ def cooccurrence_nodes(sf_dir: str):
             }
         )
 
-    ds = cooccurrence_edges(sf_dir).map_batches(endpoints, batch_format="pyarrow")
+    ds = cooccurrence_edges(sf_dir, products).map_batches(
+        endpoints, batch_format="pyarrow"
+    )
+    if not dedup:
+        return ds  # canonical groupby(curie) merge dedups globally
     return distinct(ds, ["curie", "name", "labels"])
 
 
@@ -205,69 +282,66 @@ def cooccurrence_nodes(sf_dir: str):
 # MeSH hierarchy (kg/build.py:97-133) — from the ontology lookup table
 # ---------------------------------------------------------------------------
 
+def mesh_hierarchy_nodes_table() -> pa.Table:
+    t = tbl.ontology_table()
+    t = t.filter(
+        pc.is_in(t.column("mesh_type"),
+                 value_set=pa.array(["disease", "pathogen", "geoloc"]))
+    )
+    return pa.table(
+        {
+            "curie": [f"MESH:{i}" for i in t.column("mesh_id").to_pylist()],
+            "name": t.column("name"),
+            "labels": [
+                f"{mt};entity" for mt in t.column("mesh_type").to_pylist()
+            ],
+        }
+    )
+
+
 def mesh_hierarchy_nodes():
     import ray.data as rd
 
-    def to_nodes(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.is_in(t.column("mesh_type"),
-                     value_set=pa.array(["disease", "pathogen", "geoloc"]))
-        )
-        return pa.table(
-            {
-                "curie": [f"MESH:{i}" for i in t.column("mesh_id").to_pylist()],
-                "name": t.column("name"),
-                "labels": [
-                    f"{mt};entity" for mt in t.column("mesh_type").to_pylist()
-                ],
-            }
-        )
+    return rd.from_arrow(mesh_hierarchy_nodes_table())
 
-    return rd.from_arrow(tbl.ontology_table()).map_batches(
-        to_nodes, batch_format="pyarrow"
+
+def mesh_hierarchy_edges_table() -> pa.Table:
+    """isa edges where parent passes the child's own type predicate
+    (kg/build.py:114-124)."""
+    types = lex.MESH_TYPES
+    t = tbl.ontology_table()
+    starts, ends = [], []
+    for mid, mtype, parent in zip(
+        t.column("mesh_id").to_pylist(),
+        t.column("mesh_type").to_pylist(),
+        t.column("parent_id").to_pylist(),
+    ):
+        if mtype not in ("disease", "pathogen", "geoloc") or parent is None:
+            continue
+        if types.get(parent) != mtype:
+            continue
+        starts.append(f"MESH:{mid}")
+        ends.append(f"MESH:{parent}")
+    return pa.table(
+        {
+            "start_id": starts,
+            "rel_type": ["isa"] * len(starts),
+            "end_id": ends,
+        }
     )
 
 
 def mesh_hierarchy_edges():
-    """isa edges where parent passes the child's own type predicate
-    (kg/build.py:114-124)."""
     import ray.data as rd
 
-    types = lex.MESH_TYPES
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        starts, ends = [], []
-        for mid, mtype, parent in zip(
-            t.column("mesh_id").to_pylist(),
-            t.column("mesh_type").to_pylist(),
-            t.column("parent_id").to_pylist(),
-        ):
-            if mtype not in ("disease", "pathogen", "geoloc") or parent is None:
-                continue
-            if types.get(parent) != mtype:
-                continue
-            starts.append(f"MESH:{mid}")
-            ends.append(f"MESH:{parent}")
-        return pa.table(
-            {
-                "start_id": starts,
-                "rel_type": ["isa"] * len(starts),
-                "end_id": ends,
-            }
-        )
-
-    return rd.from_arrow(tbl.ontology_table()).map_batches(
-        to_edges, batch_format="pyarrow"
-    )
+    return rd.from_arrow(mesh_hierarchy_edges_table())
 
 
 # ---------------------------------------------------------------------------
 # pathogen→disease xref mapping (kg/build.py:189-213)
 # ---------------------------------------------------------------------------
 
-def pathogen_disease_edges():
-    import ray.data as rd
-
+def pathogen_disease_edges_table() -> pa.Table:
     ncbi, doid = lex.NCBITAXON_TO_MESH, lex.DOID_TO_MESH
 
     def xref(curie: str) -> str | None:
@@ -278,59 +352,61 @@ def pathogen_disease_edges():
             return doid.get(id_)
         return None
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.invert(pc.starts_with(t.column(":START_ID"), "umls")),
-            pc.invert(pc.starts_with(t.column(":END_ID"), "umls")),
-        )
-        t = t.filter(keep)
-        starts, ends = [], []
-        for s, e in zip(t.column(":START_ID").to_pylist(),
-                        t.column(":END_ID").to_pylist()):
-            ms, me = xref(s), xref(e)
-            if not ms or not me:
-                continue
-            starts.append(f"MESH:{ms}")
-            ends.append(f"MESH:{me}")
-        return pa.table(
-            {
-                "start_id": starts,
-                "rel_type": ["has_pathogen"] * len(starts),
-                "end_id": ends,
-            }
-        )
-
-    ds = rd.from_arrow(tbl.pathogen_disease_rels_table()).map_batches(
-        to_edges, batch_format="pyarrow"
+    t = tbl.pathogen_disease_rels_table()
+    keep = pc.and_(
+        pc.invert(pc.starts_with(t.column(":START_ID"), "umls")),
+        pc.invert(pc.starts_with(t.column(":END_ID"), "umls")),
     )
-    return distinct(ds, ["start_id", "rel_type", "end_id"])
+    t = t.filter(keep)
+    starts, ends = [], []
+    for s, e in zip(t.column(":START_ID").to_pylist(),
+                    t.column(":END_ID").to_pylist()):
+        ms, me = xref(s), xref(e)
+        if not ms or not me:
+            continue
+        starts.append(f"MESH:{ms}")
+        ends.append(f"MESH:{me}")
+    out = pa.table(
+        {
+            "start_id": starts,
+            "rel_type": ["has_pathogen"] * len(starts),
+            "end_id": ends,
+        }
+    )
+    return _pa_distinct(out, ["start_id", "rel_type", "end_id"])
+
+
+def pathogen_disease_edges():
+    import ray.data as rd
+
+    return rd.from_arrow(pathogen_disease_edges_table())
 
 
 # ---------------------------------------------------------------------------
 # disease→phenotype (kg/build.py:216-228)
 # ---------------------------------------------------------------------------
 
+def disease_phenotype_edges_table() -> pa.Table:
+    t = tbl.disease_phenotype_rels_table()
+    keep = pc.and_(
+        pc.starts_with(t.column(":START_ID"), "mesh"),
+        pc.starts_with(t.column(":END_ID"), "mesh"),
+    )
+    t = t.filter(keep)
+    out = pa.table(
+        {
+            "start_id": pc.utf8_upper(t.column(":START_ID")),
+            "rel_type": ["has_phenotype"] * len(t),
+            "end_id": pc.utf8_upper(t.column(":END_ID")),
+        }
+    )
+    return _pa_distinct(out, ["start_id", "rel_type", "end_id"])
+
+
 def disease_phenotype_edges():
     import ray.data as rd
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.starts_with(t.column(":START_ID"), "mesh"),
-            pc.starts_with(t.column(":END_ID"), "mesh"),
-        )
-        t = t.filter(keep)
-        return pa.table(
-            {
-                "start_id": pc.utf8_upper(t.column(":START_ID")),
-                "rel_type": ["has_phenotype"] * len(t),
-                "end_id": pc.utf8_upper(t.column(":END_ID")),
-            }
-        )
-
-    ds = rd.from_arrow(tbl.disease_phenotype_rels_table()).map_batches(
-        to_edges, batch_format="pyarrow"
-    )
-    return distinct(ds, ["start_id", "rel_type", "end_id"])
+    return rd.from_arrow(disease_phenotype_edges_table())
 
 
 # ---------------------------------------------------------------------------
@@ -381,52 +457,50 @@ def _indicator_rows(t: pa.Table, kind: str, drop_codes: set[str]):
         yield name_to_curie[mapped], code, sname, years
 
 
-def indicator_edges(kind: str):
+def _indicator_drop(kind: str) -> set[str]:
+    return {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
+
+
+def indicator_edges_table(kind: str) -> pa.Table:
     """(country_curie, years_data_json, has_indicator, wdi:code)."""
+    rows = list(
+        _indicator_rows(tbl.indicator_wide_table(kind), kind, _indicator_drop(kind))
+    )
+    out = pa.table(
+        {
+            "start_id": [r[0] for r in rows],
+            "years_data": [json.dumps(r[3]) for r in rows],
+            "rel_type": ["has_indicator"] * len(rows),
+            "end_id": [f"wdi:{r[1]}" for r in rows],
+        }
+    )
+    return _pa_distinct(out, ["start_id", "years_data", "rel_type", "end_id"])
+
+
+def indicator_edges(kind: str):
     import ray.data as rd
 
-    drop = (
-        {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
-    )
+    return rd.from_arrow(indicator_edges_table(kind))
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        rows = list(_indicator_rows(t, kind, drop))
-        return pa.table(
-            {
-                "start_id": [r[0] for r in rows],
-                "years_data": [json.dumps(r[3]) for r in rows],
-                "rel_type": ["has_indicator"] * len(rows),
-                "end_id": [f"wdi:{r[1]}" for r in rows],
-            }
-        )
 
-    ds = rd.from_arrow(tbl.indicator_wide_table(kind)).map_batches(
-        to_edges, batch_format="pyarrow"
+def indicator_nodes_table(kind: str) -> pa.Table:
+    rows = list(
+        _indicator_rows(tbl.indicator_wide_table(kind), kind, _indicator_drop(kind))
     )
-    return distinct(ds, ["start_id", "years_data", "rel_type", "end_id"])
+    out = pa.table(
+        {
+            "curie": [f"wdi:{r[1]}" for r in rows],
+            "name": [r[2] for r in rows],
+            "labels": ["indicator"] * len(rows),
+        }
+    )
+    return _pa_distinct(out, ["curie", "name", "labels"])
 
 
 def indicator_nodes(kind: str):
     import ray.data as rd
 
-    drop = (
-        {code for code, _n in lex.DEV_SERIES} if kind == "health" else set()
-    )
-
-    def to_nodes(t: pa.Table) -> pa.Table:
-        rows = list(_indicator_rows(t, kind, drop))
-        return pa.table(
-            {
-                "curie": [f"wdi:{r[1]}" for r in rows],
-                "name": [r[2] for r in rows],
-                "labels": ["indicator"] * len(rows),
-            }
-        )
-
-    ds = rd.from_arrow(tbl.indicator_wide_table(kind)).map_batches(
-        to_nodes, batch_format="pyarrow"
-    )
-    return distinct(ds, ["curie", "name", "labels"])
+    return rd.from_arrow(indicator_nodes_table(kind))
 
 
 def indicator_year_values(kind: str):
@@ -480,71 +554,65 @@ def _hierarchy_names_ci() -> dict[str, str]:
     }
 
 
+def geoname_nodes_table() -> pa.Table:
+    hnames = _hierarchy_names_ci()
+    t = tbl.geoname_terms_table()
+    curies, names = [], []
+    for c, n in zip(t.column("curie").to_pylist(),
+                    t.column("name").to_pylist()):
+        if _ground_geoname(n, hnames):
+            continue  # D4 suppression: MeSH-groundable geoname dropped
+        curies.append(c)
+        names.append(n)
+    out = pa.table(
+        {
+            "curie": curies,
+            "name": names,
+            "labels": ["geoloc"] * len(curies),
+        }
+    )
+    return _pa_distinct(out, ["curie", "name", "labels"])
+
+
 def geoname_nodes():
     import ray.data as rd
 
+    return rd.from_arrow(geoname_nodes_table())
+
+
+def geoname_edges_table() -> pa.Table:
+    """isa edges from kept geoname nodes to their parent — remapped to
+    the MeSH curie when the parent grounds (kg/build.py:365-375)."""
     hnames = _hierarchy_names_ci()
-
-    def to_nodes(t: pa.Table) -> pa.Table:
-        curies, names = [], []
-        for c, n in zip(t.column("curie").to_pylist(),
-                        t.column("name").to_pylist()):
-            if _ground_geoname(n, hnames):
-                continue  # D4 suppression: MeSH-groundable geoname dropped
-            curies.append(c)
-            names.append(n)
-        return pa.table(
-            {
-                "curie": curies,
-                "name": names,
-                "labels": ["geoloc"] * len(curies),
-            }
-        )
-
-    return distinct(
-        rd.from_arrow(tbl.geoname_terms_table()).map_batches(
-            to_nodes, batch_format="pyarrow"
-        ),
-        ["curie", "name", "labels"],
+    t = tbl.geoname_terms_table()
+    starts, ends = [], []
+    for c, n, pc_, pn in zip(
+        t.column("curie").to_pylist(),
+        t.column("name").to_pylist(),
+        t.column("parent_curie").to_pylist(),
+        t.column("parent_name").to_pylist(),
+    ):
+        if _ground_geoname(n, hnames):
+            continue  # node suppressed → no edges from it
+        if pc_ is None:
+            continue
+        mesh_parent = _ground_geoname(pn, hnames)
+        starts.append(c)
+        ends.append(mesh_parent if mesh_parent else pc_)
+    out = pa.table(
+        {
+            "start_id": starts,
+            "rel_type": ["isa"] * len(starts),
+            "end_id": ends,
+        }
     )
+    return _pa_distinct(out, ["start_id", "rel_type", "end_id"])
 
 
 def geoname_edges():
-    """isa edges from kept geoname nodes to their parent — remapped to
-    the MeSH curie when the parent grounds (kg/build.py:365-375)."""
     import ray.data as rd
 
-    hnames = _hierarchy_names_ci()
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        starts, ends = [], []
-        for c, n, pc_, pn in zip(
-            t.column("curie").to_pylist(),
-            t.column("name").to_pylist(),
-            t.column("parent_curie").to_pylist(),
-            t.column("parent_name").to_pylist(),
-        ):
-            if _ground_geoname(n, hnames):
-                continue  # node suppressed → no edges from it
-            if pc_ is None:
-                continue
-            mesh_parent = _ground_geoname(pn, hnames)
-            starts.append(c)
-            ends.append(mesh_parent if mesh_parent else pc_)
-        return pa.table(
-            {
-                "start_id": starts,
-                "rel_type": ["isa"] * len(starts),
-                "end_id": ends,
-            }
-        )
-
-    return distinct(
-        rd.from_arrow(tbl.geoname_terms_table()).map_batches(
-            to_edges, batch_format="pyarrow"
-        ),
-        ["start_id", "rel_type", "end_id"],
-    )
+    return rd.from_arrow(geoname_edges_table())
 
 
 # ---------------------------------------------------------------------------
@@ -584,11 +652,11 @@ def _conform(ds, schema: pa.Schema):
     return ds.map_batches(fix, batch_format="pyarrow")
 
 
-def all_node_datasets(sf_dir: str) -> dict[str, "object"]:
+def all_node_datasets(sf_dir: str, products=None) -> dict[str, "object"]:
     return {
-        "alert": alert_nodes(sf_dir),
+        "alert": alert_nodes(sf_dir, products),
         "outbreak": outbreak_nodes(sf_dir),
-        "cooccurrence": cooccurrence_nodes(sf_dir),
+        "cooccurrence": cooccurrence_nodes(sf_dir, products),
         "mesh_hierarchy": mesh_hierarchy_nodes(),
         "indicator_health": indicator_nodes("health"),
         "indicator_dev": indicator_nodes("dev"),
@@ -596,11 +664,11 @@ def all_node_datasets(sf_dir: str) -> dict[str, "object"]:
     }
 
 
-def all_edge_datasets(sf_dir: str) -> dict[str, "object"]:
+def all_edge_datasets(sf_dir: str, products=None) -> dict[str, "object"]:
     return {
-        "mentions": alert_mention_edges(sf_dir),
+        "mentions": alert_mention_edges(sf_dir, products),
         "has_outbreak": alert_outbreak_edges(sf_dir),
-        "occurs_with": cooccurrence_edges(sf_dir),
+        "occurs_with": cooccurrence_edges(sf_dir, products),
         "isa_mesh": mesh_hierarchy_edges(),
         "has_pathogen": pathogen_disease_edges(),
         "has_phenotype": disease_phenotype_edges(),
@@ -610,13 +678,71 @@ def all_edge_datasets(sf_dir: str) -> dict[str, "object"]:
     }
 
 
-def canonical_nodes(sf_dir: str):
+def _conform_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    cols = {}
+    for f in schema:
+        if f.name in t.column_names:
+            cols[f.name] = t.column(f.name).cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(len(t), f.type)
+    return pa.table(cols, schema=schema)
+
+
+def static_node_table(sf_dir: str) -> pa.Table:
+    """All small-side node tables (ontology / WDI / geonames /
+    outbreak catalog) concatenated driver-side — one broadcast Arrow
+    table instead of seven Dataset branches in the canonical union."""
+    return pa.concat_tables(
+        [
+            _conform_table(t, _NODE_SCHEMA)
+            for t in (
+                outbreak_nodes_table(sf_dir),
+                mesh_hierarchy_nodes_table(),
+                indicator_nodes_table("health"),
+                indicator_nodes_table("dev"),
+                geoname_nodes_table(),
+            )
+        ]
+    )
+
+
+def static_edge_table(sf_dir: str) -> pa.Table:
+    return pa.concat_tables(
+        [
+            _conform_table(t, _EDGE_SCHEMA)
+            for t in (
+                alert_outbreak_edges_table(sf_dir),
+                mesh_hierarchy_edges_table(),
+                pathogen_disease_edges_table(),
+                disease_phenotype_edges_table(),
+                indicator_edges_table("health"),
+                indicator_edges_table("dev"),
+                geoname_edges_table(),
+            )
+        ]
+    )
+
+
+def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None):
     """Union of all node tables + groupby(curie) merge: labels
     unioned, deterministic min-name / max-timestamp tie-breaks
-    (documented deviation from the importer's first-file-wins)."""
-    import pandas as pd
+    (documented deviation from the importer's first-file-wins).
 
-    parts = [_conform(ds, _NODE_SCHEMA) for ds in all_node_datasets(sf_dir).values()]
+    Only the pages-derived branches (alert nodes, co-occurrence
+    endpoint nodes) are distributed; the static reference tables join
+    the union as one driver-side Arrow block."""
+    import pandas as pd
+    import ray.data as rd
+
+    if products is None:
+        products = kg_products_dataset(sf_dir, ckpt_root=ckpt_root)
+    parts = [
+        _conform(alert_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA),
+        _conform(
+            cooccurrence_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA
+        ),
+        rd.from_arrow(static_node_table(sf_dir)),
+    ]
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.union(p)
@@ -638,13 +764,23 @@ def canonical_nodes(sf_dir: str):
     return unioned.groupby("curie").map_groups(merge, batch_format="pandas")
 
 
-def canonical_edges(sf_dir: str):
+def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None):
     """Union of all edge tables + exact dedup on the full row.
 
     Nullable key columns (count, years_data) are sentinel-filled for
     the groupby (hash aggregation on null keys yields unstable block
     schemas) and restored afterwards."""
-    parts = [_conform(ds, _EDGE_SCHEMA) for ds in all_edge_datasets(sf_dir).values()]
+    import ray.data as rd
+
+    if products is None:
+        products = kg_products_dataset(sf_dir, ckpt_root=ckpt_root)
+    parts = [
+        _conform(
+            alert_mention_edges(sf_dir, products, dedup=False), _EDGE_SCHEMA
+        ),
+        _conform(cooccurrence_edges(sf_dir, products), _EDGE_SCHEMA),
+        rd.from_arrow(static_edge_table(sf_dir)),
+    ]
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.union(p)

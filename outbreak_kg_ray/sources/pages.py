@@ -93,40 +93,74 @@ def page_html(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
-def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
+# doc_id offset between deterministic corpus replicas (bench scale-up)
+REPEAT_STRIDE = 1_000_000
+
+
+def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     """documents(doc_id, text, lang) batch → pages batch. Vectorized
     Arrow in/out; the per-row string assembly is pure Python (string
-    templating has no Arrow kernel) but touches each row exactly once."""
+    templating has no Arrow kernel) but touches each row exactly once.
+
+    ``repeat > 1`` emits that many deterministic corpus replicas with
+    doc_id shifted by ``k * REPEAT_STRIDE`` — the seeded scale-up knob
+    for throughput/scaling benchmarks (no external data)."""
     doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
+    texts = [t.strip() for t in batch.column("text").to_pylist()]
     langs = batch.column("lang").to_pylist()
-    urls, tss, htmls, raws = [], [], [], []
-    for d, t in zip(doc_ids, texts):
-        t = t.strip()
-        urls.append(f"https://promed.example.org/post/{archive_number(d)}")
-        tss.append(published_ts(d))
-        htmls.append(page_html(d, t))
-        raws.append(raw_alert_text(d, t))
+    urls, tss, htmls, raws, out_langs = [], [], [], [], []
+    for k in range(repeat):
+        off = k * REPEAT_STRIDE
+        for d0, t, lang in zip(doc_ids, texts, langs):
+            d = d0 + off
+            urls.append(f"https://promed.example.org/post/{archive_number(d)}")
+            tss.append(published_ts(d))
+            htmls.append(page_html(d, t))
+            raws.append(raw_alert_text(d, t))
+            out_langs.append(lang)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(raws, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
         }
     )
 
 
-def pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None):
-    """documents.parquet → pages Dataset (column-pruned read)."""
+def pages_dataset(
+    sf_dir: str,
+    *,
+    override_num_blocks: int | None = None,
+    doc_lo: int | None = None,
+    doc_hi: int | None = None,
+    repeat: int = 1,
+):
+    """documents.parquet → pages Dataset (column-pruned read).
+
+    ``doc_lo``/``doc_hi`` apply a ``lo <= doc_id < hi`` Parquet row
+    filter (pushed to the read — the checkpoint layer's partition
+    unit); ``repeat`` scales the corpus deterministically.
+    """
+    import pyarrow.dataset as pads
     import ray.data as rd
 
+    expr = None
+    if doc_lo is not None:
+        expr = pads.field("doc_id") >= doc_lo
+    if doc_hi is not None:
+        hi_expr = pads.field("doc_id") < doc_hi
+        expr = hi_expr if expr is None else (expr & hi_expr)
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
         override_num_blocks=override_num_blocks,
+        filter=expr,
     )
     return ds.map_batches(
-        synthesize_pages_batch, batch_format="pyarrow", batch_size=1024
+        synthesize_pages_batch,
+        batch_format="pyarrow",
+        batch_size=1024,
+        fn_kwargs={"repeat": repeat},
     )

@@ -59,6 +59,16 @@ def outbreaks_dataset(sf_dir: str):
     ).map_batches(outbreak_rows_batch, batch_format="pyarrow")
 
 
+def outbreaks_table(sf_dir: str) -> pa.Table:
+    """Driver-side outbreak catalog (the reference's curated
+    promed_outbreaks.csv is a small side table — broadcast, not a
+    distributed scan)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return outbreak_rows_batch(docs)
+
+
 def outbreak_date_lookup(sf_dir: str) -> dict[str, str]:
     """archiveNumber → datePublished broadcast dict for the J1
     alert↔outbreak timestamp lookup (kg/build.py:165-170)."""

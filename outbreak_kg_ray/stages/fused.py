@@ -1,0 +1,89 @@
+"""Fused single-pass KG-product stage.
+
+The reference runs its NER pass once and then every downstream builder
+re-reads the pickled annotations (promed_ner.py:152-153). The Ray-Data
+equivalent here: ONE actor-pool pass over the extracted docs that
+annotates each doc once and emits a *tagged-union* row set consumed by
+all mention-derived builders — no second NER pass, no per-doc shuffle:
+
+- ``kind='doc'``   — one row per document: ``doc_id``
+- ``kind='term'``  — per-doc distinct grounded term rows
+  (``doc_id, db, id, entry_name``; promed_ner.py:156-177 / A1)
+- ``kind='pair'``  — batch-partial co-occurrence counts
+  (``start_id, end_id, n``; kg/build.py:52-94 / A3) — combiner-style,
+  so a hub pair contributes at most one row per batch (skew bound)
+
+Downstream consumers are column-pruned filters over this one table,
+which is also the natural per-partition checkpoint unit
+(state/checkpoint.py): a resumed run replays only missing partitions
+of this stage and every builder picks up from Parquet.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ..fixtures.lexicon import MESH_TYPES
+from .cooccur import doc_pairs
+from .ner import LexicalGrounder, doc_terms
+
+PRODUCT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("doc_id", pa.string()),
+        ("db", pa.string()),
+        ("id", pa.string()),
+        ("entry_name", pa.string()),
+        ("start_id", pa.string()),
+        ("end_id", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+class FusedKgStage:
+    """Actor-pool stage: docs(doc_id, sections) → tagged product rows.
+
+    Grounder built once per actor (stateful-stage pattern); each doc is
+    annotated exactly once and feeds terms AND pair generation.
+    """
+
+    def __init__(self, lexicon=None, mesh_types: dict[str, str] | None = None):
+        self.grounder = LexicalGrounder(lexicon)
+        self.mesh_types = mesh_types if mesh_types is not None else MESH_TYPES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in PRODUCT_SCHEMA.names}
+        pair_counter: Counter = Counter()
+
+        def emit(kind: str, **kw) -> None:
+            cols["kind"].append(kind)
+            for name in PRODUCT_SCHEMA.names[1:]:
+                cols[name].append(kw.get(name))
+
+        for doc_id, sections in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("sections").to_pylist(),
+        ):
+            emit("doc", doc_id=doc_id)
+            terms = doc_terms(self.grounder, sections)
+            for db, id_, name in terms:
+                emit("term", doc_id=doc_id, db=db, id=id_, entry_name=name)
+            pair_counter.update(doc_pairs(terms, self.mesh_types))
+
+        for (s, e), n in pair_counter.items():
+            emit("pair", start_id=s, end_id=e, n=n)
+
+        return pa.table(cols, schema=PRODUCT_SCHEMA)
+
+
+def kg_products(docs_ds, *, batch_size: int = 256, concurrency=(2, 8)):
+    """docs → tagged product Dataset (one NER pass)."""
+    return docs_ds.select_columns(["doc_id", "sections"]).map_batches(
+        FusedKgStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
