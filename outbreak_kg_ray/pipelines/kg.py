@@ -731,7 +731,6 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
     Only the pages-derived branches (alert nodes, co-occurrence
     endpoint nodes) are distributed; the static reference tables join
     the union as one driver-side Arrow block."""
-    import pandas as pd
     import ray.data as rd
 
     if products is None:
@@ -747,21 +746,34 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
     for p in parts[1:]:
         unioned = unioned.union(p)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        labels = sorted(
-            {lbl for ls in g["labels"].dropna() for lbl in ls.split(";")}
-        )
-        ts = g["timestamp"].dropna()
-        return pd.DataFrame(
+    # Vectorized merge: built-in hash aggregates (no per-group Python)
+    # + one map_batches to union/sort the collected label strings.
+    from ray.data.aggregate import Max, Min, Unique
+
+    agg = unioned.groupby("curie").aggregate(
+        Min("name", alias_name="name"),
+        Unique("labels", alias_name="_label_sets"),
+        Max("timestamp", alias_name="timestamp"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        label_sets = t.column("_label_sets").to_pylist()
+        labels = [
+            ";".join(
+                sorted({lbl for ls in lset if ls for lbl in ls.split(";")})
+            )
+            for lset in label_sets
+        ]
+        return pa.table(
             {
-                "curie": [g["curie"].iloc[0]],
-                "name": [g["name"].min()],
-                "labels": [";".join(labels)],
-                "timestamp": [ts.max() if len(ts) else None],
+                "curie": t.column("curie"),
+                "name": t.column("name"),
+                "labels": pa.array(labels, pa.string()),
+                "timestamp": t.column("timestamp").cast(pa.string()),
             }
         )
 
-    return unioned.groupby("curie").map_groups(merge, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None):

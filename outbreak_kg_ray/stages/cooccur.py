@@ -88,15 +88,17 @@ class CooccurStage:
         )
 
 
-def cooccurrence_counts(docs_ds, *, batch_size: int = 256, concurrency=(2, 8)):
+def cooccurrence_counts(docs_ds, *, batch_size: int = 256, concurrency=None):
     """docs → counted (start_id, end_id, count) Dataset."""
     from ray.data.aggregate import Sum
+
+    from .ner import default_concurrency
 
     partials = docs_ds.select_columns(["doc_id", "sections"]).map_batches(
         CooccurStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
     )
     return partials.groupby(["start_id", "end_id"]).aggregate(
         Sum("n", alias_name="count")

@@ -72,49 +72,71 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def _shingle_base_hashes(sh: set[str]) -> np.ndarray:
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            % _P
-            for s in sorted(sh)
-        ],
-        dtype=np.uint64,
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """64-bit deterministic token hashes: two crc32 halves (crc32 is a
+    fast C primitive; md5-per-token was the profile hotspot)."""
+    from zlib import crc32
+
+    lo = np.fromiter(
+        (crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
     )
+    hi = np.fromiter(
+        (crc32(t.encode(), 0x9E3779B9) for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    return (hi << np.uint64(32)) | lo
+
+
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+    dtype=np.uint64,
+)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-shingle hashes, fully vectorized: token hash array →
+    rolling combine of k consecutive hashes (uint64 wrap mixing)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    if len(toks) < k:
+        out = th[:1].copy()
+        for i in range(1, len(toks)):
+            out = out * _SHINGLE_MIX[0] + th[i : i + 1]
+        return out
+    n = len(toks) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += th[j : j + n] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+    return np.unique(acc)
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """64-value signature via universal hashing h_i(x)=(a_i·x+b_i) mod p,
-    vectorized over (shingles × hash functions)."""
-    sh = shingles(text, k)
-    if not sh:
+    """64-value signature h_i(x) = (a_i·x + b_i) over uint64 wrap
+    mixing (deterministic, vectorized over shingles × hash fns)."""
+    base = _shingle_hashes(text, k)
+    if base.size == 0:
         return np.full(_N_HASHES, _P, dtype=np.uint64)
-    base = _shingle_base_hashes(sh)  # (S,)
-    # (S, H): use python-int-free modular arithmetic in uint64 space via
-    # float-safe split: (a*x + b) mod p with a,x < 2^61 needs 122 bits —
-    # do it with object dtype avoided: compute in two 32-bit halves.
-    # Simpler & still vectorized: uint64 multiply-overflow is fine as a
-    # mixing function (not true universal hashing, but deterministic).
     mixed = base[:, None] * _A[None, :] + _B[None, :]  # wraps mod 2^64
     return mixed.min(axis=0)
 
 
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens, md5-based token hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for tok in text.split():
-        h = np.uint64(
-            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-        )
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over whitespace tokens (crc32-based token
+    hashes, bit-matrix vectorized over all tokens at once)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    th = _token_hashes(toks)  # (T,)
+    bits = (th[:, None] >> _SHIFTS[None, :]) & np.uint64(1)  # (T, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    weights = (np.uint64(1) << _SHIFTS)[acc > 0]
+    return int(weights.sum(dtype=np.uint64))
 
 
 def hamming64(a: int, b: int) -> int:
@@ -178,30 +200,46 @@ class SimHashStage:
         )
 
 
-def _bucket_pairs(ds, key: str, extra_cols: list[str] | None = None):
-    """groupby LSH bucket → candidate pairs (cap per bucket to bound
-    hub-bucket blowup; capped buckets are logged via a flag column)."""
-    import pandas as pd
+def _bucket_pairs(ds, key: str):
+    """LSH bucket rows → candidate pairs.
+
+    One ``groupby(bucket).aggregate(Unique(key))`` shuffle collapses
+    each bucket to a single row carrying its member list; pair
+    generation then runs per *batch* of bucket rows (the previous
+    per-bucket ``map_groups`` paid pandas overhead for tens of
+    thousands of tiny groups). A per-bucket cap bounds hub-bucket
+    pair blowup; capped buckets carry ``truncated=True``."""
+    from ray.data.aggregate import Unique
 
     cap = 64
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key].unique())
-        if len(ks) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        truncated = len(ks) > cap
-        ks = ks[:cap]
-        rows = list(combinations(ks, 2))
-        return pd.DataFrame(
+    def pairs_from_lists(t: pa.Table) -> pa.Table:
+        out_a: list = []
+        out_b: list = []
+        out_tr: list = []
+        for members in t.column("_ks").to_pylist():
+            ks = sorted(set(members))
+            if len(ks) < 2:
+                continue
+            truncated = len(ks) > cap
+            ks = ks[:cap]
+            for x, y in combinations(ks, 2):
+                out_a.append(x)
+                out_b.append(y)
+                out_tr.append(truncated)
+        return pa.table(
             {
-                "a": [r[0] for r in rows],
-                "b": [r[1] for r in rows],
-                "truncated": truncated,
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "truncated": pa.array(out_tr, pa.bool_()),
             }
         )
 
-    return ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    buckets = ds.groupby(["band", "band_hash"]).aggregate(
+        Unique(key, alias_name="_ks")
+    )
+    return buckets.map_batches(
+        pairs_from_lists, batch_format="pyarrow"
     )
 
 

@@ -79,11 +79,17 @@ class FusedKgStage:
         return pa.table(cols, schema=PRODUCT_SCHEMA)
 
 
-def kg_products(docs_ds, *, batch_size: int = 256, concurrency=(2, 8)):
-    """docs → tagged product Dataset (one NER pass)."""
+def kg_products(docs_ds, *, batch_size: int = 256, concurrency=None):
+    """docs → tagged product Dataset (one NER pass).
+
+    Default actor-pool size scales with the cluster (autoscaling up to
+    ~all CPUs) — a fixed small cap would serialize the NER stage on
+    large clusters."""
+    from .ner import default_concurrency
+
     return docs_ds.select_columns(["doc_id", "sections"]).map_batches(
         FusedKgStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
     )

@@ -159,14 +159,27 @@ def doc_terms(grounder: LexicalGrounder, sections) -> list[tuple[str, str, str]]
     return sorted(terms)
 
 
+def default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: a fixed
+    small cap would leave most CPUs idle on a big cluster, while one
+    actor per CPU lets the pool ramp to saturation under load."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(4, cpus))
+
+
 def mentions_dataset(docs_ds, *, mode: str = "mentions",
                      batch_size: int = 256,
-                     concurrency=(2, 8)):
+                     concurrency=None):
     """docs → mentions/terms Dataset via the NerStage actor pool."""
     return docs_ds.select_columns(["doc_id", "sections"]).map_batches(
         NerStage,
         fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_concurrency(),
     )
