@@ -61,9 +61,20 @@ def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
         f"{sf_dir}/documents.parquet", part_rows=part_rows
     )
 
+    from ..stages.ner import default_concurrency
+
+    # Downstream operator parallelism equals the read's block count —
+    # a range-filtered read of a small slice would otherwise yield a
+    # handful of blocks and serialize the NER pool behind them.
+    n_blocks = default_concurrency()[1] * 2
+
     def build(part):
         pgs = pages_dataset(
-            sf_dir, doc_lo=part["lo"], doc_hi=part["hi"], repeat=repeat
+            sf_dir,
+            doc_lo=part["lo"],
+            doc_hi=part["hi"],
+            repeat=repeat,
+            override_num_blocks=n_blocks,
         )
         return kg_products(extract_docs(pgs))
 
@@ -724,33 +735,31 @@ def static_edge_table(sf_dir: str) -> pa.Table:
 
 
 def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None):
-    """Union of all node tables + groupby(curie) merge: labels
+    """Union of all node tables with cross-table merge: labels
     unioned, deterministic min-name / max-timestamp tie-breaks
     (documented deviation from the importer's first-file-wins).
 
-    Only the pages-derived branches (alert nodes, co-occurrence
-    endpoint nodes) are distributed; the static reference tables join
-    the union as one driver-side Arrow block."""
+    Shuffle-minimal shape: curie *namespaces are disjoint across
+    builders* (promed: only from alerts, outbreak:/wdi:/geonames:
+    only from their driver-side static tables) — the only cross-table
+    collisions are MESH: curies between the co-occurrence endpoint
+    nodes and the MeSH hierarchy table. So the groupby(curie) merge
+    runs over that small MESH-space union only, and the big per-alert
+    node stream passes straight through to the sink with no exchange
+    (the reference's importer likewise dedups nodes, not alerts —
+    alert curies are unique by construction)."""
     import ray.data as rd
 
     if products is None:
         products = kg_products_dataset(sf_dir, ckpt_root=ckpt_root)
-    parts = [
-        _conform(alert_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA),
-        _conform(
-            cooccurrence_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA
-        ),
-        rd.from_arrow(static_node_table(sf_dir)),
-    ]
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.union(p)
 
-    # Vectorized merge: built-in hash aggregates (no per-group Python)
-    # + one map_batches to union/sort the collected label strings.
+    # -- MESH-space merge (small): cooccur endpoints ∪ hierarchy ------
     from ray.data.aggregate import Max, Min, Unique
 
-    agg = unioned.groupby("curie").aggregate(
+    mesh_union = _conform(
+        cooccurrence_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA
+    ).union(rd.from_arrow(_conform_table(mesh_hierarchy_nodes_table(), _NODE_SCHEMA)))
+    agg = mesh_union.groupby("curie").aggregate(
         Min("name", alias_name="name"),
         Unique("labels", alias_name="_label_sets"),
         Max("timestamp", alias_name="timestamp"),
@@ -766,22 +775,47 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
         ]
         return pa.table(
             {
-                "curie": t.column("curie"),
-                "name": t.column("name"),
+                "curie": t.column("curie").cast(pa.string()),
+                "name": t.column("name").cast(pa.string()),
                 "labels": pa.array(labels, pa.string()),
                 "timestamp": t.column("timestamp").cast(pa.string()),
-            }
+            },
+            schema=_NODE_SCHEMA,
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    merged_mesh = agg.map_batches(finish, batch_format="pyarrow")
+
+    # -- disjoint-namespace tables: stream through, no exchange -------
+    static_nonmesh = pa.concat_tables(
+        [
+            _conform_table(t, _NODE_SCHEMA)
+            for t in (
+                outbreak_nodes_table(sf_dir),
+                indicator_nodes_table("health"),
+                indicator_nodes_table("dev"),
+                geoname_nodes_table(),
+            )
+        ]
+    )
+    alerts = _conform(alert_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA)
+    return alerts.union(merged_mesh).union(rd.from_arrow(static_nonmesh))
 
 
 def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None):
-    """Union of all edge tables + exact dedup on the full row.
+    """Union of all edge tables — each branch deduplicated at source,
+    so no global shuffle is needed:
 
-    Nullable key columns (count, years_data) are sentinel-filled for
-    the groupby (hash aggregation on null keys yields unstable block
-    schemas) and restored afterwards."""
+    - ``mentions``: per-doc distinct term rows (A1 inside the NER
+      stage) map 1:1 to unique (promed:doc, mentions, MESH:id) rows;
+    - ``occurs_with``: output of the pair-count groupby (unique keys);
+    - static tables: driver-side ``_pa_distinct`` per builder.
+
+    Branches emit disjoint ``rel_type`` values, so cross-branch
+    duplicates are impossible — mirroring the reference, whose edge
+    TSVs are per-table ``sorted(set(...))`` with no cross-table dedup
+    (kg/build.py:91-94 et al.; the Neo4j importer only dedups nodes,
+    ``--skip-duplicate-nodes``). Dropping the global dedup removes
+    the single largest all-to-all exchange from the headline path."""
     import ray.data as rd
 
     if products is None:
@@ -796,45 +830,4 @@ def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None)
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.union(p)
-
-    def fill(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "start_id": t.column("start_id"),
-                "rel_type": t.column("rel_type"),
-                "end_id": t.column("end_id"),
-                "count": t.column("count").fill_null(-1),
-                "years_data": t.column("years_data").fill_null(""),
-            },
-            schema=pa.schema(
-                [
-                    ("start_id", pa.string()),
-                    ("rel_type", pa.string()),
-                    ("end_id", pa.string()),
-                    ("count", pa.int64()),
-                    ("years_data", pa.string()),
-                ]
-            ),
-        )
-
-    def restore(t: pa.Table) -> pa.Table:
-        count = t.column("count")
-        years = t.column("years_data")
-        return pa.table(
-            {
-                "start_id": t.column("start_id"),
-                "rel_type": t.column("rel_type"),
-                "end_id": t.column("end_id"),
-                "count": pc.if_else(pc.equal(count, -1),
-                                    pa.nulls(len(t), pa.int64()), count),
-                "years_data": pc.if_else(pc.equal(years, ""),
-                                         pa.nulls(len(t), pa.string()), years),
-            },
-            schema=_EDGE_SCHEMA,
-        )
-
-    deduped = distinct(
-        unioned.map_batches(fill, batch_format="pyarrow"),
-        ["start_id", "rel_type", "end_id", "count", "years_data"],
-    )
-    return deduped.map_batches(restore, batch_format="pyarrow")
+    return unioned

@@ -36,6 +36,7 @@ class RealismPairStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         counter: Counter = Counter()
+        docs_with_terms = 0
         for sections in batch.column("sections").to_pylist():
             mesh_ids = {
                 mid
@@ -44,6 +45,8 @@ class RealismPairStage:
                 and name not in KG_EXCLUDE_NAMES
                 and MESH_TYPES.get(mid) in ("disease", "pathogen", "geoloc")
             }
+            if mesh_ids:
+                docs_with_terms += 1
             for t1, t2 in combinations(sorted(mesh_ids), 2):
                 counter[(t1, t2)] += 1  # already sorted by mesh id
         a, b, n = [], [], []
@@ -51,6 +54,12 @@ class RealismPairStage:
             a.append(x)
             b.append(y)
             n.append(c)
+        # marker row: per-batch count of alerts with ≥1 filtered term —
+        # folds the normalization-constant pass into this same NER pass
+        if docs_with_terms:
+            a.append("")
+            b.append("")
+            n.append(docs_with_terms)
         return pa.table(
             {
                 "mesh_a": pa.array(a, pa.string()),
@@ -61,39 +70,31 @@ class RealismPairStage:
 
 
 def pair_counts(sf_dir: str):
-    """→ counted (mesh_a, mesh_b, count) Dataset (combiner pattern)."""
+    """→ counted (mesh_a, mesh_b, count) Dataset including the ("","")
+    normalization marker row (combiner pattern; ONE NER pass)."""
     from ray.data.aggregate import Sum
+
+    from ..stages.ner import default_concurrency
 
     docs = docs_dataset(sf_dir).select_columns(["doc_id", "sections"])
     partials = docs.map_batches(
         RealismPairStage, batch_format="pyarrow",
-        batch_size=256, concurrency=(1, 4),
+        batch_size=256, concurrency=default_concurrency(),
     )
     return partials.groupby(["mesh_a", "mesh_b"]).aggregate(
         Sum("n", alias_name="count")
     )
 
 
-def num_alerts_with_terms(sf_dir: str) -> int:
-    """Number of alerts with ≥1 edge-filtered term — the realism
-    normalization constant (realism_score.py:70,
-    ``len(terms_by_alert)`` over the edges table)."""
-    from .kg import alert_mention_edges
-
-    return int(
-        alert_mention_edges(sf_dir)
-        .select_columns(["start_id"])
-        .groupby("start_id")
-        .count()
-        .count()
-    )
-
-
 def realism_table(sf_dir: str):
     """→ pandas (mesh_a, mesh_b, count, score) with
-    score = round(ln(count) − ln(num_alerts), 6). Small, final."""
+    score = round(ln(count) − ln(num_alerts), 6). The alert count
+    (realism_score.py:70, ``len(terms_by_alert)``) rides along as the
+    ("", "") marker row — no second corpus pass. Small, final."""
     df = pair_counts(sf_dir).to_pandas()
-    num_alerts = num_alerts_with_terms(sf_dir)
+    marker = df[(df["mesh_a"] == "") & (df["mesh_b"] == "")]
+    num_alerts = int(marker["count"].iloc[0]) if len(marker) else 1
+    df = df[(df["mesh_a"] != "") | (df["mesh_b"] != "")].copy()
     df["score"] = (np.log(df["count"]) - np.log(num_alerts)).round(6)
     return df.sort_values(["mesh_a", "mesh_b"]).reset_index(drop=True)
 

@@ -79,15 +79,40 @@ class FusedKgStage:
         return pa.table(cols, schema=PRODUCT_SCHEMA)
 
 
-def kg_products(docs_ds, *, batch_size: int = 256, concurrency=None):
+_STAGE_CACHE: dict[str, FusedKgStage] = {}
+
+
+def _cached_fused_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool entry: grounder state built once per *worker process*
+    (module cache) and reused by every task scheduled there."""
+    stage = _STAGE_CACHE.get("fused")
+    if stage is None:
+        stage = _STAGE_CACHE["fused"] = FusedKgStage()
+    return stage(batch)
+
+
+def kg_products(docs_ds, *, batch_size: int = 256, concurrency=None,
+                compute: str = "tasks"):
     """docs → tagged product Dataset (one NER pass).
 
-    Default actor-pool size scales with the cluster (autoscaling up to
-    ~all CPUs) — a fixed small cap would serialize the NER stage on
-    large clusters."""
+    ``compute="tasks"`` (default): plain task pool with the grounder
+    cached per worker process — fully elastic, no actor-pool spin-up
+    or ramp lag. The right choice for lightweight stage state (a
+    compiled lexicon regex). ``compute="actors"``: explicit
+    autoscaling actor pool — the right choice when the stage state is
+    heavy (a warmed NER model per the north-star GPU path), where
+    construction cost must be paid exactly once per worker.
+    """
+    projected = docs_ds.select_columns(["doc_id", "sections"])
+    if compute == "tasks":
+        return projected.map_batches(
+            _cached_fused_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     from .ner import default_concurrency
 
-    return docs_ds.select_columns(["doc_id", "sections"]).map_batches(
+    return projected.map_batches(
         FusedKgStage,
         batch_format="pyarrow",
         batch_size=batch_size,

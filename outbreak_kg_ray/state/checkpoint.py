@@ -35,6 +35,30 @@ import shutil
 import time
 
 
+def _stabilize_lazy_imports() -> None:
+    """Ray's write path lazily runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every write and relies on catching
+    ``ModuleNotFoundError`` (aiohttp is absent here). When two
+    partition writes run on concurrent threads, the racing failed
+    import surfaces as a plain ``ImportError`` from a
+    partially-initialized module, which Ray does NOT catch. Installing
+    a benign stub module makes the import succeed once and be cached —
+    the stub class is only ever used in an ``isinstance`` check."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: aiohttp absent, never built
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -119,17 +143,33 @@ class Checkpointer:
             return False
         return meta.get("fingerprint") == part["fingerprint"]
 
-    def partitioned_stage(self, stage: str, partitions: list[dict], build) -> str:
+    def partitioned_stage(self, stage: str, partitions: list[dict], build,
+                          *, max_concurrent: int = 4) -> str:
         """Run ``build(part) -> ray.data.Dataset`` for every partition
         not already complete; returns the stage data dir. Lineage and
-        wall-time metrics recorded per partition."""
+        wall-time metrics recorded per partition.
+
+        Up to ``max_concurrent`` partition pipelines execute at once
+        (each is an independent streaming execution; overlapping them
+        keeps the cluster saturated through per-pipeline ramp-up and
+        tail stragglers — a strictly sequential loop leaves most CPUs
+        idle between partitions)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stabilize_lazy_imports()
+
         os.makedirs(self._data_dir(stage), exist_ok=True)
         os.makedirs(os.path.join(self._stage_dir(stage), "meta"), exist_ok=True)
-        done = skipped = 0
+
+        todo = []
+        skipped = 0
         for part in partitions:
             if self.partition_complete(stage, part):
                 skipped += 1
-                continue
+            else:
+                todo.append(part)
+
+        def run_one(part: dict) -> None:
             final_dir = self._data_dir(stage, part["id"])
             tmp_dir = os.path.join(
                 self._data_dir(stage), f".tmp-{part['id']}-{os.getpid()}"
@@ -152,7 +192,17 @@ class Checkpointer:
                     "completed_at": time.time(),
                 },
             )
-            done += 1
+
+        done = 0
+        if todo:
+            if max_concurrent > 1 and len(todo) > 1:
+                with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                    for _ in pool.map(run_one, todo):
+                        done += 1
+            else:
+                for part in todo:
+                    run_one(part)
+                    done += 1
         _atomic_write_json(
             os.path.join(self._stage_dir(stage), "manifest.json"),
             {

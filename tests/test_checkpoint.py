@@ -76,7 +76,7 @@ def test_resume_skips_completed_and_matches_cold_run(ray_session, tmp_path):
         return _build(part)
 
     with pytest.raises(RuntimeError):
-        killed.partitioned_stage("pages", parts, flaky)
+        killed.partitioned_stage("pages", parts, flaky, max_concurrent=1)
     assert len(killed.partition_metas("pages")) == 2
 
     # resume: only the remaining partitions are computed
@@ -86,7 +86,7 @@ def test_resume_skips_completed_and_matches_cold_run(ray_session, tmp_path):
         built.append(part["id"])
         return _build(part)
 
-    killed.partitioned_stage("pages", parts, counting)
+    killed.partitioned_stage("pages", parts, counting, max_concurrent=1)
     assert built == [p["id"] for p in parts[2:]]
     got = sorted(killed.read("pages").to_pandas()["url"])
     assert got == want
@@ -107,7 +107,7 @@ def test_fingerprint_change_forces_recompute(ray_session, tmp_path):
         built.append(part["id"])
         return _build(part)
 
-    ckpt.partitioned_stage("pages", stale, counting)
+    ckpt.partitioned_stage("pages", stale, counting, max_concurrent=1)
     assert built == [p["id"] for p in parts]
     assert ckpt.read("pages").count() == 500
 
