@@ -384,6 +384,23 @@ WHERE c.curie IS NOT NULL AND NOT s.shared
     sql["indicator_year_values_health"] = _indicator_sql("health")
     sql["indicator_year_values_dev"] = _indicator_sql("dev")
 
+    # years_data JSON map built to match python json.dumps formatting:
+    # {"2018": 123.25, ...} with ", " separators and repr floats
+    def _indicator_edges_sql(kind: str) -> str:
+        return f"""
+SELECT start_id,
+       '{{' || string_agg('"' || year || '": ' ||
+                          CAST(round(value, 3) AS VARCHAR),
+                          ', ' ORDER BY year) || '}}' AS years_data,
+       'has_indicator' AS rel_type,
+       'wdi:' || series_code AS end_id
+FROM (SELECT country_curie AS start_id, series_code, year, value
+      FROM ({_indicator_sql(kind)}))
+GROUP BY start_id, series_code
+"""
+
+    sql["indicator_edges_health"] = _indicator_edges_sql("health")
+
     sql["indicator_nodes_health"] = f"""
 WITH {_series_cte("health")}
 SELECT DISTINCT 'wdi:' || code AS curie, sname AS name,
@@ -426,6 +443,61 @@ SELECT curie AS start_id, 'isa' AS rel_type,
 FROM grounded
 WHERE g_mesh IS NULL AND parent_curie IS NOT NULL
 """
+
+    # ---- canonical tables: composed from the per-builder oracles ----
+    _dev_nodes_sql = f"""
+WITH {_series_cte("dev")}
+SELECT DISTINCT 'wdi:' || code AS curie, sname AS name,
+       'indicator' AS labels
+FROM series WHERE NOT shared
+"""
+    node_parts = [
+        f"SELECT curie, name, labels, timestamp FROM ({sql['alert_nodes']})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({sql['outbreak_nodes']})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({sql['cooccurrence_nodes']})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({sql['mesh_hierarchy_nodes']})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({sql['indicator_nodes_health']})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({_dev_nodes_sql})",
+        f"SELECT curie, name, labels, NULL AS timestamp FROM ({sql['geoname_nodes']})",
+    ]
+    all_nodes = " UNION ALL ".join(node_parts)
+    sql["canonical_nodes"] = f"""
+WITH all_nodes AS ({all_nodes}),
+merged AS (
+  SELECT curie, min(name) AS name, max(timestamp) AS timestamp
+  FROM all_nodes GROUP BY curie
+),
+lbls AS (
+  SELECT curie, string_agg(DISTINCT part, ';' ORDER BY part) AS labels
+  FROM (SELECT curie, unnest(string_split(labels, ';')) AS part
+        FROM all_nodes)
+  GROUP BY curie
+)
+SELECT m.curie, m.name, l.labels, m.timestamp
+FROM merged m JOIN lbls l USING (curie)
+"""
+
+    edge_parts = [
+        "SELECT start_id, rel_type, end_id, NULL::BIGINT AS \"count\", "
+        f"NULL::VARCHAR AS years_data FROM ({sql['alert_mention_edges']})",
+        "SELECT start_id, rel_type, end_id, NULL, NULL "
+        f"FROM ({sql['alert_outbreak_edges']})",
+        "SELECT start_id, rel_type, end_id, \"count\", NULL "
+        f"FROM ({sql['cooccurrence_edges']})",
+        "SELECT start_id, rel_type, end_id, NULL, NULL "
+        f"FROM ({sql['mesh_hierarchy_edges']})",
+        "SELECT start_id, rel_type, end_id, NULL, NULL "
+        f"FROM ({sql['pathogen_disease_edges']})",
+        "SELECT start_id, rel_type, end_id, NULL, NULL "
+        f"FROM ({sql['disease_phenotype_edges']})",
+        "SELECT start_id, rel_type, end_id, NULL, years_data "
+        f"FROM ({_indicator_edges_sql('health')})",
+        "SELECT start_id, rel_type, end_id, NULL, years_data "
+        f"FROM ({_indicator_edges_sql('dev')})",
+        "SELECT start_id, rel_type, end_id, NULL, NULL "
+        f"FROM ({sql['geoname_edges']})",
+    ]
+    sql["canonical_edges"] = " UNION ALL ".join(edge_parts)
 
     sql["realism_scores"] = f"""
 {_kg_prefix()},
