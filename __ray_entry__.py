@@ -566,6 +566,37 @@ SELECT doc_id, nt AS n_tokens,
 FROM s
 """
 
+    sql["lang_id"] = r"""
+WITH profiles(cand, stops) AS (VALUES
+  ('de', ['der', 'die', 'und', 'das', 'ein']),
+  ('en', ['the', 'and', 'of', 'to', 'a']),
+  ('es', ['el', 'la', 'los', 'y', 'de']),
+  ('fr', ['le', 'la', 'et', 'les', 'de'])
+),
+base AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT b.doc_id, b.lang, p.cand,
+         len(list_filter(b.toks, x -> list_contains(p.stops, x)))
+           / CAST(greatest(1, len(b.toks)) AS DOUBLE) AS score
+  FROM base b CROSS JOIN profiles p
+),
+best AS (
+  SELECT doc_id, lang, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN score > 0 THEN cand ELSE 'unknown' END AS pred_lang,
+       round(score, 6) AS confidence
+FROM best WHERE rn = 1
+"""
+
     sql["ann_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
