@@ -89,7 +89,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from outbreak_kg_ray.pipelines import docops, encode, kg, realism, relational
+    from outbreak_kg_ray.pipelines import (
+        contexts,
+        docops,
+        encode,
+        kg,
+        realism,
+        relational,
+        serving,
+    )
+    from outbreak_kg_ray.stages import multimodal as mm
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
@@ -153,6 +162,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_nodes": kg.canonical_nodes,
         "canonical_edges": kg.canonical_edges,
         "realism_scores": realism_scores,
+        # --- Eidos-equivalent context extraction (process_eidos.py) ---
+        "timex_contexts": contexts.timex_contexts,
+        "geoloc_contexts": contexts.geoloc_contexts,
+        "geoloc_stats": contexts.geoloc_stats,
+        "timex_stats": contexts.timex_stats,
+        # --- serving-side graph queries (kg/client.py / kg/api.py) ---
+        "direct_relations": serving.direct_relations,
+        "comention_alerts": serving.comention_alerts,
+        "isa_closure": serving.isa_closure,
+        # --- multimodal binary-column stages (decode stubbed) ---
+        "image_features": mm.image_features,
+        "audio_frames": mm.audio_frames,
         # --- literature matrix (dict encode + fisher ranking) ---
         "dict_encode": dict_encode,
         "literature_rank": literature_rank,
@@ -564,6 +585,113 @@ SELECT doc_id, nt AS n_tokens,
                       ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END) / 8.0,
                      1.0) * 0.2, 6) AS quality
 FROM s
+"""
+
+    # ---- serving queries over the composed canonical tables ---------
+    _q_curies = []
+    for m, _n, t, _p in lex.ONTOLOGY:
+        if t in ("disease", "pathogen", "geoloc"):
+            _q_curies.append(f"MESH:{m}")
+        if len(_q_curies) == 12:
+            break
+    _q_list = ", ".join(f"'{c}'" for c in _q_curies)
+
+    sql["direct_relations"] = f"""
+SELECT * FROM ({sql["canonical_edges"]})
+WHERE start_id IN ({_q_list}) AND end_id IN ({_q_list})
+"""
+
+    sql["comention_alerts"] = f"""
+WITH edges AS ({sql["alert_mention_edges"]}),
+grouped AS (
+  SELECT start_id AS alert_id,
+         count(DISTINCT end_id) AS n_entities,
+         string_agg(DISTINCT end_id, ';' ORDER BY end_id) AS entities
+  FROM edges WHERE end_id IN ({_q_list})
+  GROUP BY start_id
+  HAVING count(DISTINCT end_id) >= 2
+)
+SELECT alert_id, n_entities, entities FROM grouped
+ORDER BY n_entities DESC, alert_id LIMIT 500
+"""
+
+    sql["isa_closure"] = f"""
+WITH RECURSIVE isa(s, e) AS (
+  SELECT start_id, end_id FROM ({sql["mesh_hierarchy_edges"]})
+  UNION ALL
+  SELECT start_id, end_id FROM ({sql["geoname_edges"]})
+),
+closure(start_id, end_id, depth) AS (
+  SELECT s, e, 1 FROM isa
+  UNION ALL
+  SELECT c.start_id, i.e, c.depth + 1
+  FROM closure c JOIN isa i ON c.end_id = i.s
+)
+SELECT start_id, 'isa_closure' AS rel_type, end_id, depth FROM closure
+"""
+
+    sql["timex_contexts"] = f"""
+SELECT printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)
+         AS doc_id,
+       {_TS_EXPR} AS text,
+       {_TS_EXPR} AS interval_start,
+       {_TS_EXPR} AS interval_end
+FROM documents
+"""
+
+    sql["geoloc_contexts"] = f"""
+{_kg_prefix()}
+SELECT archive AS doc_id, name AS text, mesh_id AS geo_id
+FROM ment WHERE mtype = 'geoloc'
+"""
+
+    sql["geoloc_stats"] = f"""
+{_kg_prefix()}
+SELECT name AS text, mesh_id AS geo_id, COUNT(*) AS "count"
+FROM ment WHERE mtype = 'geoloc' GROUP BY name, mesh_id
+"""
+
+    sql["timex_stats"] = f"""
+SELECT {_TS_EXPR} AS text, {_TS_EXPR} AS interval_start,
+       COUNT(*) AS "count"
+FROM documents GROUP BY 1, 2
+"""
+
+    # fake-container decode recomputed analytically (payload formulas
+    # in outbreak_kg_ray/stages/multimodal.py — byte parsing on the
+    # Ray side, closed-form on the oracle side)
+    sql["image_features"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, (doc_id * 131 + r.range * 29) % 256 AS pv, r.range AS i
+  FROM dims CROSS JOIN range(0, 4096) r
+  WHERE r.range < w * h
+)
+SELECT doc_id * 2 AS media_id, w AS width, h AS height,
+       8 + w * h AS n_bytes,
+       CAST((doc_id * 131) % 256 AS DOUBLE) AS f_first,
+       CAST((doc_id * 131 + (w * h - 1) * 29) % 256 AS DOUBLE) AS f_last,
+       round(avg(pv), 6) AS f_mean
+FROM px GROUP BY doc_id, w, h
+"""
+
+    sql["audio_frames"] = """
+WITH params AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+         256 + (doc_id * 13) % 768 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, sr, n, (doc_id * 37 + r.range * 4 * 11) % 256 AS fv
+  FROM params CROSS JOIN range(0, 256) r
+  WHERE r.range < (n + 3) // 4
+)
+SELECT doc_id * 2 + 1 AS media_id, sr AS sample_rate,
+       (n + 3) // 4 AS n_frames, round(avg(fv), 6) AS frame_mean
+FROM fr GROUP BY doc_id, sr, n
 """
 
     sql["lang_id"] = r"""

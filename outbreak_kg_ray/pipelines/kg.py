@@ -63,10 +63,10 @@ def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
 
     from ..stages.ner import default_concurrency
 
-    # Downstream operator parallelism equals the read's block count —
-    # a range-filtered read of a small slice would otherwise yield a
-    # handful of blocks and serialize the NER pool behind them.
-    n_blocks = default_concurrency()[1] * 2
+    # Downstream operator parallelism equals the block count entering
+    # the fused synthesize→extract→NER chain; a range-filtered read
+    # yields one block, so split it (see pages_dataset.split_blocks).
+    n_blocks = default_concurrency()[1]
 
     def build(part):
         pgs = pages_dataset(
@@ -74,12 +74,12 @@ def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
             doc_lo=part["lo"],
             doc_hi=part["hi"],
             repeat=repeat,
-            override_num_blocks=n_blocks,
+            split_blocks=n_blocks,
         )
         return kg_products(extract_docs(pgs))
 
     ckpt.partitioned_stage("kg_products", parts, build)
-    return ckpt.read("kg_products")
+    return ckpt.read("kg_products", override_num_blocks=n_blocks)
 
 
 def _kind_slice(products, kind: str, cols: list[str]):

@@ -136,12 +136,21 @@ def pages_dataset(
     doc_lo: int | None = None,
     doc_hi: int | None = None,
     repeat: int = 1,
+    split_blocks: int | None = None,
 ):
     """documents.parquet → pages Dataset (column-pruned read).
 
     ``doc_lo``/``doc_hi`` apply a ``lo <= doc_id < hi`` Parquet row
     filter (pushed to the read — the checkpoint layer's partition
     unit); ``repeat`` scales the corpus deterministically.
+
+    ``split_blocks``: repartition the (tiny) doc rows into this many
+    blocks before synthesis. A range-filtered read of a single
+    row-group yields ONE block, and Ray fuses the downstream map chain
+    into the read task — one task per partition, serializing the whole
+    extract/NER chain. The repartition barrier both splits the work
+    and blocks that fusion; it shuffles only the pre-synthesis doc
+    rows (at 100 TB the input files provide natural blocks instead).
     """
     import pyarrow.dataset as pads
     import ray.data as rd
@@ -158,9 +167,14 @@ def pages_dataset(
         override_num_blocks=override_num_blocks,
         filter=expr,
     )
+    if split_blocks:
+        ds = ds.repartition(split_blocks)
+    # batch_size=None: one batch per input block. A row-count batch
+    # size here makes Ray COALESCE small blocks into ~batch_size-row
+    # bundles, collapsing the parallel task fan-out into 1-2 tasks.
     return ds.map_batches(
         synthesize_pages_batch,
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=None,
         fn_kwargs={"repeat": repeat},
     )

@@ -137,8 +137,11 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_docs(pages_ds, *, batch_size: int = 1024):
-    """pages Dataset → docs Dataset (stateless task stage)."""
+def extract_docs(pages_ds, *, batch_size: int | None = None):
+    """pages Dataset → docs Dataset (stateless task stage).
+
+    batch_size=None processes each block as one batch — a row-count
+    batch size would coalesce blocks and shrink task parallelism."""
     return pages_ds.map_batches(
         extract_pages_batch, batch_format="pyarrow", batch_size=batch_size
     )

@@ -105,10 +105,13 @@ def kg_products(docs_ds, *, batch_size: int = 256, concurrency=None,
     """
     projected = docs_ds.select_columns(["doc_id", "sections"])
     if compute == "tasks":
+        # batch_size=None: per-block batches — a row-count batch size
+        # would coalesce upstream blocks and collapse task fan-out
+        # (state is worker-cached, so batch granularity is free).
         return projected.map_batches(
             _cached_fused_batch,
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=None,
         )
     from .ner import default_concurrency
 

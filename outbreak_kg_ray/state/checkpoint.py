@@ -227,11 +227,18 @@ class Checkpointer:
                         out.append(json.load(f))
         return out
 
-    def read(self, stage: str):
-        """Completed stage → Dataset (parquet-backed, streams)."""
+    def read(self, stage: str, *, override_num_blocks: int | None = None):
+        """Completed stage → Dataset (parquet-backed, streams).
+
+        ``override_num_blocks`` caps the read fan-out: many small
+        checkpoint files would otherwise each become a block, and
+        every downstream map/write stage pays per-block task overhead
+        (a 2M-row table across 256 blocks means 500+ write tasks)."""
         import ray.data as rd
 
-        return rd.read_parquet(self._data_dir(stage))
+        return rd.read_parquet(
+            self._data_dir(stage), override_num_blocks=override_num_blocks
+        )
 
 
 def _parquet_file_meta(d: str) -> list[dict]:

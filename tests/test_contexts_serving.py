@@ -1,0 +1,73 @@
+"""Context-extraction (process_eidos.py parity) and serving-query
+pipeline tests."""
+
+from __future__ import annotations
+
+from outbreak_kg_ray.pipelines import contexts, serving
+from outbreak_kg_ray.sources.pages import archive_number, date_str
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_timex_contexts_find_published_dates(ray_session):
+    df = contexts.timex_contexts(SF).to_pandas()
+    # every synthetic page carries exactly one ISO datetime (header)
+    assert len(df) == 500
+    row = df[df.doc_id == archive_number(3)].iloc[0]
+    assert row["text"] == date_str(3)
+    assert row["interval_start"] == row["interval_end"] == row["text"]
+
+
+def test_geoloc_contexts_typed_subset(ray_session):
+    from outbreak_kg_ray.fixtures.lexicon import MESH_TYPES
+
+    df = contexts.geoloc_contexts(SF).to_pandas()
+    assert len(df) > 0
+    assert all(MESH_TYPES[g] == "geoloc" for g in df["geo_id"].unique())
+
+
+def test_geoloc_stats_counts_sum_to_contexts(ray_session):
+    ctx = contexts.geoloc_contexts(SF).to_pandas()
+    stats = contexts.geoloc_stats(SF).to_pandas()
+    assert stats["count"].sum() == len(ctx)
+
+
+def test_direct_relations_endpoints_in_query_set(ray_session):
+    qs = set(serving.default_query_curies())
+    df = serving.direct_relations(SF).to_pandas()
+    assert set(df["start_id"]).issubset(qs)
+    assert set(df["end_id"]).issubset(qs)
+
+
+def test_comention_alerts_ranked(ray_session):
+    df = serving.comention_alerts(SF).to_pandas()
+    assert (df["n_entities"] >= 2).all()
+    # ranked by entity count desc
+    assert list(df["n_entities"]) == sorted(df["n_entities"], reverse=True)
+    # entities string is sorted and matches the count
+    for _, row in df.head(5).iterrows():
+        ents = row["entities"].split(";")
+        assert ents == sorted(ents)
+        assert len(ents) == row["n_entities"]
+
+
+def test_isa_closure_contains_parents_and_grandparents():
+    import pyarrow as pa
+
+    t = serving.isa_closure_table()
+    pairs = set(
+        zip(t.column("start_id").to_pylist(), t.column("end_id").to_pylist())
+    )
+    from outbreak_kg_ray.pipelines.kg import mesh_hierarchy_edges_table
+
+    direct = mesh_hierarchy_edges_table()
+    parent = dict(
+        zip(direct.column("start_id").to_pylist(),
+            direct.column("end_id").to_pylist())
+    )
+    assert all((s, e) in pairs for s, e in parent.items())
+    # grandparent reachability
+    for s, p in parent.items():
+        if p in parent:
+            assert (s, parent[p]) in pairs
+    assert isinstance(t, pa.Table)

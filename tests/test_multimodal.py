@@ -1,0 +1,73 @@
+"""Multimodal stage tests: payload synthesis determinism, byte-level
+decode correctness, stub gating, and Ray plumbing (schema + actor
+signature)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from outbreak_kg_ray.stages import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_payload_roundtrip_image():
+    payload = mm.make_image_payload(7)
+    w, h = mm.image_dims(7)
+    assert payload[:4] == b"FIMG"
+    assert len(payload) == 8 + w * h
+    out = mm.ImageDecodeStage()(
+        pa.table({"media_id": [14], "payload": [payload]})
+    )
+    row = out.to_pylist()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["f_first"] == float((7 * 131) % 256)
+    assert row["f_last"] == float((7 * 131 + (w * h - 1) * 29) % 256)
+    pixels = np.frombuffer(payload, dtype=np.uint8, offset=8)
+    assert row["f_mean"] == round(float(pixels.mean()), 6)
+
+
+def test_payload_roundtrip_audio_stride():
+    payload = mm.make_audio_payload(11)
+    sr, n = mm.audio_params(11)
+    out = mm.AudioFrameSampleStage(stride=4)(
+        pa.table({"media_id": [23], "payload": [payload]})
+    )
+    row = out.to_pylist()[0]
+    assert row["sample_rate"] == sr
+    assert row["n_frames"] == (n + 3) // 4
+    samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+    assert row["frame_mean"] == round(float(samples[::4].mean()), 6)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.ImageDecodeStage()(
+            pa.table({"media_id": [0], "payload": [b"\x89PNG\r\n fake"]})
+        )
+    with pytest.raises(NotImplementedError):
+        mm.AudioFrameSampleStage()(
+            pa.table({"media_id": [0], "payload": [b"RIFF fake wav"]})
+        )
+
+
+def test_media_dataset_plumbing(ray_session):
+    ds = mm.media_dataset(SF)
+    assert set(ds.schema().names) == {"media_id", "kind", "payload"}
+    feats = mm.image_features(SF)
+    df = feats.to_pandas()
+    assert len(df) == 500  # one image per document
+    assert set(df.columns) == {
+        "media_id", "width", "height", "n_bytes", "f_first", "f_last", "f_mean"
+    }
+    # spot-check a row against the closed-form payload formulas
+    row = df[df.media_id == 10].iloc[0]
+    w, h = mm.image_dims(5)
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["n_bytes"] == 8 + w * h
+
+    frames = mm.audio_frames(SF).to_pandas()
+    assert len(frames) == 500
+    assert (frames["n_frames"] > 0).all()
