@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "extracted_text"])
         )
 
+    def dedup_pages_q(sf_dir):
+        from outbreak_kg_ray.stages.extract import dedup_pages
+
+        return dedup_pages(pages_dataset(sf_dir))
+
     def mentions(sf_dir):
         return mentions_dataset(
             extract_docs(pages_dataset(sf_dir)), mode="terms"
@@ -171,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "direct_relations": serving.direct_relations,
         "comention_alerts": serving.comention_alerts,
         "isa_closure": serving.isa_closure,
+        "autocomplete_terms": serving.autocomplete_terms,
+        "dedup_pages": dedup_pages_q,
         # --- multimodal binary-column stages (decode stubbed) ---
         "image_features": mm.image_features,
         "audio_frames": mm.audio_frames,
@@ -628,6 +635,28 @@ closure(start_id, end_id, depth) AS (
   FROM closure c JOIN isa i ON c.end_id = i.s
 )
 SELECT start_id, 'isa_closure' AS rel_type, end_id, depth FROM closure
+"""
+
+    sql["autocomplete_terms"] = f"""
+WITH nodes AS ({sql["canonical_nodes"]}),
+ranked AS (
+  SELECT lower(name) AS base, curie, labels,
+         row_number() OVER (PARTITION BY lower(name) ORDER BY curie) - 1
+           AS rk
+  FROM nodes
+)
+SELECT CASE WHEN rk = 0 THEN base ELSE base || '_' || rk END AS key,
+       curie, labels
+FROM ranked
+"""
+
+    sql["dedup_pages"] = f"""
+SELECT 'https://promed.example.org/post/' ||
+         printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)
+         AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE
+         AS warc_ts
+FROM documents
 """
 
     sql["timex_contexts"] = f"""

@@ -11,14 +11,15 @@ and prints ONE JSON line::
      "triples": T, "triples_per_sec": R}
 
 ``--scaling`` runs the headline KG pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input — the sandbox
-surrogate for the north_rule's N-vs-4N-node cluster criterion — and
-reports both throughputs plus scaling efficiency
-``(tput_hi / tput_lo) / (cpus_hi / cpus_lo)``.
+at N and 4N CPUs (default 4 and 16 — see run_scaling for why) on the
+same input — the sandbox surrogate for the north_rule's N-vs-4N-node
+cluster criterion — and reports both throughputs plus scaling
+efficiency ``(tput_hi / tput_lo) / (cpus_hi / cpus_lo)``.
 
 The headline metric is end-to-end KG-construction triples/sec:
-pages synthesis -> byte-exact extraction -> lexical NER actor pool ->
-all node/edge builders -> global canonicalization -> Parquet sink.
+pages synthesis -> byte-exact extraction -> fused lexical-NER pass
+(per-partition checkpoint) -> all node/edge builders -> global
+canonicalization -> Parquet sink.
 """
 
 from __future__ import annotations
@@ -33,7 +34,13 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCRATCH = "/tmp/okg_bench"
+# Scratch on tmpfs when available: checkpoint + sink writes otherwise
+# bottleneck on this container's ~87 MB/s buffered disk writes, which
+# adds noise unrelated to the engine (a real cluster writes to local
+# NVMe / object storage).
+SCRATCH = (
+    "/dev/shm/okg_bench" if os.path.isdir("/dev/shm") else "/tmp/okg_bench"
+)
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -180,7 +187,7 @@ def run_scaling(sf_dir: str) -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
-        env.setdefault("GRAFT_BENCH_REPEAT", "128")
+        env.setdefault("GRAFT_BENCH_REPEAT", "384")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_worker"],
             capture_output=True,

@@ -140,3 +140,32 @@ def isa_closure(sf_dir: str):
     import ray.data as rd
 
     return rd.from_arrow(isa_closure_table())
+
+
+def autocomplete_terms(sf_dir: str):
+    """Autocomplete lookup rows (kg/get_lookups.py:4-61 /
+    kg/nodes_trie.py): (key, curie, labels) with case-insensitive
+    name-collision suffixes ``_1``, ``_2``… (gl:36-59). The
+    reference's first-seen suffix order is replaced by a
+    deterministic sort-by-curie order (T5 policy, SURVEY.md §7).
+
+    Built from the canonical node table; the trie itself is a
+    driver/serving-side artifact assembled from these rows."""
+    import pandas as pd
+
+    from .kg import canonical_nodes
+
+    nodes = canonical_nodes(sf_dir).to_pandas()
+    nodes["key"] = nodes["name"].str.lower()
+    nodes = nodes.sort_values(["key", "curie"], kind="mergesort")
+    rank = nodes.groupby("key").cumcount()
+    nodes["key"] = nodes["key"].where(
+        rank == 0, nodes["key"] + "_" + rank.astype(str)
+    )
+    return pd.DataFrame(
+        {
+            "key": nodes["key"].to_numpy(),
+            "curie": nodes["curie"].to_numpy(),
+            "labels": nodes["labels"].to_numpy(),
+        }
+    ).reset_index(drop=True)

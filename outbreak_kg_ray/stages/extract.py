@@ -148,11 +148,13 @@ def extract_docs(pages_ds, *, batch_size: int | None = None):
 
 
 def dedup_pages(pages_ds):
-    """Keep first page per url by warc_ts (reference duplicate-alert
-    tolerance, promed_ner.py:113-140 / D5): deterministic min-ts win."""
-    import pandas as pd
+    """First-crawl winner per url (reference duplicate-alert
+    tolerance, promed_ner.py:113-140 / D5): deterministic min-warc_ts
+    win, as a vectorized hash aggregate — the winner KEY set
+    (url, warc_ts). At scale the full winning rows come from a second
+    pass filtering on these keys (broadcast or semi-join), keeping the
+    shuffle payload to two columns instead of whole pages."""
+    from ray.data.aggregate import Min
 
-    def first_by_ts(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("warc_ts", kind="mergesort").head(1)
-
-    return pages_ds.groupby("url").map_groups(first_by_ts, batch_format="pandas")
+    keys = pages_ds.select_columns(["url", "warc_ts"])
+    return keys.groupby("url").aggregate(Min("warc_ts", alias_name="warc_ts"))

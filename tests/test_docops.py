@@ -1,0 +1,113 @@
+"""Unit tests for the dedup / textstats / simsearch stage family
+(SURVEY.md §5(a): per-operator tests on tiny synthetic batches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from outbreak_kg_ray.stages import dedup as dd
+from outbreak_kg_ray.stages import textstats as ts
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_shingles_and_jaccard():
+    a = dd.shingles("the quick brown fox jumps", k=3)
+    assert "the quick brown" in a and len(a) == 3
+    assert dd.jaccard(a, a) == 1.0
+    assert dd.jaccard(set(), set()) == 1.0
+    b = dd.shingles("the quick brown cat jumps", k=3)
+    assert 0 < dd.jaccard(a, b) < 1
+
+
+def test_minhash_signature_properties():
+    s1 = dd.minhash_signature("alpha beta gamma delta epsilon zeta")
+    s2 = dd.minhash_signature("alpha beta gamma delta epsilon zeta")
+    assert (s1 == s2).all()  # deterministic
+    s3 = dd.minhash_signature("totally different words entirely here now")
+    assert (s1 != s3).any()
+    # near-identical texts share most signature slots
+    s4 = dd.minhash_signature("alpha beta gamma delta epsilon eta")
+    assert (s1 == s4).sum() > (s1 == s3).sum()
+
+
+def test_simhash_hamming():
+    a = dd.simhash64("the quick brown fox")
+    assert a == dd.simhash64("the quick brown fox")
+    assert dd.hamming64(a, a) == 0
+    b = dd.simhash64("the quick brown cat")
+    assert 0 < dd.hamming64(a, b) < 40
+
+
+def test_exact_dedup_min_key_wins(ray_session):
+    ds = _docs_ds([(5, "same text"), (2, "same text"), (9, "other")])
+    out = dd.exact_dedup_keep(ds).to_pandas()
+    assert len(out) == 2
+    winners = set(out["doc_id"])
+    assert winners == {2, 9}  # min doc_id per distinct content
+
+
+def test_minhash_pipeline_finds_exact_dup(ray_session):
+    import ray
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "completely unrelated text with other tokens inside it here"),
+    ]
+    pairs = dd.minhash_candidate_pairs(_docs_ds(rows))
+    texts = {r[0]: r[1] for r in rows}
+    verified = pairs.map_batches(
+        dd.JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": ray.put(texts), "threshold": 0.8},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    assert [(1, 2)] == list(zip(verified["a"], verified["b"]))
+    assert verified["jaccard"].iloc[0] == 1.0
+
+
+def test_token_stats_and_quality():
+    t = pa.table({"doc_id": [1], "text": ["the cat, a dog!"]})
+    out = ts.token_stats_batch(t).to_pylist()[0]
+    assert out["n_tokens"] == 4
+    assert out["n_stopwords"] == 2  # 'the', 'a'
+    assert out["n_punct"] == 2  # ',' '!'
+    q = ts.quality_batch(t).to_pylist()[0]
+    assert q["stop_ratio"] == 0.5
+    assert 0 < q["quality"] <= 1.0
+
+
+def test_fingerprint_deterministic_and_distinct():
+    a = ts.fingerprint("hello world")
+    assert a == ts.fingerprint("hello world")
+    assert a != ts.fingerprint("hello world!")
+
+
+def test_bucket_pairs_cap(ray_session):
+    import ray.data as rd
+
+    # one hot bucket with 100 members -> capped at 64 -> C(64,2) pairs
+    n = 100
+    t = pa.table(
+        {
+            "band": pa.array([0] * n, pa.int32()),
+            "band_hash": pa.array(["hot"] * n, pa.string()),
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    pairs = dd._bucket_pairs(rd.from_arrow(t), "doc_id").to_pandas()
+    assert len(pairs) == 64 * 63 // 2
+    assert pairs["truncated"].all()
