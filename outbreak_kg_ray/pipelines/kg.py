@@ -230,14 +230,34 @@ def alert_outbreak_edges(sf_dir: str):
 # co-occurrence (kg/build.py:52-94)
 # ---------------------------------------------------------------------------
 
-def cooccurrence_edges(sf_dir: str, products=None):
-    """(a_curie, occurs_with, b_curie, count) over interesting pairs."""
-    if products is not None:
-        from ray.data.aggregate import Sum
+def _pair_sum_block(t: pa.Table) -> pa.Table:
+    out = t.group_by(["start_id", "end_id"]).aggregate([("n", "sum")])
+    return out.rename_columns(["start_id", "end_id", "n"])
 
+
+def cooccurrence_edges(sf_dir: str, products=None):
+    """(a_curie, occurs_with, b_curie, count) over interesting pairs.
+
+    Fused-products path: pair partials are already batch-combined
+    (≤1 row per pair per batch), and the distinct-pair cardinality is
+    bounded by the entity vocabulary squared — NOT by corpus size. So
+    the final sum is per-block combine → coalesce to one block →
+    final combine, avoiding a sort-shuffle barrier whose latency
+    doesn't amortize. (For vocabularies too large for one block,
+    ``cooccurrence_counts`` keeps the distributed groupby path.)"""
+    if products is not None:
         partials = _kind_slice(products, "pair", ["start_id", "end_id", "n"])
-        counts = partials.groupby(["start_id", "end_id"]).aggregate(
-            Sum("n", alias_name="count")
+        combined = partials.map_batches(
+            _pair_sum_block, batch_format="pyarrow", batch_size=None
+        )
+        counts = (
+            combined.repartition(1)
+            .map_batches(_pair_sum_block, batch_format="pyarrow",
+                         batch_size=None)
+            .map_batches(
+                lambda t: t.rename_columns(["start_id", "end_id", "count"]),
+                batch_format="pyarrow",
+            )
         )
     else:
         counts = cooccurrence_counts(docs_dataset(sf_dir))
@@ -734,6 +754,48 @@ def static_edge_table(sf_dir: str) -> pa.Table:
     )
 
 
+def _merge_nodes_block(t: pa.Table) -> pa.Table:
+    """Associative per-block node merge: min name, ';'-label-set
+    union, max non-null timestamp per curie. Applying it per block
+    and then once to the coalesced partials is equivalent to the
+    global merge (all three combiners are associative+commutative)."""
+    merged: dict[str, list] = {}
+    for curie, name, labels, ts in zip(
+        t.column("curie").to_pylist(),
+        t.column("name").to_pylist(),
+        t.column("labels").to_pylist(),
+        t.column("timestamp").to_pylist(),
+    ):
+        cur = merged.get(curie)
+        if cur is None:
+            merged[curie] = [
+                name,
+                set(labels.split(";")) if labels else set(),
+                ts,
+            ]
+        else:
+            if name is not None and (cur[0] is None or name < cur[0]):
+                cur[0] = name
+            if labels:
+                cur[1].update(labels.split(";"))
+            if ts is not None and (cur[2] is None or ts > cur[2]):
+                cur[2] = ts
+    curies = sorted(merged)
+    return pa.table(
+        {
+            "curie": pa.array(curies, pa.string()),
+            "name": pa.array([merged[c][0] for c in curies], pa.string()),
+            "labels": pa.array(
+                [";".join(sorted(merged[c][1])) for c in curies], pa.string()
+            ),
+            "timestamp": pa.array(
+                [merged[c][2] for c in curies], pa.string()
+            ),
+        },
+        schema=_NODE_SCHEMA,
+    )
+
+
 def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None):
     """Union of all node tables with cross-table merge: labels
     unioned, deterministic min-name / max-timestamp tie-breaks
@@ -754,36 +816,20 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
         products = kg_products_dataset(sf_dir, ckpt_root=ckpt_root)
 
     # -- MESH-space merge (small): cooccur endpoints ∪ hierarchy ------
-    from ray.data.aggregate import Max, Min, Unique
-
+    # Vocabulary-bounded (≤ lexicon size), so: per-block combine →
+    # coalesce → final combine — no sort-shuffle barrier.
     mesh_union = _conform(
         cooccurrence_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA
     ).union(rd.from_arrow(_conform_table(mesh_hierarchy_nodes_table(), _NODE_SCHEMA)))
-    agg = mesh_union.groupby("curie").aggregate(
-        Min("name", alias_name="name"),
-        Unique("labels", alias_name="_label_sets"),
-        Max("timestamp", alias_name="timestamp"),
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        label_sets = t.column("_label_sets").to_pylist()
-        labels = [
-            ";".join(
-                sorted({lbl for ls in lset if ls for lbl in ls.split(";")})
-            )
-            for lset in label_sets
-        ]
-        return pa.table(
-            {
-                "curie": t.column("curie").cast(pa.string()),
-                "name": t.column("name").cast(pa.string()),
-                "labels": pa.array(labels, pa.string()),
-                "timestamp": t.column("timestamp").cast(pa.string()),
-            },
-            schema=_NODE_SCHEMA,
+    merged_mesh = (
+        mesh_union.map_batches(
+            _merge_nodes_block, batch_format="pyarrow", batch_size=None
         )
-
-    merged_mesh = agg.map_batches(finish, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            _merge_nodes_block, batch_format="pyarrow", batch_size=None
+        )
+    )
 
     # -- disjoint-namespace tables: stream through, no exchange -------
     static_nonmesh = pa.concat_tables(
