@@ -161,6 +161,25 @@ class Checkpointer:
         os.makedirs(self._data_dir(stage), exist_ok=True)
         os.makedirs(os.path.join(self._stage_dir(stage), "meta"), exist_ok=True)
 
+        # Stale-layout cleanup: partitions from a previous run with a
+        # DIFFERENT partitioning (other part_rows / inputs) would
+        # otherwise survive on disk and be read alongside the current
+        # layout's output, double-counting rows.
+        current_ids = {p["id"] for p in partitions}
+        data_root = self._data_dir(stage)
+        meta_root = os.path.join(self._stage_dir(stage), "meta")
+        for name in os.listdir(data_root):
+            pid = name.removeprefix("part-")
+            if name.startswith("part-") and pid not in current_ids:
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            elif name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+        if os.path.isdir(meta_root):
+            for name in os.listdir(meta_root):
+                pid = name.removeprefix("part-").removesuffix(".json")
+                if pid not in current_ids:
+                    os.unlink(os.path.join(meta_root, name))
+
         todo = []
         skipped = 0
         for part in partitions:

@@ -112,6 +112,23 @@ def test_fingerprint_change_forces_recompute(ray_session, tmp_path):
     assert ckpt.read("pages").count() == 500
 
 
+def test_layout_change_cleans_stale_partitions(ray_session, tmp_path):
+    """Re-running with a different part_rows must not leave the old
+    layout's partitions on disk (they would be read alongside the new
+    output, double-counting rows)."""
+    ckpt = Checkpointer(str(tmp_path))
+    ckpt.partitioned_stage(
+        "pages", doc_range_partitions(DOCS, part_rows=150), _build
+    )
+    assert ckpt.read("pages").count() == 500
+    # coarser layout: 2 partitions replace the previous 4
+    ckpt.partitioned_stage(
+        "pages", doc_range_partitions(DOCS, part_rows=250), _build
+    )
+    assert ckpt.read("pages").count() == 500
+    assert len(ckpt.partition_metas("pages")) == 2
+
+
 def test_fused_products_match_independent_builders(ray_session, tmp_path):
     """canonical_edges via the fused checkpointed path == the union of
     independently-computed builders (the oracle-validated path)."""
