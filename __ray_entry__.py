@@ -122,10 +122,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def mention_stats(sf_dir):
         import pyarrow as pa
 
+        from outbreak_kg_ray.stages.shuffle import salted_count
+
         raw = mentions_dataset(
             extract_docs(pages_dataset(sf_dir)), mode="mentions"
         )
-        out = raw.groupby(["text", "db", "id", "entry_name"]).count()
+        # the A2 global mention count is the reference's skew witness
+        # ("disease" ×80k) — salted two-stage exchange
+        out = salted_count(
+            raw.select_columns(["text", "db", "id", "entry_name"]),
+            ["text", "db", "id", "entry_name"],
+        )
 
         def rename(t: pa.Table) -> pa.Table:
             return t.rename_columns(

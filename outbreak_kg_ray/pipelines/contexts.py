@@ -108,10 +108,8 @@ def timex_stats(sf_dir: str):
 
 
 def _counted(ds, keys: list[str]):
-    out = ds.groupby(keys).count()
+    """A6 frequency stats via the skew-safe salted count (hub geolocs
+    like "United States" ×1,424 are the reference's skew witness)."""
+    from ..stages.shuffle import salted_count
 
-    def rename(t: pa.Table) -> pa.Table:
-        names = [("count" if c == "count()" else c) for c in t.column_names]
-        return t.rename_columns(names)
-
-    return out.map_batches(rename, batch_format="pyarrow")
+    return salted_count(ds.select_columns(keys), keys)
