@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
+        "events_sliding_window": relational.events_sliding_window,
     }
 
 
@@ -812,6 +813,20 @@ ORDER BY revenue DESC, c_custkey LIMIT 10
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    sql["events_sliding_window"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS window_events,
+       round(SUM(sv) OVER w, 6) AS window_value
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
 """
 
     return sql

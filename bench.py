@@ -226,9 +226,60 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_hwcheck(sf_dir: str) -> dict:
+    """Control experiment: the engine's per-doc UDF chain under plain
+    multiprocessing (no Ray) at 4 vs 16 processes, same total work.
+    Establishes the HARDWARE scaling ceiling for this string-heavy
+    workload (memory bandwidth / SMT), against which the engine's
+    end-to-end efficiency should be judged."""
+    import multiprocessing as mp
+
+    repeat = 96
+    out = {}
+    for nproc in (4, 16):
+        step = 5000 // nproc
+        chunks = [
+            (sf_dir, i * step, (i + 1) * step if i + 1 < nproc else 5000, repeat)
+            for i in range(nproc)
+        ]
+        with mp.Pool(nproc) as pool:
+            t0 = time.perf_counter()
+            pool.map(_hw_work, chunks)
+            dt = time.perf_counter() - t0
+        out[nproc] = 5000 * repeat / dt
+    eff = (out[16] / out[4]) / 4
+    return {
+        "metric": "hardware_udf_scaling_4_to_16_procs_no_ray",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "docs_per_sec_4proc": round(out[4], 1),
+            "docs_per_sec_16proc": round(out[16], 1),
+        },
+        "sf": sf_dir,
+        "num_cpus": 16,
+    }
+
+
+def _hw_work(args):
+    sf_dir, lo, hi, repeat = args
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.sources.pages import synthesize_pages_batch
+    from outbreak_kg_ray.stages.extract import extract_pages_batch
+    from outbreak_kg_ray.stages.fused import FusedKgStage
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).slice(lo, hi - lo)
+    docs = extract_pages_batch(synthesize_pages_batch(t, repeat=repeat))
+    return len(FusedKgStage()(docs.select(["doc_id", "sections"])))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--hwcheck", action="store_true")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -237,6 +288,8 @@ def main() -> None:
         res = bench_once(args.sf_dir, NUM_CPUS, headline_only=True)
     elif args.scaling:
         res = run_scaling(args.sf_dir)
+    elif args.hwcheck:
+        res = run_hwcheck(args.sf_dir)
     else:
         res = bench_once(args.sf_dir, NUM_CPUS, headline_only=False)
     print(json.dumps(res))

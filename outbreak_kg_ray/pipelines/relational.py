@@ -136,3 +136,54 @@ def events_hourly(sf_dir: str):
         )
 
     return out.map_batches(round6, batch_format="pyarrow")
+
+
+def events_sliding_window(sf_dir: str):
+    """3-hour sliding-window aggregate per event type — the custom
+    windowed operator Ray Data lacks natively, composed per
+    SURVEY.md §2 guidance: hour-bucket pre-aggregation inside
+    ``map_batches`` + ``groupby(type)`` + per-group ordered rolling.
+
+    Partitioning assumption (documented): the window is applied AFTER
+    hour-level pre-aggregation, so each group is (hours × 1 row) —
+    bounded by the time range, not the event count; a year of hourly
+    buckets is ~9k rows per type. The expensive exchange is the tiny
+    hourly table, never raw events."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t.column("ts"), unit="hour"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sv"))
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").set_index("hour")
+        win_n = g["n_events"].rolling("3h").sum().astype("int64")
+        win_v = g["sv"].rolling("3h").sum().round(6)
+        return pd.DataFrame(
+            {
+                "hour": g.index,
+                "event_type": g["event_type"].to_numpy(),
+                "n_events": g["n_events"].to_numpy(),
+                "window_events": win_n.to_numpy(),
+                "window_value": win_v.to_numpy(),
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
