@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": docops.fingerprints,
         "minhash_near_dups": docops.minhash_near_dups,
         "simhash_near_dups": docops.simhash_near_dups,
+        "ngram_jaccard_near_dups": docops.ngram_jaccard_near_dups,
         "ann_topk": docops.ann_topk,
         "ann_topk_ivf": docops.ann_topk_ivf,
         "embedding_near_dups": docops.embedding_near_dups,

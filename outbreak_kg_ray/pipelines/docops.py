@@ -91,6 +91,23 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
     )
 
 
+def ngram_jaccard_near_dups(sf_dir: str, *, threshold: float = 0.6):
+    """n-gram Jaccard near-dup: exact-shingle inverted-index
+    candidates (min-shingle sampled) verified by exact 3-gram
+    Jaccard."""
+    import ray
+
+    pairs = dd.ngram_candidate_pairs(_variants_ds(sf_dir))
+    texts_ref = ray.put(_variants_text_lookup(sf_dir))
+    return pairs.map_batches(
+        dd.JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+
 def simhash_near_dups(sf_dir: str, *, max_hamming: int = 6):
     """SimHash banded-LSH candidates verified by hamming distance."""
     import pandas as pd
