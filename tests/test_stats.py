@@ -1,0 +1,77 @@
+"""Hand-checkable tests for the from-scratch scalar statistics
+(functions/stats.py) and the literature-ranking pipeline that uses
+them (pipelines/encode.py / reference kg/mesh_csr.py:102-166)."""
+
+from __future__ import annotations
+
+import math
+
+from outbreak_kg_ray.functions.stats import (
+    fisher_exact_greater,
+    hypergeom_logpmf,
+    logsumexp,
+)
+
+
+def test_fisher_exact_hand_computed():
+    # [[2,0],[0,2]]: P(X >= 2), X ~ Hypergeom(M=4, n=2, N=2)
+    # = C(2,2)C(2,0)/C(4,2) = 1/6
+    assert abs(fisher_exact_greater(2, 0, 0, 2) - 1 / 6) < 1e-12
+    # [[1,1],[1,1]]: P(X >= 1) = 1 - P(X=0) = 1 - 1/6 = 5/6
+    assert abs(fisher_exact_greater(1, 1, 1, 1) - 5 / 6) < 1e-12
+    # a = 0 ⇒ whole support ⇒ p = 1 (up to float summation error)
+    assert abs(fisher_exact_greater(0, 3, 2, 5) - 1.0) < 1e-12
+    # scipy.stats.fisher_exact([[8,2],[1,5]], 'greater') reference
+    # value (computed analytically): sum_{k=8,9} pmf(k; M=16, n=10, N=9)
+    p = fisher_exact_greater(8, 2, 1, 5)
+    expected = sum(
+        math.exp(hypergeom_logpmf(k, 16, 10, 9)) for k in (8, 9)
+    )
+    assert abs(p - expected) < 1e-12
+    assert 0.01 < p < 0.1  # sanity: a strong association
+
+
+def test_hypergeom_pmf_sums_to_one():
+    M, n, N = 20, 7, 9
+    total = sum(
+        math.exp(hypergeom_logpmf(k, M, n, N))
+        for k in range(0, min(n, N) + 1)
+    )
+    assert abs(total - 1.0) < 1e-12
+
+
+def test_logsumexp_basics():
+    assert logsumexp([float("-inf")]) == float("-inf")
+    assert abs(logsumexp([0.0, 0.0]) - math.log(2)) < 1e-12
+    big = logsumexp([1000.0, 1000.0])
+    assert abs(big - (1000.0 + math.log(2))) < 1e-9
+
+
+def test_literature_rank_shape(ray_session):
+    from outbreak_kg_ray.pipelines.encode import literature_pvalues
+
+    df = literature_pvalues(
+        "/root/testdata/sf0.001", ["click", "error", "purchase"]
+    )
+    assert list(df.columns) == ["pmid", "overlap_n", "coverage", "pval"]
+    assert (df["pval"] >= 0).all() and (df["pval"] <= 1).all()
+    # ranked: overlap desc, then coverage desc, then pval asc
+    assert list(df["overlap_n"]) == sorted(df["overlap_n"], reverse=True)
+
+
+def test_realism_logsumexp_scorer(ray_session):
+    from outbreak_kg_ray.pipelines.realism import (
+        logsumexp_score,
+        pair_counts,
+    )
+
+    df = pair_counts("/root/testdata/sf0.001").to_pandas()
+    df = df[(df["mesh_a"] != "") | (df["mesh_b"] != "")]
+    lookup = {
+        (a, b): float(math.log(c))
+        for a, b, c in zip(df["mesh_a"], df["mesh_b"], df["count"])
+    }
+    ids = sorted({m for pair in list(lookup)[:3] for m in pair})
+    scores, total, cls = logsumexp_score(ids, lookup, 100)
+    assert cls in ("high", "medium", "low")
+    assert total == logsumexp(list(scores.values()))
