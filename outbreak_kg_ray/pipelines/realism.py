@@ -101,8 +101,10 @@ def realism_table(sf_dir: str):
 
 def logsumexp_score(mesh_ids: list[str], score_lookup: dict, num_alerts: int):
     """Query-time scorer (realism_score.py:77-87): pairwise scores
-    with -inf default, logsumexp, high/medium/low at −4.5 / −7."""
-    from scipy.special import logsumexp
+    with -inf default, logsumexp, high/medium/low at −4.5 / −7.
+    logsumexp is the from-scratch implementation (functions/stats.py)
+    — scipy is not available in this environment."""
+    from ..functions.stats import logsumexp
 
     scores = {}
     for t1, t2 in combinations(sorted(set(mesh_ids)), 2):
