@@ -114,6 +114,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_pages(pages_dataset(sf_dir))
 
+    def docs_table(sf_dir):
+        """Parsed-docs table (reference per-alert JSON dump, S2)."""
+        return extract_docs(pages_dataset(sf_dir)).select_columns(
+            ["doc_id", "url", "published_ts", "subject", "lang"]
+        )
+
+    def terms_by_alert(sf_dir):
+        """Per-alert sorted distinct term list (S5 / A1 —
+        promed_ner_terms_by_alert.json): groupby(doc_id) collect."""
+        import pyarrow as pa
+        from ray.data.aggregate import Unique
+
+        terms = mentions_dataset(
+            extract_docs(pages_dataset(sf_dir)), mode="terms"
+        )
+
+        def key(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "term": pa.array(
+                        [
+                            f"{d}:{i}:{n}"
+                            for d, i, n in zip(
+                                t.column("db").to_pylist(),
+                                t.column("id").to_pylist(),
+                                t.column("entry_name").to_pylist(),
+                            )
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        grouped = (
+            terms.map_batches(key, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Unique("term", alias_name="_terms"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "terms": pa.array(
+                        [
+                            ";".join(sorted(set(ts)))
+                            for ts in t.column("_terms").to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return grouped.map_batches(finish, batch_format="pyarrow")
+
     def mentions(sf_dir):
         return mentions_dataset(
             extract_docs(pages_dataset(sf_dir)), mode="terms"
@@ -153,7 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction pipeline (pages → triples) ---
         "extract_text": extract_text,
+        "docs_table": docs_table,
         "mentions": mentions,
+        "terms_by_alert": terms_by_alert,
         "mention_stats": mention_stats,
         "alert_nodes": kg.alert_nodes,
         "alert_mention_edges": kg.alert_mention_edges,
@@ -234,6 +292,30 @@ SELECT b.archive AS doc_id,
        'Overview' || {blank} || b.body_text || {blank} ||
        'Findings' || {blank} || s.findings || {blank} AS extracted_text
 FROM base b JOIN sent s USING (doc_id)
+"""
+
+    sql["docs_table"] = f"""
+SELECT printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)
+         AS doc_id,
+       'https://promed.example.org/post/' ||
+         printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)
+         AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE
+         AS published_ts,
+       'PRO/AH/EDR> Outbreak alert ' ||
+         printf('%08d.%d', 20200000 + doc_id % 10000, 1000000 + doc_id)
+         AS subject,
+       lang
+FROM documents
+"""
+
+    sql["terms_by_alert"] = f"""
+{_kg_prefix()}
+SELECT archive AS doc_id,
+       string_agg(DISTINCT 'MESH:' || mesh_id || ':' || name,
+                  ';' ORDER BY 'MESH:' || mesh_id || ':' || name)
+         AS terms
+FROM dment GROUP BY archive
 """
 
     sql["mentions"] = f"""
