@@ -1,0 +1,86 @@
+"""Similarity-search correctness vs a numpy reference, and corpus
+scale-up (repeat) invariants of the checkpointed KG path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_topk_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.simsearch import ann_topk
+
+    rng = np.random.RandomState(3)
+    n, dim, k = 200, 16, 5
+    mat = rng.randn(n, dim)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(mat.tolist()),
+            }
+        )
+    ).repartition(4)
+    qids = [0, 1]
+    qmat = mat[:2]
+    got = ann_topk(ds, qids, qmat, k=k).to_pandas()
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        scores = normed @ normed[qi]
+        order = np.lexsort((np.arange(n), -scores))[:k]
+        g = got[got.query_id == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        assert list(g["vec_id"]) == order.tolist()
+        assert np.allclose(g["score"], np.round(scores[order], 6))
+        # a vector is its own nearest neighbour
+        assert g["vec_id"].iloc[0] == qi and g["score"].iloc[0] == 1.0
+
+
+def test_ivf_results_subset_of_exact(ray_session):
+    """IVF probe is approximate but every returned hit must carry the
+    exact cosine score and be among the exact candidates."""
+    from outbreak_kg_ray.pipelines import docops
+
+    exact = docops.ann_topk(SF).to_pandas()
+    ivf = docops.ann_topk_ivf(SF).to_pandas()
+    exact_scores = {
+        (q, v): s
+        for q, v, s in zip(exact.query_id, exact.vec_id, exact.score)
+    }
+    hits = sum(
+        (q, v) in exact_scores and abs(exact_scores[(q, v)] - s) < 1e-9
+        for q, v, s in zip(ivf.query_id, ivf.vec_id, ivf.score)
+    )
+    # recall sanity: probing 4/16 clusters on random centroids keeps a
+    # meaningful fraction (measured ~46% here; raise nprobe for more)
+    assert hits >= len(ivf) * 0.4
+    assert len(ivf) > 0
+
+
+def test_repeat_scales_counts_linearly(ray_session, tmp_path):
+    """Deterministic corpus replication: alert nodes scale ×repeat and
+    co-occurrence pair counts scale ×repeat exactly (each replica
+    reproduces the same per-doc pair multiset)."""
+    from outbreak_kg_ray.pipelines import kg
+
+    p1 = kg.kg_products_dataset(SF, ckpt_root=str(tmp_path / "r1"),
+                                part_rows=250, repeat=1)
+    p2 = kg.kg_products_dataset(SF, ckpt_root=str(tmp_path / "r2"),
+                                part_rows=250, repeat=2)
+
+    a1 = kg.alert_nodes(SF, p1, dedup=False).count()
+    a2 = kg.alert_nodes(SF, p2, dedup=False).count()
+    assert a2 == 2 * a1
+
+    c1 = kg.cooccurrence_edges(SF, p1).to_pandas()
+    c2 = kg.cooccurrence_edges(SF, p2).to_pandas()
+    m1 = dict(zip(zip(c1.start_id, c1.end_id), c1["count"]))
+    m2 = dict(zip(zip(c2.start_id, c2.end_id), c2["count"]))
+    assert set(m1) == set(m2)
+    assert all(m2[k] == 2 * m1[k] for k in m1)
