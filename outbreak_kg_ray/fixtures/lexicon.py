@@ -121,6 +121,7 @@ LEX_N = len(MENTION_LEXICON)
 
 MESH_TYPES = {mid: mtype for mid, _, mtype, _ in ONTOLOGY}
 MESH_NAMES = {mid: name for mid, name, _, _ in ONTOLOGY}
+NAME_TO_ID = {name: mid for mid, name, _, _ in ONTOLOGY}
 
 def _assert_invariants() -> None:
     names = [name for _, name, _, _ in ONTOLOGY]

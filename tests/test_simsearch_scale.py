@@ -63,11 +63,16 @@ def test_ivf_results_subset_of_exact(ray_session):
     assert len(ivf) > 0
 
 
-def test_repeat_scales_counts_linearly(ray_session, tmp_path):
-    """Deterministic corpus replication: alert nodes scale ×repeat and
-    co-occurrence pair counts scale ×repeat exactly (each replica
-    reproduces the same per-doc pair multiset)."""
+def test_repeat_replicas_are_deterministic_variants(ray_session, tmp_path):
+    """Corpus replication (bench scale-up): each replica adds one doc
+    per base doc (shifted doc_id), the base slice is untouched, and
+    replica content follows the same closed-form mention formula."""
     from outbreak_kg_ray.pipelines import kg
+    from outbreak_kg_ray.sources.pages import (
+        REPEAT_STRIDE,
+        archive_number,
+        mention_names,
+    )
 
     p1 = kg.kg_products_dataset(SF, ckpt_root=str(tmp_path / "r1"),
                                 part_rows=250, repeat=1)
@@ -78,9 +83,24 @@ def test_repeat_scales_counts_linearly(ray_session, tmp_path):
     a2 = kg.alert_nodes(SF, p2, dedup=False).count()
     assert a2 == 2 * a1
 
-    c1 = kg.cooccurrence_edges(SF, p1).to_pandas()
-    c2 = kg.cooccurrence_edges(SF, p2).to_pandas()
-    m1 = dict(zip(zip(c1.start_id, c1.end_id), c1["count"]))
-    m2 = dict(zip(zip(c2.start_id, c2.end_id), c2["count"]))
-    assert set(m1) == set(m2)
-    assert all(m2[k] == 2 * m1[k] for k in m1)
+    e1 = kg.alert_mention_edges(SF, p1).to_pandas()
+    e2 = kg.alert_mention_edges(SF, p2).to_pandas()
+    # base-corpus edges are identical in both runs
+    base_ids = set(e1["start_id"])
+    assert set(e2[e2.start_id.isin(base_ids)].apply(tuple, axis=1)) == set(
+        e1.apply(tuple, axis=1)
+    )
+    # a replica doc's grounded names follow the synthesis formula
+    rep_doc = 7 + REPEAT_STRIDE
+    rep_curie = f"promed:{archive_number(rep_doc)}"
+    got_ids = set(e2[e2.start_id == rep_curie]["end_id"])
+    from outbreak_kg_ray.config import KG_EXCLUDE_NAMES
+    from outbreak_kg_ray.fixtures.lexicon import MESH_TYPES, NAME_TO_ID
+
+    expected = {
+        f"MESH:{NAME_TO_ID[n]}"
+        for n in mention_names(rep_doc)
+        if n not in KG_EXCLUDE_NAMES
+        and MESH_TYPES.get(NAME_TO_ID[n]) in ("disease", "pathogen", "geoloc")
+    }
+    assert got_ids == expected
