@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": relational.top_customers,
         "events_hourly": relational.events_hourly,
         "events_sliding_window": relational.events_sliding_window,
+        "order_lineitem_join": relational.order_lineitem_join,
     }
 
 
@@ -896,6 +897,13 @@ ORDER BY revenue DESC, c_custkey LIMIT 10
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    sql["order_lineitem_join"] = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
 """
 
     sql["events_sliding_window"] = """

@@ -138,6 +138,57 @@ def events_hourly(sf_dir: str):
     return out.map_batches(round6, batch_format="pyarrow")
 
 
+def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
+    """orders ⋈ lineitem revenue rollup via Ray Data's distributed
+    HASH JOIN — the big-side⋈big-side case where no side fits a
+    broadcast (contrast: top_customers broadcasts the small customer
+    table). Both inputs are column-pruned at the read; the join runs
+    with ``num_partitions`` hash partitions and the rollup groups the
+    joined stream by order priority.
+
+    → (o_orderpriority, n_items, revenue) rounded to 2 dp."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "revenue": disc}
+        )
+
+    joined = orders.join(
+        lineitem.map_batches(derive, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue", alias_name="revenue"),
+    )
+
+    def round2(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("revenue"),
+            "revenue",
+            pc.round(t.column("revenue"), 2),
+        )
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
 def events_sliding_window(sf_dir: str):
     """3-hour sliding-window aggregate per event type — the custom
     windowed operator Ray Data lacks natively, composed per
