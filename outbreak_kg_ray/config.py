@@ -79,9 +79,7 @@ LOCATION_MESH_MAPPING = {
     "Timor Leste": "Timor-Leste",
 }
 
-# Default per-stage tuning. These hold at scale because they bound
-# *per-batch* memory, not total data: a batch of 256 pages × ~4 KiB
-# text ≈ 1 MiB in flight per actor.
-EXTRACT_BATCH_SIZE = 1024
-NER_BATCH_SIZE = 256
-NER_CONCURRENCY = (2, 8)
+# Stage tuning lives with the stages: expansion/task stages use
+# per-block batches (batch_size=None — see stages/fused.py for why a
+# row-count batch size collapses task fan-out), and actor pools size
+# to the cluster via stages.ner.default_concurrency().

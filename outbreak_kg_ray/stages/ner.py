@@ -24,7 +24,7 @@ from collections.abc import Iterable
 
 import pyarrow as pa
 
-from ..config import GROUND_NS
+from ..config import GROUND_NS, NER_EXCLUDE
 from ..fixtures.lexicon import MENTION_LEXICON
 
 # Default lexicon rows: (db, id, entry_name)
@@ -59,9 +59,12 @@ class LexicalGrounder:
 
     def annotate(self, text: str) -> list[tuple[str, str, str, str, int, int]]:
         """→ [(matched_text, db, id, entry_name, start, end)] with
-        namespace-priority resolution (promed_ner.py:160-176)."""
+        namespace-priority resolution (promed_ner.py:160-176) and the
+        NER generic-surface stoplist (promed_ner.py:19,163)."""
         out = []
         for m in self._pattern.finditer(text):
+            if m.group(0) in NER_EXCLUDE:
+                continue
             db, id_, entry_name = self._by_name[m.group(0).lower()]
             # priority-order namespace walk (single-grounding case):
             for ns in GROUND_NS:
