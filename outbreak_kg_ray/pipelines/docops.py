@@ -63,6 +63,11 @@ def _variants_ds(sf_dir: str):
 
 
 def _variants_text_lookup(sf_dir: str) -> dict[int, str]:
+    """Broadcast text lookup for near-dup verification. At testdata
+    scale this is a ray.put dict; at 100 TB the verify stage instead
+    hash-joins candidate pairs back to the doc partitions so only
+    candidate texts move (see JaccardVerify docstring) — the lookup
+    indirection keeps that swap local to this function."""
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = {}
     for d, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
