@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import MESH_ID_EXCLUDE
+from outbreak_kg_ray.functions.rounding import round_half_away
 
 
 def events_triples(sf_dir: str):
@@ -146,8 +147,8 @@ def literature_pvalues(sf_dir: str, query_mesh_terms: list[str]):
             {
                 "pmid": pmid_reverse[pidx],
                 "overlap_n": len(overlap),
-                "coverage": round(len(overlap) / len(query_set), 6),
-                "pval": round(float(pval), 9),
+                "coverage": round_half_away(len(overlap) / len(query_set), 6),
+                "pval": round_half_away(float(pval), 9),
             }
         )
     df = pd.DataFrame(rows)

@@ -95,7 +95,11 @@ def realism_table(sf_dir: str):
     marker = df[(df["mesh_a"] == "") & (df["mesh_b"] == "")]
     num_alerts = int(marker["count"].iloc[0]) if len(marker) else 1
     df = df[(df["mesh_a"] != "") | (df["mesh_b"] != "")].copy()
-    df["score"] = (np.log(df["count"]) - np.log(num_alerts)).round(6)
+    from ..functions.rounding import np_round_half_away
+
+    df["score"] = np_round_half_away(
+        (np.log(df["count"]) - np.log(num_alerts)).to_numpy(), 6
+    )
     return df.sort_values(["mesh_a", "mesh_b"]).reset_index(drop=True)
 
 
@@ -110,7 +114,12 @@ def logsumexp_score(mesh_ids: list[str], score_lookup: dict, num_alerts: int):
     for t1, t2 in combinations(sorted(set(mesh_ids)), 2):
         if t1 in MESH_ID_EXCLUDE or t2 in MESH_ID_EXCLUDE:
             continue
-        if MESH_TYPES.get(t1) is None or MESH_TYPES.get(t2) is None:
+        # typed-node membership test: the reference's mesh_types comes
+        # from mesh_hierarchy_nodes.tsv which holds disease/pathogen/
+        # geoloc only (realism_score.py:38-50,82) — 'other'-typed
+        # lexicon entries (Vaccines, Case Reports, ...) are not members
+        typed = ("disease", "pathogen", "geoloc")
+        if MESH_TYPES.get(t1) not in typed or MESH_TYPES.get(t2) not in typed:
             continue
         scores[(t1, t2)] = score_lookup.get((t1, t2), -np.inf)
     if not scores:

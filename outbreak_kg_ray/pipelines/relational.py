@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from outbreak_kg_ray.functions.rounding import np_round_half_away, pa_round_half_away
 
 
 def pricing_summary(sf_dir: str):
@@ -52,7 +53,7 @@ def pricing_summary(sf_dir: str):
         for name in t.column_names:
             col = t.column(name)
             if pa.types.is_floating(col.type):
-                col = pc.round(col, 2)
+                col = pa_round_half_away(col, 2)
             cols[name] = col
         return pa.table(cols)
 
@@ -89,7 +90,7 @@ def top_customers(sf_dir: str, k: int = 10):
                 "c_name": pa.array(
                     [name_by_key.get(key1) for key1 in keys], pa.string()
                 ),
-                "revenue": pc.round(t.column("revenue"), 6),
+                "revenue": pa_round_half_away(t.column("revenue"), 6),
                 "n_orders": t.column("n_orders"),
             }
         )
@@ -132,7 +133,7 @@ def events_hourly(sf_dir: str):
         return t.set_column(
             t.column_names.index("sum_value"),
             "sum_value",
-            pc.round(t.column("sum_value"), 6),
+            pa_round_half_away(t.column("sum_value"), 6),
         )
 
     return out.map_batches(round6, batch_format="pyarrow")
@@ -183,7 +184,7 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
         return t.set_column(
             t.column_names.index("revenue"),
             "revenue",
-            pc.round(t.column("revenue"), 2),
+            pa_round_half_away(t.column("revenue"), 2),
         )
 
     return out.map_batches(round2, batch_format="pyarrow")
@@ -226,14 +227,14 @@ def events_sliding_window(sf_dir: str):
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("hour").set_index("hour")
         win_n = g["n_events"].rolling("3h").sum().astype("int64")
-        win_v = g["sv"].rolling("3h").sum().round(6)
+        win_v = np_round_half_away(g["sv"].rolling("3h").sum().to_numpy(), 6)
         return pd.DataFrame(
             {
                 "hour": g.index,
                 "event_type": g["event_type"].to_numpy(),
                 "n_events": g["n_events"].to_numpy(),
                 "window_events": win_n.to_numpy(),
-                "window_value": win_v.to_numpy(),
+                "window_value": win_v,
             }
         )
 

@@ -23,6 +23,7 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+from outbreak_kg_ray.functions.rounding import round_half_away
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 _N_HASHES = 64
@@ -339,7 +340,7 @@ class JaccardVerify:
             if j >= self.threshold:
                 keep_a.append(x)
                 keep_b.append(y)
-                sims.append(round(j, 6))
+                sims.append(round_half_away(j, 6))
         return pa.table(
             {
                 "a": pa.array(keep_a),

@@ -33,6 +33,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+from outbreak_kg_ray.functions.rounding import round_half_away
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -145,7 +146,7 @@ class ImageDecodeStage:
             n_bytes.append(len(payload))
             f_first.append(float(pixels[0]))
             f_last.append(float(pixels[-1]))
-            f_mean.append(round(float(pixels.mean()), 6))
+            f_mean.append(round_half_away(float(pixels.mean()), 6))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -186,7 +187,7 @@ class AudioFrameSampleStage:
             ids.append(mid)
             srs.append(sr)
             n_frames.append(int(frames.size))
-            means.append(round(float(frames.mean()), 6))
+            means.append(round_half_away(float(frames.mean()), 6))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from outbreak_kg_ray.functions.rounding import np_round_half_away
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.array(col.to_pylist(), dtype=np.float64)
@@ -54,7 +56,9 @@ class BruteForceTopK:
             order = np.lexsort((vec_ids, -col))[:k]
             out_q.extend([qid] * len(order))
             out_v.extend(vec_ids[order].tolist())
-            out_s.extend(np.round(col[order], 6).tolist())
+            # unrounded: global merge ranks on raw scores; rounding is
+            # the final projection in topk_merge (tie-safe vs oracle)
+            out_s.extend(col[order].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -71,7 +75,10 @@ def topk_merge(partials_ds, k: int = 10):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True],
                           kind="mergesort")
-        return g.head(k)
+        g = g.head(k).copy()
+        # round only here, half-away-from-zero (DuckDB ROUND semantics)
+        g["score"] = np_round_half_away(g["score"].to_numpy(), 6)
+        return g
 
     return partials_ds.groupby("query_id").map_groups(
         merge, batch_format="pandas"
@@ -131,7 +138,7 @@ class IVFTopK:
             order = np.lexsort((ids, -col))[: self.k]
             out_q.extend([qid] * len(order))
             out_v.extend(ids[order].tolist())
-            out_s.extend(np.round(col[order], 6).tolist())
+            out_s.extend(col[order].tolist())  # unrounded, see topk_merge
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -183,7 +190,7 @@ class CosinePairs:
                 "a": pa.array(a[keep].tolist(), pa.int64()),
                 "b": pa.array(b[keep].tolist(), pa.int64()),
                 "score": pa.array(
-                    np.round(scores[rows, cols][keep], 6).tolist(),
+                    np_round_half_away(scores[rows, cols][keep], 6).tolist(),
                     pa.float64(),
                 ),
             },

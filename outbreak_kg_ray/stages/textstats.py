@@ -11,6 +11,8 @@ import re
 
 import pyarrow as pa
 
+from outbreak_kg_ray.functions.rounding import round_half_away
+
 STOPWORDS = {"the", "a"}  # the two function words in the corpus vocab
 
 _BPEISH = re.compile(r"\w+|[^\w\s]")
@@ -68,9 +70,9 @@ def quality_batch(t: pa.Table) -> pa.Table:
         sr = s / tk if tk else 0.0
         al = (c - (tk - 1)) / tk if tk else 0.0  # chars minus separators
         score = min(tk / 100.0, 1.0) * 0.5 + sr * 0.3 + min(al / 8.0, 1.0) * 0.2
-        stop_ratio.append(round(sr, 6))
-        avg_len.append(round(al, 6))
-        scores.append(round(score, 6))
+        stop_ratio.append(round_half_away(sr, 6))
+        avg_len.append(round_half_away(al, 6))
+        scores.append(round_half_away(score, 6))
     return pa.table(
         {
             "doc_id": stats.column("doc_id"),
@@ -115,7 +117,7 @@ class LangIdStage:
                 if score > best:
                     best, best_lang = score, lang
             preds.append(best_lang)
-            confs.append(round(best, 6))
+            confs.append(round_half_away(best, 6))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

@@ -75,3 +75,31 @@ def test_realism_logsumexp_scorer(ray_session):
     scores, total, cls = logsumexp_score(ids, lookup, 100)
     assert cls in ("high", "medium", "low")
     assert total == logsumexp(list(scores.values()))
+
+
+def test_round_half_away_matches_duckdb():
+    """DuckDB ROUND is half-away-from-zero; Python round() is
+    banker's. The round-1 quality_scores hash fail (VERDICT.md) was
+    exactly this: 0.5290625 must round to 0.529063, not 0.529062."""
+    import duckdb
+    import numpy as np
+
+    from outbreak_kg_ray.functions.rounding import (
+        np_round_half_away,
+        pa_round_half_away,
+        round_half_away,
+    )
+
+    cases = [0.5290625, -0.5290625, 1.0000005, 2.5, -2.5, 0.1234565, 0.0]
+    con = duckdb.connect()
+    for x in cases:
+        expect = con.execute("SELECT round(?::DOUBLE, 6)", [x]).fetchone()[0]
+        assert round_half_away(x, 6) == expect, x
+    arr = np.array(cases)
+    got = np_round_half_away(arr, 6)
+    want = [round_half_away(x, 6) for x in cases]
+    assert got.tolist() == want
+    import pyarrow as pa
+
+    got_pa = pa_round_half_away(pa.array(cases, pa.float64()), 6)
+    assert got_pa.to_pylist() == want
