@@ -62,98 +62,43 @@ def _variants_ds(sf_dir: str):
     )
 
 
-def _variants_text_lookup(sf_dir: str) -> dict[int, str]:
-    """Broadcast text lookup for near-dup verification. At testdata
-    scale this is a ray.put dict; at 100 TB the verify stage instead
-    hash-joins candidate pairs back to the doc partitions so only
-    candidate texts move (see JaccardVerify docstring) — the lookup
-    indirection keeps that swap local to this function."""
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = {}
-    for d, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-        out[d * 2] = text
-        toks = text.split()
-        out[d * 2 + 1] = " ".join(
-            "zzz" if (i + d) % 10 == 0 else w for i, w in enumerate(toks)
-        )
-    return out
-
-
 def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
     """MinHash+LSH candidates verified by exact 3-gram Jaccard.
     Run on the deterministic variant corpus (original + mutated copy
-    per doc) so the testdata exercises real near-dup structure."""
-    import ray
+    per doc) so the testdata exercises real near-dup structure.
 
+    Verification hash-joins candidate pairs back to the (derived)
+    doc partitions — only candidate texts move; the driver never
+    holds the corpus (attach_pair_payload)."""
     pairs = dd.minhash_candidate_pairs(_variants_ds(sf_dir))
-    texts_ref = ray.put(_variants_text_lookup(sf_dir))
-    return pairs.map_batches(
-        dd.JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    joined = dd.attach_pair_payload(pairs, _variants_ds(sf_dir))
+    return dd.jaccard_verify_joined(joined, threshold=threshold)
 
 
 def ngram_jaccard_near_dups(sf_dir: str, *, threshold: float = 0.6):
     """n-gram Jaccard near-dup: exact-shingle inverted-index
     candidates (min-shingle sampled) verified by exact 3-gram
-    Jaccard."""
-    import ray
-
+    Jaccard over join-attached texts."""
     pairs = dd.ngram_candidate_pairs(_variants_ds(sf_dir))
-    texts_ref = ray.put(_variants_text_lookup(sf_dir))
-    return pairs.map_batches(
-        dd.JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    joined = dd.attach_pair_payload(pairs, _variants_ds(sf_dir))
+    return dd.jaccard_verify_joined(joined, threshold=threshold)
 
 
 def simhash_near_dups(sf_dir: str, *, max_hamming: int = 6):
-    """SimHash banded-LSH candidates verified by hamming distance."""
-    import pandas as pd
-    import ray
-
+    """SimHash banded-LSH candidates verified by hamming distance
+    against a keyed (doc_id, simhash) signature table — two hash
+    joins instead of re-deriving signatures from a broadcast corpus
+    dict. Candidate pairs are distinct (a pair colliding in several
+    16-bit bands is verified once)."""
     buckets = _variants_ds(sf_dir).map_batches(
         dd.SimHashStage, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4),
     )
-    pairs = dd._bucket_pairs(buckets.drop_columns(["simhash"]), "doc_id")
-    texts_ref = ray.put(_variants_text_lookup(sf_dir))
-
-    class HammingVerify:
-        def __init__(self):
-            texts = ray.get(texts_ref)
-            self.sig = {k: dd.simhash64(v) for k, v in texts.items()}
-
-        def __call__(self, t):
-            import pyarrow as pa
-
-            a = t.column("a").to_pylist()
-            b = t.column("b").to_pylist()
-            ka, kb, hd = [], [], []
-            for x, y in zip(a, b):
-                h = dd.hamming64(self.sig[x], self.sig[y])
-                if h <= max_hamming:
-                    ka.append(x)
-                    kb.append(y)
-                    hd.append(h)
-            return pa.table(
-                {
-                    "a": pa.array(ka, pa.int64()),
-                    "b": pa.array(kb, pa.int64()),
-                    "hamming": pa.array(hd, pa.int64()),
-                }
-            )
-
-    return pairs.map_batches(
-        HammingVerify, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 2),
+    pairs = dd.distinct_pairs(
+        dd._bucket_pairs(buckets.drop_columns(["simhash"]), "doc_id")
     )
+    sigs = dd.simhash_signature_rows(_variants_ds(sf_dir))
+    return dd.hamming_verify_joined(pairs, sigs, max_hamming=max_hamming)
 
 
 def _query_vectors(sf_dir: str, n: int = 8):
@@ -175,11 +120,9 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10):
 
 
 def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding", "label"])
-    mask = [lbl == 0 for lbl in t.column("label").to_pylist()]
-    sub_ids = [v for v, m in zip(t.column("vec_id").to_pylist(), mask) if m]
-    sub_mat = [e for e, m in zip(t.column("embedding").to_pylist(), mask) if m]
-    return ss.embedding_near_dup_pairs(
-        _embeddings(sf_dir), sub_ids, sub_mat, threshold=threshold
+    """Cosine ≥ threshold pairs (a < b) between every vector and the
+    label==0 subset, centroid-bucketed: no O(corpus) broadcast — the
+    label==0 side travels only within its own IVF clusters."""
+    return ss.embedding_near_dup_pairs_bucketed(
+        _embeddings(sf_dir), threshold=threshold
     )

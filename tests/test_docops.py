@@ -111,3 +111,78 @@ def test_bucket_pairs_cap(ray_session):
     pairs = dd._bucket_pairs(rd.from_arrow(t), "doc_id").to_pandas()
     assert len(pairs) == 64 * 63 // 2
     assert pairs["truncated"].all()
+
+
+def test_joined_verify_matches_broadcast(ray_session):
+    """The distributed hash-join verify path must agree pair-for-pair
+    with the broadcast-dict verify on the same candidates (round-1
+    VERDICT #2: the join is the default, driver-corpus-free path)."""
+    import ray
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota nu"),
+        (4, "completely unrelated text with other tokens inside it here"),
+    ]
+    docs = _docs_ds(rows)
+    pairs = dd.minhash_candidate_pairs(docs)
+    joined = dd.attach_pair_payload(pairs, _docs_ds(rows), num_partitions=2)
+    got = (
+        dd.jaccard_verify_joined(joined, threshold=0.5)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    texts = {r[0]: r[1] for r in rows}
+    want = (
+        dd.minhash_candidate_pairs(_docs_ds(rows))
+        .map_batches(
+            dd.JaccardVerify,
+            fn_constructor_kwargs={"texts_ref": ray.put(texts), "threshold": 0.5},
+            batch_format="pyarrow", concurrency=1,
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert got[["a", "b", "jaccard"]].values.tolist() == \
+        want[["a", "b", "jaccard"]].values.tolist()
+    assert (1, 2) in set(zip(got["a"], got["b"]))
+
+
+def test_hamming_verify_joined(ray_session):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "entirely different content about distributed stream engines"),
+    ]
+    docs = _docs_ds(rows)
+    import ray.data as rd
+    import pyarrow as pa
+
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1], pa.int64()),
+        "b": pa.array([2, 3], pa.int64()),
+    }))
+    sigs = dd.simhash_signature_rows(docs)
+    out = dd.hamming_verify_joined(
+        pairs, sigs, max_hamming=10, num_partitions=2
+    ).to_pandas()
+    kept = set(zip(out["a"], out["b"]))
+    assert (1, 2) in kept           # one-token delta: small hamming
+    assert (1, 3) not in kept       # unrelated: large hamming
+    h = dd.hamming64(dd.simhash64(rows[0][1]), dd.simhash64(rows[1][1]))
+    assert out.set_index(["a", "b"]).loc[(1, 2), "hamming"] == h
+
+
+def test_no_driver_corpus_lookup_in_docops():
+    """Regression guard: the near-dup pipelines must not read the
+    documents table to the driver (the removed _variants_text_lookup
+    pattern)."""
+    import inspect
+
+    from outbreak_kg_ray.pipelines import docops
+
+    src = inspect.getsource(docops)
+    assert "_variants_text_lookup" not in src
+    for fn in ("minhash_near_dups", "ngram_jaccard_near_dups",
+               "simhash_near_dups"):
+        fsrc = inspect.getsource(getattr(docops, fn))
+        assert "pq.read_table" not in fsrc and "to_pylist" not in fsrc, fn

@@ -104,3 +104,42 @@ def test_repeat_replicas_are_deterministic_variants(ray_session, tmp_path):
         and MESH_TYPES.get(NAME_TO_ID[n]) in ("disease", "pathogen", "geoloc")
     }
     assert got_ids == expected
+
+
+def test_bucketed_near_dup_matches_exact(ray_session):
+    """Centroid-bucketed near-dup (nprobe=6/16) must reproduce the
+    exact all-pairs result on the testdata distribution — same pairs,
+    same rounded scores (round-1 VERDICT #6: broadcast side must be
+    bounded by cluster size, not O(corpus))."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages import simsearch as ss
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    got = (
+        ss.embedding_near_dup_pairs_bucketed(ds, threshold=0.35)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = ss._normalize(np.array(t.column("embedding").to_pylist(), float))
+    lbl = np.array(t.column("label").to_pylist())
+    sub = lbl == 0
+    scores = emb @ emb[sub].T
+    rows, cols = np.where(scores >= 0.35)
+    a, b = ids[rows], ids[sub][cols]
+    keep = a < b
+    import pandas as pd
+
+    from outbreak_kg_ray.functions.rounding import np_round_half_away
+
+    want = pd.DataFrame({
+        "a": a[keep], "b": b[keep],
+        "score": np_round_half_away(scores[rows, cols][keep], 6),
+    }).sort_values(["a", "b"]).reset_index(drop=True)
+    assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+    assert got["score"].values.tolist() == want["score"].values.tolist()
