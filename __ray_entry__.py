@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "direct_relations": serving.direct_relations,
         "comention_alerts": serving.comention_alerts,
         "isa_closure": serving.isa_closure,
+        "alerts_by_facet": lambda sf: serving.alerts_by_facet(
+            sf, disease="Influenza", geolocation="Asia"
+        ),
+        "alerts_by_symptom": lambda sf: serving.alerts_by_facet(
+            sf, symptom="MESH:D003371"
+        ),
         "autocomplete_terms": serving.autocomplete_terms,
         "dedup_pages": dedup_pages_q,
         # --- multimodal binary-column stages (decode stubbed) ---
@@ -727,6 +733,72 @@ closure(start_id, end_id, depth) AS (
   FROM closure c JOIN isa i ON c.end_id = i.s
 )
 SELECT start_id, 'isa_closure' AS rel_type, end_id, depth FROM closure
+"""
+
+    sql["alerts_by_facet"] = f"""
+WITH RECURSIVE isa(s, e) AS (
+  SELECT start_id, end_id FROM ({sql["mesh_hierarchy_edges"]})
+  UNION ALL
+  SELECT start_id, end_id FROM ({sql["geoname_edges"]})
+),
+closure(s, e) AS (
+  SELECT s, e FROM isa
+  UNION ALL
+  SELECT c.s, i.e FROM closure c JOIN isa i ON c.e = i.s
+),
+ddis(c) AS (
+  SELECT 'MESH:D007251'
+  UNION SELECT s FROM closure WHERE e = 'MESH:D007251'
+),
+dgeo(c) AS (
+  SELECT 'MESH:D001104'
+  UNION SELECT s FROM closure WHERE e = 'MESH:D001104'
+),
+ments AS (
+  {_kg_prefix()}
+  SELECT DISTINCT 'promed:' || archive AS alert_id,
+         'MESH:' || mesh_id AS curie, mtype
+  FROM dment WHERE name NOT IN ({_excl_list()})
+),
+alerts AS ({sql["alert_nodes"]})
+SELECT d.alert_id, a.timestamp, d.curie AS disease_curie,
+       g.curie AS geolocation_curie
+FROM (SELECT alert_id, curie FROM ments
+      WHERE mtype = 'disease' AND curie IN (SELECT c FROM ddis)) d
+JOIN (SELECT alert_id, curie FROM ments
+      WHERE mtype = 'geoloc' AND curie IN (SELECT c FROM dgeo)) g
+  USING (alert_id)
+JOIN alerts a ON a.curie = d.alert_id
+"""
+
+    sql["alerts_by_symptom"] = f"""
+WITH RECURSIVE rel(s, e) AS (
+  SELECT start_id, end_id FROM ({sql["mesh_hierarchy_edges"]})
+  UNION ALL
+  SELECT start_id, end_id FROM ({sql["geoname_edges"]})
+  UNION ALL
+  SELECT start_id, end_id FROM ({sql["disease_phenotype_edges"]})
+),
+closure(s, e) AS (
+  SELECT s, e FROM rel
+  UNION ALL
+  SELECT c.s, r.e FROM closure c JOIN rel r ON c.e = r.s
+),
+dsym(c) AS (
+  SELECT 'MESH:D003371'
+  UNION SELECT s FROM closure WHERE e = 'MESH:D003371'
+),
+ments AS (
+  {_kg_prefix()}
+  SELECT DISTINCT 'promed:' || archive AS alert_id,
+         'MESH:' || mesh_id AS curie, mtype
+  FROM dment WHERE name NOT IN ({_excl_list()})
+),
+alerts AS ({sql["alert_nodes"]})
+SELECT s.alert_id, a.timestamp, s.curie AS symptom_curie
+FROM (SELECT alert_id, curie FROM ments
+      WHERE mtype = 'disease' AND curie IN (SELECT c FROM dsym)) s
+JOIN alerts a ON a.curie = s.alert_id
 """
 
     sql["autocomplete_terms"] = f"""

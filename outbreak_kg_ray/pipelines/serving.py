@@ -142,6 +142,160 @@ def isa_closure(sf_dir: str):
     return rd.from_arrow(isa_closure_table())
 
 
+_FACET_TYPES = {
+    "disease": "disease",
+    "geolocation": "geoloc",
+    "pathogen": "pathogen",
+    "symptom": "disease",
+}
+
+
+def resolve_curie(query: str) -> str | None:
+    """Name-or-curie → curie (reference get_curie via the trie lookup,
+    kg/client.py:127-140: a facet that fails to resolve empties the
+    whole query)."""
+    if ":" in query:
+        return query
+    mid = lex.NAME_TO_ID.get(query)
+    return f"MESH:{mid}" if mid else None
+
+
+def facet_descendants(target_curie: str, *,
+                      include_phenotype: bool = False) -> set[str]:
+    """All curies that reach ``target_curie`` via 0+ ``isa`` hops
+    (``isa*0..`` in the reference Cypher, kg/client.py:138-177);
+    with ``include_phenotype`` the edge set also includes
+    ``has_phenotype`` (the symptom facet's ``has_phenotype|isa*0..``).
+
+    Computed by reverse BFS over the vocabulary-bounded ontology edge
+    tables on the driver and broadcast into the mention-edge filter —
+    the corpus-scale scan stays distributed."""
+    from collections import defaultdict
+
+    from .kg import (
+        disease_phenotype_edges_table,
+        geoname_edges_table,
+        mesh_hierarchy_edges_table,
+    )
+
+    tables = [mesh_hierarchy_edges_table(), geoname_edges_table()]
+    if include_phenotype:
+        tables.append(disease_phenotype_edges_table())
+    children: dict[str, list[str]] = defaultdict(list)
+    for t in tables:
+        for s, e in zip(t.column("start_id").to_pylist(),
+                        t.column("end_id").to_pylist()):
+            children[e].append(s)
+    out = {target_curie}
+    stack = [target_curie]
+    while stack:
+        for c in children.get(stack.pop(), []):
+            if c not in out:
+                out.add(c)
+                stack.append(c)
+    return out
+
+
+def alerts_by_facet(sf_dir: str, *, disease: str | None = None,
+                    geolocation: str | None = None,
+                    pathogen: str | None = None,
+                    symptom: str | None = None,
+                    timestamp: str | None = None,
+                    limit: int | None = None,
+                    num_partitions: int = 8):
+    """Faceted alert search — the reference's ``/v1/alerts`` workhorse
+    (kg/client.py:118-193 query_graph; route kg/api.py:26-38).
+
+    Per facet: the alert must mention a node of the facet's type whose
+    ``isa*0..`` closure reaches the query curie (symptom: closure over
+    ``has_phenotype|isa``). Facets are independent MATCH clauses in
+    the Cypher, so multiple facets cross-product per alert — this is
+    reproduced by inner hash joins on alert_id. One row per distinct
+    (alert, facet node, ...) combination.
+
+    Output: (alert_id, timestamp, {facet}_curie...). Rows are already
+    distinct — mention edges are distinct per (alert, curie) and each
+    join key is the alert — so no extra dedup shuffle is spent.
+
+    Deviation (documented): the reference's symptom endpoint carries a
+    ``:disease`` label check on the closure TARGET; phenotype IDs are
+    not nodes in the fixture ontology, so the endpoint label check is
+    dropped (the matched MENTION node is still type-checked)."""
+    from .kg import alert_mention_edges, alert_nodes
+
+    requested = [
+        ("disease", disease), ("geolocation", geolocation),
+        ("pathogen", pathogen), ("symptom", symptom),
+    ]
+    facet_members: list[tuple[str, pa.Array]] = []
+    for fname, q in requested:
+        if q is None:
+            continue
+        target = resolve_curie(q)
+        if target is None:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table({"alert_id": pa.array([], pa.string())})
+            )
+        desc = facet_descendants(
+            target, include_phenotype=(fname == "symptom")
+        )
+        ty = _FACET_TYPES[fname]
+        members = pa.array(sorted(
+            c for c in desc
+            if lex.MESH_TYPES.get(c.split(":", 1)[1]) == ty
+        ))
+        facet_members.append((fname, members))
+
+    edges = alert_mention_edges(sf_dir)
+
+    def facet_rows(fname: str, members: pa.Array):
+        col = f"{fname}_curie"
+
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("end_id"), value_set=members))
+            return pa.table(
+                {"alert_id": t.column("start_id"), col: t.column("end_id")}
+            )
+
+        return edges.map_batches(f, batch_format="pyarrow")
+
+    result = None
+    for fname, members in facet_members:
+        fds = facet_rows(fname, members)
+        result = fds if result is None else result.join(
+            fds, "inner", num_partitions, on=("alert_id",)
+        )
+
+    alerts = alert_nodes(sf_dir).select_columns(
+        ["curie", "timestamp"]
+    ).rename_columns({"curie": "alert_id"})
+    if result is None:
+        # no facet: DISTINCT alerts that mention anything
+        from .kg import distinct
+
+        mentioned = distinct(
+            edges.select_columns(["start_id"]), ["start_id"]
+        ).rename_columns({"start_id": "alert_id"})
+        result = mentioned.join(alerts, "inner", num_partitions,
+                                on=("alert_id",))
+    else:
+        result = result.join(alerts, "inner", num_partitions,
+                             on=("alert_id",))
+    if timestamp is not None:
+        result = result.filter(
+            expr=f"timestamp == '{timestamp}'"
+        )
+    ordered = ["alert_id", "timestamp"] + [
+        f"{f}_curie" for f, _ in facet_members
+    ]
+    result = result.select_columns(ordered)
+    if limit is not None:
+        result = result.sort(ordered).limit(limit)
+    return result
+
+
 def autocomplete_terms(sf_dir: str):
     """Autocomplete lookup rows (kg/get_lookups.py:4-61 /
     kg/nodes_trie.py): (key, curie, labels) with case-insensitive

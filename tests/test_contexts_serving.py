@@ -71,3 +71,41 @@ def test_isa_closure_contains_parents_and_grandparents():
         if p in parent:
             assert (s, parent[p]) in pairs
     assert isinstance(t, pa.Table)
+
+
+def test_facet_descendants_closure():
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    # isa*0..: target itself plus strict descendants
+    d = sv.facet_descendants("MESH:D007251")  # Influenza
+    assert "MESH:D007251" in d and "MESH:D005585" in d  # Avian Influenza child
+    g = sv.facet_descendants("MESH:D001104")  # Asia
+    assert {"MESH:D001104", "MESH:D014744", "MESH:D007194",
+            "MESH:D002681", "MESH:D007564"} <= g
+    # symptom closure walks has_phenotype|isa: Cough <- Influenza <- Avian
+    s = sv.facet_descendants("MESH:D003371", include_phenotype=True)
+    assert "MESH:D007251" in s and "MESH:D005585" in s
+
+
+def test_alerts_by_facet_uses_closure(ray_session):
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    sf = "/root/testdata/sf0.001"
+    df = sv.alerts_by_facet(sf, disease="Influenza").to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"alert_id", "timestamp", "disease_curie"}
+    # the isa* closure must surface child-term mentions, not only exact
+    assert "MESH:D005585" in set(df["disease_curie"])
+    # unresolvable facet empties the query (reference get_curie -> [])
+    empty = sv.alerts_by_facet(sf, disease="No Such Disease").to_pandas()
+    assert len(empty) == 0
+
+
+def test_alerts_by_facet_limit_deterministic(ray_session):
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    sf = "/root/testdata/sf0.001"
+    a = sv.alerts_by_facet(sf, geolocation="Asia", limit=5).to_pandas()
+    b = sv.alerts_by_facet(sf, geolocation="Asia", limit=5).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) == 5
