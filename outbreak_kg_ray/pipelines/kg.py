@@ -122,9 +122,9 @@ def _pa_distinct(t: pa.Table, cols: list[str]) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def alert_nodes(sf_dir: str, products=None, *, dedup: bool = True):
-    """(promed:archive, archive, timestamp, 'alert') — timestamp via
-    broadcast outbreak-date lookup (J1, kg/build.py:165-170)."""
-    lookup = tbl.outbreak_date_lookup(sf_dir)
+    """(promed:archive, archive, timestamp, 'alert') — J1 timestamp
+    derived closed-form per batch (kg/build.py:165-170); no O(corpus)
+    broadcast dict rides in the task closure (round-1 VERDICT #4)."""
 
     def to_nodes(t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_pylist()
@@ -132,7 +132,9 @@ def alert_nodes(sf_dir: str, products=None, *, dedup: bool = True):
             {
                 "curie": [f"promed:{d}" for d in doc_ids],
                 "name": doc_ids,
-                "timestamp": [lookup.get(d, "") for d in doc_ids],
+                "timestamp": [
+                    tbl.outbreak_date_for_archive(d) for d in doc_ids
+                ],
                 "labels": ["alert"] * len(doc_ids),
             }
         )
@@ -188,42 +190,57 @@ def alert_mention_edges(sf_dir: str, products=None, *, dedup: bool = True):
 # outbreak nodes + alert→outbreak edges (kg/build.py:136-156)
 # ---------------------------------------------------------------------------
 
-def outbreak_nodes_table(sf_dir: str) -> pa.Table:
-    t = tbl.outbreaks_table(sf_dir)
-    out = pa.table(
-        {
-            "curie": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
-            "name": t.column("outbreakName"),
-            "labels": ["outbreak"] * len(t),
-        }
-    )
-    return _pa_distinct(out, ["curie", "name", "labels"])
-
-
 def outbreak_nodes(sf_dir: str):
-    import ray.data as rd
+    """Distinct outbreak nodes from the (synthesized) catalog stream.
+    The catalog is scanned distributed and collapses to the tiny
+    outbreak id set via a distinct shuffle of (curie, name) pairs —
+    never a driver-side per-doc materialization."""
 
-    return rd.from_arrow(outbreak_nodes_table(sf_dir))
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "curie": [
+                    f"outbreak:{i}" for i in t.column("ID").to_pylist()
+                ],
+                "name": t.column("outbreakName"),
+                "labels": ["outbreak"] * len(t),
+            }
+        )
 
-
-def alert_outbreak_edges_table(sf_dir: str) -> pa.Table:
-    t = tbl.outbreaks_table(sf_dir)
-    out = pa.table(
-        {
-            "start_id": [
-                f"promed:{a}" for a in t.column("archiveNumber").to_pylist()
-            ],
-            "rel_type": ["has_outbreak"] * len(t),
-            "end_id": [f"outbreak:{i}" for i in t.column("ID").to_pylist()],
-        }
+    ds = tbl.outbreaks_dataset(sf_dir).map_batches(
+        to_nodes, batch_format="pyarrow"
     )
-    return _pa_distinct(out, ["start_id", "rel_type", "end_id"])
+    return distinct(ds, ["curie", "name", "labels"])
 
 
-def alert_outbreak_edges(sf_dir: str):
-    import ray.data as rd
+def alert_outbreak_edges(sf_dir: str, *, dedup: bool = True):
+    """(promed:archive, has_outbreak, outbreak:id) — one row per
+    catalog entry, streamed. Rows are unique by construction (one
+    catalog row per doc, archives unique), so callers that union
+    into the canonical table pass ``dedup=False`` and skip the
+    corpus-scale distinct shuffle; the standalone query keeps the
+    reference's set-dedup semantics."""
 
-    return rd.from_arrow(alert_outbreak_edges_table(sf_dir))
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start_id": [
+                    f"promed:{a}"
+                    for a in t.column("archiveNumber").to_pylist()
+                ],
+                "rel_type": ["has_outbreak"] * len(t),
+                "end_id": [
+                    f"outbreak:{i}" for i in t.column("ID").to_pylist()
+                ],
+            }
+        )
+
+    ds = tbl.outbreaks_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow"
+    )
+    if not dedup:
+        return ds
+    return distinct(ds, ["start_id", "rel_type", "end_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -719,15 +736,17 @@ def _conform_table(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.table(cols, schema=schema)
 
 
-def static_node_table(sf_dir: str) -> pa.Table:
-    """All small-side node tables (ontology / WDI / geonames /
-    outbreak catalog) concatenated driver-side — one broadcast Arrow
-    table instead of seven Dataset branches in the canonical union."""
+def static_node_table() -> pa.Table:
+    """Fixture-sized node tables (ontology / WDI / geonames)
+    concatenated driver-side — one broadcast Arrow table instead of
+    several Dataset branches in the canonical union. The outbreak
+    catalog is NOT here: its synthesized analog is corpus-derived, so
+    outbreak nodes stream through the distributed ``outbreak_nodes``
+    distinct instead."""
     return pa.concat_tables(
         [
             _conform_table(t, _NODE_SCHEMA)
             for t in (
-                outbreak_nodes_table(sf_dir),
                 mesh_hierarchy_nodes_table(),
                 indicator_nodes_table("health"),
                 indicator_nodes_table("dev"),
@@ -737,12 +756,13 @@ def static_node_table(sf_dir: str) -> pa.Table:
     )
 
 
-def static_edge_table(sf_dir: str) -> pa.Table:
+def static_edge_table() -> pa.Table:
+    """Fixture-sized edge tables; alert→outbreak edges are
+    corpus-scale and stream separately (see canonical_edges)."""
     return pa.concat_tables(
         [
             _conform_table(t, _EDGE_SCHEMA)
             for t in (
-                alert_outbreak_edges_table(sf_dir),
                 mesh_hierarchy_edges_table(),
                 pathogen_disease_edges_table(),
                 disease_phenotype_edges_table(),
@@ -836,15 +856,19 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
         [
             _conform_table(t, _NODE_SCHEMA)
             for t in (
-                outbreak_nodes_table(sf_dir),
                 indicator_nodes_table("health"),
                 indicator_nodes_table("dev"),
                 geoname_nodes_table(),
             )
         ]
     )
+    outbreaks = _conform(outbreak_nodes(sf_dir), _NODE_SCHEMA)
     alerts = _conform(alert_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA)
-    return alerts.union(merged_mesh).union(rd.from_arrow(static_nonmesh))
+    return (
+        alerts.union(merged_mesh)
+        .union(outbreaks)
+        .union(rd.from_arrow(static_nonmesh))
+    )
 
 
 def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None):
@@ -870,8 +894,11 @@ def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None)
         _conform(
             alert_mention_edges(sf_dir, products, dedup=False), _EDGE_SCHEMA
         ),
+        _conform(
+            alert_outbreak_edges(sf_dir, dedup=False), _EDGE_SCHEMA
+        ),
         _conform(cooccurrence_edges(sf_dir, products), _EDGE_SCHEMA),
-        rd.from_arrow(static_edge_table(sf_dir)),
+        rd.from_arrow(static_edge_table()),
     ]
     unioned = parts[0]
     for p in parts[1:]:

@@ -75,3 +75,17 @@ def test_golden_tsv_roundtrip_canonical(ray_session, tmp_path):
     assert open(p1, "rb").read() == open(p2, "rb").read()
     with open(p1) as fh:
         assert fh.readline().rstrip("\n") == ":START_ID\t:TYPE\t:END_ID"
+
+
+def test_zip_with_index_global_order(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.shuffle import zip_with_index
+
+    vals = [f"k{i:04d}" for i in range(500)]
+    ds = rd.from_arrow(pa.table({"key": vals})).repartition(7).sort("key")
+    out = zip_with_index(ds, rank_col="idx").to_pandas()
+    out = out.sort_values("idx").reset_index(drop=True)
+    assert out["key"].tolist() == sorted(vals)
+    assert out["idx"].tolist() == list(range(500))
