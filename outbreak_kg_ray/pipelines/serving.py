@@ -150,14 +150,42 @@ _FACET_TYPES = {
 }
 
 
+_query_grounder_cache = None
+
+
+def _query_grounder():
+    """Grounder over the MESH ontology + geonames fixture names — the
+    engine's analog of the reference custom grounder
+    (kg/client.py:323-365: generate_mesh_terms + geoname_nodes.tsv,
+    normalized through the Gilda chain). MESH rows enter first so a
+    name shared by both namespaces resolves to MESH (M15 priority)."""
+    global _query_grounder_cache
+    if _query_grounder_cache is None:
+        from ..stages.ner import LexicalGrounder
+
+        rows: list[tuple[str, str, str]] = [
+            ("MESH", mid, name) for mid, name, _t, _p in lex.ONTOLOGY
+        ]
+        seen = {name.lower() for _db, _id, name in rows}
+        for curie, name, _pc, _pn in lex.GEONAME_TERMS:
+            if name.lower() in seen:
+                continue  # MESH wins on shared names (GROUND_NS order)
+            seen.add(name.lower())
+            db, id_ = curie.split(":", 1)
+            rows.append((db, id_, name))
+        _query_grounder_cache = LexicalGrounder(rows)
+    return _query_grounder_cache
+
+
 def resolve_curie(query: str) -> str | None:
-    """Name-or-curie → curie (reference get_curie via the trie lookup,
-    kg/client.py:127-140: a facet that fails to resolve empties the
+    """Name-or-curie → curie (reference get_curie,
+    kg/client.py:366-379: curies pass through; names ground via the
+    normalization chain; a facet that fails to resolve empties the
     whole query)."""
     if ":" in query:
         return query
-    mid = lex.NAME_TO_ID.get(query)
-    return f"MESH:{mid}" if mid else None
+    hit = _query_grounder().ground_name(query)
+    return f"{hit[0]}:{hit[1]}" if hit else None
 
 
 def facet_descendants(target_curie: str, *,

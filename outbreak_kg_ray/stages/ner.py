@@ -44,26 +44,56 @@ class LexicalGrounder:
     """
 
     def __init__(self, lexicon: Iterable[tuple[str, str, str]] | None = None):
+        from ..functions.normalize import norm_key
+
         rows = list(lexicon) if lexicon is not None else DEFAULT_LEXICON
         self._by_name: dict[str, tuple[str, str, str]] = {}
+        self._by_norm: dict[str, tuple[str, str, str]] = {}
         for db, id_, name in rows:
             key = name.lower()
             if key in self._by_name:
                 raise ValueError(f"duplicate lexicon name: {name!r}")
             self._by_name[key] = (db, id_, name)
+            # M12 normalized key (dash/greek/roman chain,
+            # kg/client.py:344-350). Collisions keep the FIRST lexicon
+            # entry (deterministic fixed lexicon order — the T5
+            # replacement for Gilda's score-ranked matches[0]).
+            self._by_norm.setdefault(norm_key(name), (db, id_, name))
         names = sorted(self._by_name, key=len, reverse=True)
         alternation = "|".join(re.escape(n) for n in names)
         self._pattern = re.compile(
             rf"(?<!\w)(?:{alternation})(?!\w)", re.IGNORECASE
         )
+        self._exclude_lower = {x.lower() for x in NER_EXCLUDE}
+
+    def ground_name(self, query: str) -> tuple[str, str, str] | None:
+        """Whole-name grounding through the M12 normalization chain
+        (kg/client.py:344-365 get_curie): '<db>:<id>' entry for a
+        surface form, tolerant of dash variants, Greek
+        unicode/spelled-out letters and roman numerals. Exact
+        lowercase matches win first (cheapest), then the normalized
+        key. Never used in the NER text scan — the annotate() byte
+        contract is untouched."""
+        from ..functions.normalize import norm_key
+
+        hit = self._by_name.get(query.lower())
+        if hit is not None:
+            return hit
+        return self._by_norm.get(norm_key(query))
 
     def annotate(self, text: str) -> list[tuple[str, str, str, str, int, int]]:
         """→ [(matched_text, db, id, entry_name, start, end)] with
         namespace-priority resolution (promed_ner.py:160-176) and the
-        NER generic-surface stoplist (promed_ner.py:19,163)."""
+        NER generic-surface stoplist (promed_ner.py:19,163).
+
+        Deviation (documented): the reference defines EXCLUDE but
+        never applies it; this engine applies it case-insensitively
+        (the pattern matches case-insensitively, so a case-sensitive
+        check would be a silent hole). Currently no lexicon name is
+        stoplisted, so behavior is identical."""
         out = []
         for m in self._pattern.finditer(text):
-            if m.group(0) in NER_EXCLUDE:
+            if m.group(0).lower() in self._exclude_lower:
                 continue
             db, id_, entry_name = self._by_name[m.group(0).lower()]
             # priority-order namespace walk (single-grounding case):

@@ -73,3 +73,49 @@ def test_ner_stage_mentions_mode_spans():
     ]
     m = out[1]
     assert m["text"] == "Kenya" and m["start"] == 9 and m["end"] == 14
+
+
+def test_normalization_chain_rules():
+    """Each M12 rule in isolation (kg/client.py:345-350 chain)."""
+    from outbreak_kg_ray.functions import normalize as nz
+
+    assert nz.replace_dashes("a–b‑c-d") == "a b c d"
+    assert nz.replace_greek_uni("α-synuclein") == "alpha-synuclein"
+    assert nz.replace_greek_latin("Influenza Alpha Virus") == "Influenza a Virus"
+    assert nz.replace_greek_latin("alphabet soup") == "alphabet soup"  # \b guard
+    assert nz.replace_roman_arabic("Type II Fever") == "Type 2 Fever"
+    assert nz.replace_roman_arabic("X marks") == "X marks"  # leading token kept
+    assert nz.normalize("  A   B\tC ") == "a b c"
+    # full chain
+    assert nz.norm_key("Influenza‑Α  Virus") == "influenza a virus"
+
+
+def test_ground_name_normalized_variants():
+    from outbreak_kg_ray.stages.ner import LexicalGrounder
+
+    g = LexicalGrounder()
+    want = ("MESH", "D009980", "Influenza A Virus")
+    assert g.ground_name("influenza a virus") == want
+    assert g.ground_name("Influenza‐A Virus") == want       # unicode dash
+    assert g.ground_name("Influenza Α Virus") == want       # greek unicode
+    assert g.ground_name("Influenza Alpha Virus") == want        # spelled out
+    assert g.ground_name("no such entity") is None
+    # roman<->arabic needs a numbered name: custom lexicon row
+    g2 = LexicalGrounder([("MESH", "D999999", "Type 2 Fever")])
+    assert g2.ground_name("Type II Fever") == ("MESH", "D999999", "Type 2 Fever")
+
+
+def test_resolve_curie_grounds_names_and_geonames():
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    assert sv.resolve_curie("MESH:D007251") == "MESH:D007251"  # passthrough
+    assert sv.resolve_curie("Influenza") == "MESH:D007251"
+    assert sv.resolve_curie("influenza") == "MESH:D007251"
+    assert sv.resolve_curie("Not A Place") is None
+    # a geonames-only fixture name resolves to its geonames curie
+    from outbreak_kg_ray.fixtures.lexicon import GEONAME_TERMS, NAME_TO_ID
+
+    geo_only = next(
+        (c, n) for c, n, _pc, _pn in GEONAME_TERMS if n not in NAME_TO_ID
+    )
+    assert sv.resolve_curie(geo_only[1]) == geo_only[0]
