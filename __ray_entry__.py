@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- serving-side graph queries (kg/client.py / kg/api.py) ---
         "direct_relations": serving.direct_relations,
         "comention_alerts": serving.comention_alerts,
+        "text_relations_direct": serving.text_relations_direct,
+        "text_relations_alerts": serving.text_relations_alerts,
         "isa_closure": serving.isa_closure,
         "alerts_by_facet": lambda sf: serving.alerts_by_facet(
             sf, disease="Influenza", geolocation="Asia"
@@ -713,6 +715,32 @@ grouped AS (
          count(DISTINCT end_id) AS n_entities,
          string_agg(DISTINCT end_id, ';' ORDER BY end_id) AS entities
   FROM edges WHERE end_id IN ({_q_list})
+  GROUP BY start_id
+  HAVING count(DISTINCT end_id) >= 2
+)
+SELECT alert_id, n_entities, entities FROM grouped
+ORDER BY n_entities DESC, alert_id LIMIT 500
+"""
+
+    # /v1/text_relations components: the annotation curie set is a
+    # deterministic function of the fixed demo text (grounder over the
+    # fixture lexicon), so it is computed here and inlined.
+    from outbreak_kg_ray.pipelines.serving import text_relations_curies
+
+    _tr_list = ", ".join(f"'{c}'" for c in text_relations_curies())
+
+    sql["text_relations_direct"] = f"""
+SELECT * FROM ({sql["canonical_edges"]})
+WHERE start_id IN ({_tr_list}) AND end_id IN ({_tr_list})
+"""
+
+    sql["text_relations_alerts"] = f"""
+WITH edges AS ({sql["alert_mention_edges"]}),
+grouped AS (
+  SELECT start_id AS alert_id,
+         count(DISTINCT end_id) AS n_entities,
+         string_agg(DISTINCT end_id, ';' ORDER BY end_id) AS entities
+  FROM edges WHERE end_id IN ({_tr_list})
   GROUP BY start_id
   HAVING count(DISTINCT end_id) >= 2
 )

@@ -142,6 +142,53 @@ def isa_closure(sf_dir: str):
     return rd.from_arrow(isa_closure_table())
 
 
+class PrefixIndex:
+    """Case-insensitive prefix search over autocomplete rows — the
+    engine's NodesTrie (kg/nodes_trie.py:20-39; result cap 100 per
+    autocomplete_blueprint.py:18). pytrie's
+    ``SortedStringTrie.values(prefix)`` yields values in sorted key
+    order; a bisect over the sorted key array gives the identical
+    contract in O(log n + k) without the pytrie dependency.
+
+    Like the reference trie (built driver-side from the lookups
+    pickle, kg/get_lookups.py), this is an in-RAM SERVING artifact:
+    it is assembled once from the distributed ``autocomplete_terms``
+    output and queried point-wise, never used inside a data
+    pipeline."""
+
+    def __init__(self, rows: list[tuple[str, str, str]]):
+        rows = sorted(rows)  # (key, curie, labels) — key already lower
+        self._keys = [r[0] for r in rows]
+        self._rows = rows
+
+    def search(self, prefix: str, top_n: int = 100
+               ) -> list[tuple[str, str, str]]:
+        """All (key, curie, labels) whose key starts with the
+        lowercased prefix, in sorted key order, capped at top_n —
+        NodesTrie.case_insensitive_search semantics."""
+        from bisect import bisect_left
+
+        prefix = prefix.lower()
+        out = []
+        i = bisect_left(self._keys, prefix)
+        while i < len(self._keys) and len(out) < top_n:
+            if not self._keys[i].startswith(prefix):
+                break
+            out.append(self._rows[i])
+            i += 1
+        return out
+
+
+def build_prefix_index(sf_dir: str) -> PrefixIndex:
+    """autocomplete_terms rows → PrefixIndex (collision suffixes and
+    ordering come from the distributed pipeline; this is only the
+    final in-RAM assembly)."""
+    df = autocomplete_terms(sf_dir).to_pandas()
+    return PrefixIndex(
+        list(zip(df["key"], df["curie"], df["labels"]))
+    )
+
+
 _FACET_TYPES = {
     "disease": "disease",
     "geolocation": "geoloc",
@@ -369,3 +416,94 @@ def autocomplete_terms(sf_dir: str, *, num_partitions: int = 8):
 
     suffixed = coll.groupby("key").map_groups(suffix, batch_format="pandas")
     return uniq.union(suffixed).select_columns(["key", "curie", "labels"])
+
+
+# ---------------------------------------------------------------------------
+# /v1/text_relations — annotate free text, then relate the grounded
+# entities (kg/client.py:195-283 annotate_text_query)
+# ---------------------------------------------------------------------------
+
+DEMO_TEXT = (
+    "An outbreak of Cholera caused by Vibrio Cholerae was confirmed in "
+    "Nigeria, while Dengue and Malaria cases were reported across "
+    "Brazil and India."
+)
+
+
+def annotate_text(text: str) -> list[dict]:
+    """Free text → [{text, name, curie, type}] via the lexical
+    grounder (kg/client.py:197-216: gilda.annotate over
+    MESH/geonames, type from the is_disease/is_geoloc/is_pathogen
+    predicates — here the MESH_TYPES lookup, 'other' as fallback)."""
+    from ..stages.ner import LexicalGrounder
+
+    grounder = LexicalGrounder()
+    out = []
+    for txt, db, id_, name, _s, _e in grounder.annotate(text):
+        out.append(
+            {
+                "text": txt,
+                "name": name,
+                "curie": f"{db}:{id_}",
+                "type": lex.MESH_TYPES.get(id_, "other"),
+            }
+        )
+    return out
+
+
+def text_relations_curies(text: str = DEMO_TEXT) -> list[str]:
+    """Sorted distinct curie set of the annotations
+    (kg/client.py:217) — deterministic for a fixed text, so the
+    DuckDB oracle can inline it."""
+    return sorted({a["curie"] for a in annotate_text(text)})
+
+
+def text_relations_direct(sf_dir: str, text: str = DEMO_TEXT):
+    """'direct' component: every canonical edge whose BOTH endpoints
+    are grounded in the text (kg/client.py:222-236) — J7 with the
+    annotation-derived curie set."""
+    return direct_relations(sf_dir, text_relations_curies(text))
+
+
+def text_relations_alerts(sf_dir: str, text: str = DEMO_TEXT):
+    """'alerts' component: alerts co-mentioning ≥2 of the text's
+    entities, entity sets merged per alert, top-500 by entity count
+    (kg/client.py:238-262) — J8/A10 with the annotation curies."""
+    return comention_alerts(sf_dir, text_relations_curies(text))
+
+
+def text_relations(sf_dir: str, text: str = DEMO_TEXT) -> dict:
+    """The composed /v1/text_relations endpoint
+    (kg/client.py:195-283): annotations + direct relations +
+    co-mention alerts + realism classification. The realism component
+    reuses the precomputed pair-score table exactly like the
+    reference (realism_score.py loads its scores TSV once)."""
+    import numpy as np
+
+    from .realism import logsumexp_score, realism_table
+
+    annotations = annotate_text(text)
+    curies = sorted({a["curie"] for a in annotations})
+    mesh_ids = [c.split(":", 1)[1] for c in curies if c.startswith("MESH:")]
+
+    scores_df = realism_table(sf_dir)
+    num_alerts = 1  # folded into the stored scores; lookup is absolute
+    lookup = {
+        (a, b): float(s)
+        for a, b, s in zip(
+            scores_df["mesh_a"], scores_df["mesh_b"], scores_df["score"]
+        )
+    }
+    scores, score_sum, classification = logsumexp_score(
+        mesh_ids, lookup, num_alerts
+    )
+    return {
+        "annotations": annotations,
+        "direct": text_relations_direct(sf_dir, text),
+        "alerts": text_relations_alerts(sf_dir, text),
+        "realism_score": {
+            "scores": [[a, b, s] for (a, b), s in scores.items()],
+            "score_sum": float(score_sum) if np.isfinite(score_sum) else None,
+            "classification": classification,
+        },
+    }

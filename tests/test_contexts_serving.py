@@ -109,3 +109,49 @@ def test_alerts_by_facet_limit_deterministic(ray_session):
     b = sv.alerts_by_facet(sf, geolocation="Asia", limit=5).to_pandas()
     assert a.values.tolist() == b.values.tolist()
     assert len(a) == 5
+
+
+def test_prefix_index_search(ray_session):
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    idx = sv.PrefixIndex([
+        ("cholera", "MESH:D002771", "disease"),
+        ("china", "MESH:D002681", "geoloc"),
+        ("chile", "geonames:3895114", "geoloc"),
+        ("congo", "MESH:D003092", "geoloc"),
+        ("congo_1", "geonames:203312", "geoloc"),
+    ])
+    # sorted key order, case-insensitive prefix
+    assert [r[0] for r in idx.search("CH")] == ["chile", "china", "cholera"]
+    # top_n cap (reference cap: 100; here exercised with 2)
+    assert [r[0] for r in idx.search("c", top_n=2)] == ["chile", "china"]
+    # collision suffixes order after the base key
+    assert [r[0] for r in idx.search("congo")] == ["congo", "congo_1"]
+    assert idx.search("zzz") == []
+
+
+def test_prefix_index_from_pipeline(ray_session):
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    idx = sv.build_prefix_index("/root/testdata/sf0.001")
+    hits = idx.search("chol")
+    assert hits and hits[0][1] == "MESH:D002771"  # Cholera
+    assert len(idx.search("", top_n=100)) == 100  # global cap
+
+
+def test_text_relations_composed(ray_session):
+    from outbreak_kg_ray.pipelines import serving as sv
+
+    tr = sv.text_relations("/root/testdata/sf0.001")
+    curies = {a["curie"] for a in tr["annotations"]}
+    assert "MESH:D002771" in curies and "MESH:D014735" in curies
+    types = {a["type"] for a in tr["annotations"]}
+    assert types <= {"disease", "pathogen", "geoloc", "other"}
+    direct = tr["direct"].to_pandas()
+    assert set(direct["start_id"]) | set(direct["end_id"]) <= curies
+    alerts = tr["alerts"].to_pandas()
+    assert (alerts["n_entities"] >= 2).all()
+    assert tr["realism_score"]["classification"] in ("high", "medium", "low")
+    # scores only over typed pairs, both sides in the annotation set
+    for a, b, _s in tr["realism_score"]["scores"]:
+        assert f"MESH:{a}" in curies and f"MESH:{b}" in curies
