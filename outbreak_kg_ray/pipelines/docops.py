@@ -9,12 +9,13 @@ import pyarrow.parquet as pq
 from ..stages import dedup as dd
 from ..stages import simsearch as ss
 from ..stages import textstats as ts
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 
 def _documents(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=list(columns)
     )
 
@@ -22,7 +23,7 @@ def _documents(sf_dir: str, columns=("doc_id", "text")):
 def _embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
@@ -56,10 +57,16 @@ def fingerprints(sf_dir: str):
     )
 
 
-def _variants_ds(sf_dir: str):
-    return _documents(sf_dir).map_batches(
+def _variants_ds(sf_dir: str, *, materialized: bool = False):
+    """Deterministic near-dup variant corpus. ``materialized=True``
+    pins it in the object store for diamond-shaped consumers
+    (candidate generation + both join sides read it) — one synthesis
+    pass instead of three; Ray spills blocks under pressure, so this
+    stays safe at scale."""
+    ds = _documents(sf_dir).map_batches(
         dd.make_near_dup_variants, batch_format="pyarrow"
     )
+    return ds.materialize() if materialized else ds
 
 
 def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
@@ -70,8 +77,9 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
     Verification hash-joins candidate pairs back to the (derived)
     doc partitions — only candidate texts move; the driver never
     holds the corpus (attach_pair_payload)."""
-    pairs = dd.minhash_candidate_pairs(_variants_ds(sf_dir))
-    joined = dd.attach_pair_payload(pairs, _variants_ds(sf_dir))
+    variants = _variants_ds(sf_dir, materialized=True)
+    pairs = dd.minhash_candidate_pairs(variants)
+    joined = dd.attach_pair_payload(pairs, variants)
     return dd.jaccard_verify_joined(joined, threshold=threshold)
 
 
@@ -79,8 +87,9 @@ def ngram_jaccard_near_dups(sf_dir: str, *, threshold: float = 0.6):
     """n-gram Jaccard near-dup: exact-shingle inverted-index
     candidates (min-shingle sampled) verified by exact 3-gram
     Jaccard over join-attached texts."""
-    pairs = dd.ngram_candidate_pairs(_variants_ds(sf_dir))
-    joined = dd.attach_pair_payload(pairs, _variants_ds(sf_dir))
+    variants = _variants_ds(sf_dir, materialized=True)
+    pairs = dd.ngram_candidate_pairs(variants)
+    joined = dd.attach_pair_payload(pairs, variants)
     return dd.jaccard_verify_joined(joined, threshold=threshold)
 
 
@@ -90,14 +99,15 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 6):
     joins instead of re-deriving signatures from a broadcast corpus
     dict. Candidate pairs are distinct (a pair colliding in several
     16-bit bands is verified once)."""
-    buckets = _variants_ds(sf_dir).map_batches(
+    variants = _variants_ds(sf_dir, materialized=True)
+    buckets = variants.map_batches(
         dd.SimHashStage, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4),
     )
     pairs = dd.distinct_pairs(
         dd._bucket_pairs(buckets.drop_columns(["simhash"]), "doc_id")
     )
-    sigs = dd.simhash_signature_rows(_variants_ds(sf_dir))
+    sigs = dd.simhash_signature_rows(variants)
     return dd.hamming_verify_joined(pairs, sigs, max_hamming=max_hamming)
 
 

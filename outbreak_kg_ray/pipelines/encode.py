@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from ..config import MESH_ID_EXCLUDE
 from outbreak_kg_ray.functions.rounding import round_half_away
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 
 def events_triples(sf_dir: str):
@@ -29,7 +30,7 @@ def events_triples(sf_dir: str):
     column-pruned at the read)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type"],
     )

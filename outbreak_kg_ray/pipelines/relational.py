@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 from outbreak_kg_ray.functions.rounding import np_round_half_away, pa_round_half_away
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 
 def pricing_summary(sf_dir: str):
@@ -20,7 +21,7 @@ def pricing_summary(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -74,7 +75,7 @@ def top_customers(sf_dir: str, k: int = 10):
         zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
     )
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     agg = orders.groupby("o_custkey").aggregate(
@@ -106,7 +107,7 @@ def events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -151,10 +152,10 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = rd.read_parquet(
+    lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -205,7 +206,7 @@ def events_sliding_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 

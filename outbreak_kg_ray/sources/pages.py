@@ -27,6 +27,7 @@ import html as _html
 import pyarrow as pa
 
 from ..fixtures.lexicon import LEX_N, MENTION_LEXICON
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 _EPOCH = datetime.datetime(2024, 1, 1, 0, 0, 0)
 _LEX_NAMES = [name for _, name, _, _ in MENTION_LEXICON]
@@ -161,7 +162,7 @@ def pages_dataset(
     if doc_hi is not None:
         hi_expr = pads.field("doc_id") < doc_hi
         expr = hi_expr if expr is None else (expr & hi_expr)
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
         override_num_blocks=override_num_blocks,

@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from ..fixtures import lexicon as lex
 from .pages import archive_number, date_str
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 # ---------------------------------------------------------------------------
 # Outbreak catalog (reference promed_outbreaks.csv). Synthesis:
@@ -39,7 +40,12 @@ def outbreak_rows_batch(batch: pa.Table) -> pa.Table:
         ob = d % N_OUTBREAKS
         ids.append(ob)
         names.append(f"Outbreak {ob:03d}")
-        archives.append(archive_number(d))
+        # M8: the reference strips stray double-quotes from
+        # archiveNumber at catalog load (kg/build.py:48-49 — a CSV
+        # artifact). Synthesized archives are clean, so this is a
+        # no-op here, but any real catalog routed through this reader
+        # gets the same cleanup.
+        archives.append(archive_number(d).replace('"', ""))
         dates.append(date_str(d))
     return pa.table(
         {
@@ -54,7 +60,7 @@ def outbreak_rows_batch(batch: pa.Table) -> pa.Table:
 def outbreaks_dataset(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(outbreak_rows_batch, batch_format="pyarrow")
 
@@ -138,3 +144,13 @@ def mesh_name_to_curie() -> dict[str, str]:
     return {
         name.lower(): f"MESH:{mid}" for mid, name, _t, _p in lex.ONTOLOGY
     }
+
+
+def outbreak_id_for_archive(archive: str) -> int | None:
+    """archiveNumber → outbreak id, closed-form (None when the doc is
+    not in the catalog — doc_id % 3 == 2). Same inversion as
+    outbreak_date_for_archive; lets the outbreak node/edge builders
+    reuse the already-materialized products doc slice instead of
+    re-scanning documents.parquet."""
+    doc_id = int(archive.split(".", 1)[1]) - 1_000_000
+    return None if doc_id % 3 == 2 else doc_id % N_OUTBREAKS

@@ -34,6 +34,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 from outbreak_kg_ray.functions.rounding import round_half_away
+from outbreak_kg_ray.sources.io import read_parquet_clean
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -94,7 +95,7 @@ def media_batch(t: pa.Table) -> pa.Table:
 def media_dataset(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(media_batch, batch_format="pyarrow", batch_size=512)
 

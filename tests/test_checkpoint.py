@@ -154,3 +154,19 @@ def test_fused_products_match_independent_builders(ray_session, tmp_path):
     fused_cooc = norm(kg.cooccurrence_edges(SF, products))
     indep_cooc = norm(kg.cooccurrence_edges(SF))
     pd.testing.assert_frame_equal(fused_cooc, indep_cooc)
+
+
+def test_repeat_param_invalidates_partitions(ray_session, tmp_path):
+    """Resuming the same ckpt_root with a different --repeat must
+    recompute, not reuse, completed partitions (round-1 ADVICE: the
+    fingerprint previously omitted synthesis parameters)."""
+    from outbreak_kg_ray.pipelines.kg import kg_products_dataset
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ckpt")
+    n1 = kg_products_dataset(sf, ckpt_root=root, repeat=1).count()
+    n2 = kg_products_dataset(sf, ckpt_root=root, repeat=2).count()
+    assert n2 > n1  # recomputed with doubled corpus, not stale reuse
+    # and back again: repeat=1 must not see repeat=2's partitions
+    n1b = kg_products_dataset(sf, ckpt_root=root, repeat=1).count()
+    assert n1b == n1

@@ -209,3 +209,30 @@ def test_golden_tsv_writer(tmp_path):
     assert len(lines) == n + 1
     body = lines[1:]
     assert body == sorted(body)
+
+
+def test_auto_combine_both_branches(ray_session, monkeypatch):
+    """The combine-strategy switch must produce identical results on
+    both branches (single-block vs distributed groupby) — driven by
+    forcing the threshold to 0 (round-1 VERDICT #8)."""
+    from outbreak_kg_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+
+    def counts(q):
+        df = q.to_pandas().sort_values(["start_id", "end_id"])
+        return df.reset_index(drop=True)
+
+    single = counts(kg.cooccurrence_edges(sf, kg.kg_products_dataset(sf)))
+    nodes_single = (
+        kg.canonical_nodes(sf).to_pandas()
+        .sort_values("curie").reset_index(drop=True)
+    )
+    monkeypatch.setattr(kg, "SINGLE_BLOCK_COMBINE_ROWS", 0)
+    dist = counts(kg.cooccurrence_edges(sf, kg.kg_products_dataset(sf)))
+    nodes_dist = (
+        kg.canonical_nodes(sf).to_pandas()
+        .sort_values("curie").reset_index(drop=True)
+    )
+    assert single.values.tolist() == dist.values.tolist()
+    assert nodes_single.values.tolist() == nodes_dist.values.tolist()
