@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": docops.ann_topk,
         "ann_topk_ivf": docops.ann_topk_ivf,
         "embedding_near_dups": docops.embedding_near_dups,
+        "near_dup_keep": docops.near_dup_keep,
+        "quality_filter_sample": docops.quality_filter_sample,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -973,6 +975,25 @@ JOIN embeddings s
   ON s.label = 0 AND e.vec_id < s.vec_id
 WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                              CAST(s.embedding AS DOUBLE[])) >= 0.35
+"""
+
+    sql["near_dup_keep"] = f"""
+WITH RECURSIVE nd_pairs AS ({sql["embedding_near_dups"]}),
+edges(s, d) AS (
+  SELECT a, b FROM nd_pairs UNION SELECT b, a FROM nd_pairs
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS vec_id, min(m) AS keep_id FROM reach GROUP BY n
+"""
+
+    sql["quality_filter_sample"] = f"""
+SELECT doc_id, quality FROM ({sql["quality_scores"]})
+WHERE quality >= 0.5
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
 """
 
     sql["pricing_summary"] = """

@@ -136,3 +136,50 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
     return ss.embedding_near_dup_pairs_bucketed(
         _embeddings(sf_dir), threshold=threshold
     )
+
+
+def near_dup_keep(sf_dir: str, *, threshold: float = 0.35):
+    """Near-dup dedup KEEP decision: cluster the cosine near-dup pair
+    graph (embedding_near_dups) with distributed connected components
+    and map every clustered vector to its component's minimum id —
+    the canonical survivor. → (vec_id, keep_id); vectors in no pair
+    keep themselves and are omitted (identity rows add no
+    information at scale)."""
+    pairs = embedding_near_dups(sf_dir, threshold=threshold)
+    labels = dd.connected_components(pairs)
+    import pyarrow as pa
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column("node"), "keep_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def quality_filter_sample(sf_dir: str, *, min_quality: float = 0.5,
+                          sample_16ths: int = 4):
+    """Quality-gate + deterministic hash sample — the standard
+    training-data downsampling shape: keep docs with quality ≥
+    min_quality whose md5(doc_id) first hex digit falls in the first
+    ``sample_16ths`` buckets (a seedless, engine-portable Bernoulli
+    sample at rate sample_16ths/16; the same predicate is expressible
+    in SQL so the oracle can replay it exactly)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    allowed = "0123456789abcdef"[:sample_16ths]
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater_equal(t.column("quality"), min_quality)
+        )
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()[0] in allowed
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "quality"])
+
+    return quality_scores(sf_dir).map_batches(gate, batch_format="pyarrow")

@@ -23,6 +23,8 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from outbreak_kg_ray.functions.rounding import round_half_away
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
@@ -478,3 +480,75 @@ def make_near_dup_variants(t: pa.Table) -> pa.Table:
             "text": pa.array(out_texts, pa.string()),
         }
     )
+
+
+def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
+                         num_partitions: int = 8, max_iters: int = 50):
+    """(a, b) undirected edges → (node, label) with label = the
+    component's minimum node id — the cluster step of near-dup
+    deduplication (pairs → clusters → keep the canonical member).
+
+    Iterative min-label propagation, each round fully distributed:
+    ``label(x) ← min(label(x), min label over x's neighbors)`` via
+    one hash join (labels onto edge sources) + one groupby-min.
+    Converges in O(graph diameter) rounds — near-dup graphs are
+    overwhelmingly tiny cliques, so 2-3 rounds in practice; the
+    driver holds only the per-round changed-row COUNT (convergence
+    test), never labels."""
+    from ray.data.aggregate import Min
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(a_col)
+        b = t.column(b_col)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+    # initial label: min(self, neighbors)
+    labels = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("src"),
+                "label": pc.min_element_wise(
+                    t.column("src"), t.column("dst")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+
+    for _ in range(max_iters):
+        # propagate: each edge ships src's current label to dst
+        shipped = edges.join(
+            labels.rename_columns({"node": "src"}),
+            "inner", num_partitions, on=("src",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            labels.union(shipped)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        changed = new_labels.join(
+            labels.rename_columns({"label": "_old"}),
+            "inner", num_partitions, on=("node",),
+        ).filter(expr="label < _old").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

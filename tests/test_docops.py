@@ -186,3 +186,44 @@ def test_no_driver_corpus_lookup_in_docops():
                "simhash_near_dups"):
         fsrc = inspect.getsource(getattr(docops, fn))
         assert "pq.read_table" not in fsrc and "to_pylist" not in fsrc, fn
+
+
+def test_connected_components_min_label(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    # two components {1,2,3,9} (chain) and {5,7}; singleton 8 absent
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 5], pa.int64()),
+        "b": pa.array([2, 3, 9, 7], pa.int64()),
+    }))
+    out = dd.connected_components(pairs, num_partitions=2).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 40  # path graph: worst-case diameter for label propagation
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), pa.int64()),
+        "b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    out = dd.connected_components(pairs, num_partitions=2).to_pandas()
+    assert set(out["label"]) == {0} and len(out) == n
+
+
+def test_quality_filter_sample_deterministic(ray_session):
+    import hashlib
+
+    from outbreak_kg_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    df = docops.quality_filter_sample(sf).to_pandas()
+    assert (df["quality"] >= 0.5).all()
+    for d in df["doc_id"]:
+        assert hashlib.md5(str(d).encode()).hexdigest()[0] in "0123"
+    again = docops.quality_filter_sample(sf).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(again["doc_id"])
