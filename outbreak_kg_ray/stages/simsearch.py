@@ -7,8 +7,12 @@
 - IVF variant: deterministic coarse centroids; per-batch cluster
   assignment, probe only the nprobe nearest clusters per query —
   the candidate set shrinks by ~n_clusters/nprobe.
-- Embedding near-dup: cosine ≥ threshold pairs within a filtered
-  subset (batch × subset matmul; the subset is the broadcast side).
+- Embedding near-dup: cosine ≥ threshold pairs against a filtered
+  subset. Default scale path is centroid-bucketed
+  (``embedding_near_dup_pairs_bucketed``): multi-probe IVF
+  assignment, pairs within clusters, max-score dedup — nothing
+  O(corpus) is broadcast. The broadcast variant remains for
+  known-small subsets.
 
 All math is float64 with scores rounded to 6 dp so results are
 comparable across engines (DuckDB oracle uses list_cosine_similarity).
