@@ -216,6 +216,10 @@ def run_scaling(sf_dir: str) -> dict:
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["GRAFT_SF_DIR"] = sf_dir
             env.setdefault("GRAFT_BENCH_REPEAT", "384")
+            # the scaling harness does its own best-of across rounds;
+            # best-of-N inside each (heavy, repeat=384) worker would
+            # double every measurement run
+            env["GRAFT_BENCH_BEST_OF"] = "1"
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker"],
                 capture_output=True,

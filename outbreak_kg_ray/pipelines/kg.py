@@ -142,9 +142,7 @@ def alert_nodes(sf_dir: str, products=None, *, dedup: bool = True):
             {
                 "curie": [f"promed:{d}" for d in doc_ids],
                 "name": doc_ids,
-                "timestamp": [
-                    tbl.outbreak_date_for_archive(d) for d in doc_ids
-                ],
+                "timestamp": tbl.outbreak_dates_for_archives(doc_ids),
                 "labels": ["alert"] * len(doc_ids),
             }
         )

@@ -154,3 +154,21 @@ def outbreak_id_for_archive(archive: str) -> int | None:
     re-scanning documents.parquet."""
     doc_id = int(archive.split(".", 1)[1]) - 1_000_000
     return None if doc_id % 3 == 2 else doc_id % N_OUTBREAKS
+
+
+def outbreak_dates_for_archives(archives: list[str]) -> list[str]:
+    """Vectorized outbreak_date_for_archive over a batch: the date is
+    EPOCH + doc_id minutes, so a numpy datetime64 add + one
+    datetime_as_string call replaces per-row strftime (the alert-node
+    hot path touches every corpus row)."""
+    import numpy as np
+
+    if not archives:
+        return []
+    ids = np.fromiter(
+        (int(a.split(".", 1)[1]) for a in archives),
+        dtype=np.int64, count=len(archives),
+    ) - 1_000_000
+    ts = np.datetime64("2024-01-01T00:00:00") + ids * np.timedelta64(60, "s")
+    strs = np.char.replace(np.datetime_as_string(ts, unit="s"), "T", " ")
+    return np.where(ids % 3 == 2, "", strs).tolist()

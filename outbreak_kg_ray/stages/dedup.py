@@ -75,20 +75,32 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def _token_hashes(toks: list[str]) -> np.ndarray:
-    """64-bit deterministic token hashes: two crc32 halves (crc32 is a
-    fast C primitive; md5-per-token was the profile hotspot)."""
-    from zlib import crc32
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_CAP = 1 << 20  # ~1M distinct tokens per worker
 
-    lo = np.fromiter(
-        (crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+
+def _token_hash_one(tok: str) -> int:
+    """64-bit deterministic token hash: two crc32 halves (crc32 is a
+    fast C primitive; md5-per-token was the round-0 profile hotspot).
+    Memoized per worker process: token frequency is Zipfian, so the
+    cache hit rate approaches 1 and the per-token cost collapses to a
+    dict lookup. Pure function → caching cannot change results; the
+    cap bounds worker heap on adversarial vocabularies."""
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        from zlib import crc32
+
+        b = tok.encode()
+        h = (crc32(b, 0x9E3779B9) << 32) | crc32(b)
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (_token_hash_one(t) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    hi = np.fromiter(
-        (crc32(t.encode(), 0x9E3779B9) for t in toks),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    return (hi << np.uint64(32)) | lo
 
 
 _SHINGLE_MIX = np.array(
