@@ -180,6 +180,10 @@ def quality_filter_sample(sf_dir: str, *, min_quality: float = 0.5,
             hashlib.md5(str(d).encode()).hexdigest()[0] in allowed
             for d in t.column("doc_id").to_pylist()
         ]
-        return t.filter(pa.array(keep)).select(["doc_id", "quality"])
+        # explicit bool type: an empty keep list otherwise infers null
+        # and pa.Table.filter rejects it (empty-batch crash)
+        return t.filter(pa.array(keep, pa.bool_())).select(
+            ["doc_id", "quality"]
+        )
 
     return quality_scores(sf_dir).map_batches(gate, batch_format="pyarrow")
