@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         realism,
         relational,
         serving,
+        temporal,
     )
     from outbreak_kg_ray.stages import multimodal as mm
     from outbreak_kg_ray.stages.extract import extract_docs
@@ -277,6 +278,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding_window": relational.events_sliding_window,
         "order_lineitem_join": relational.order_lineitem_join,
+        "revenue_by_nation": relational.revenue_by_nation,
+        # --- temporal joins (as-of / date-band) ---
+        "events_orders_asof": temporal.asof_join_events_orders,
+        "order_ship_window": temporal.order_ship_window,
+        # --- SQL-checkable members of the literature / near-dup families ---
+        "literature_overlap": lambda sf: encode.literature_overlap(
+            sf, ["click", "error", "purchase"]
+        ),
+        "prefix_block_jaccard": docops.prefix_block_jaccard,
     }
 
 
@@ -1039,6 +1049,130 @@ SELECT hour, event_type, n_events,
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+    # as-of join: orders first reduced to one row per (custkey, date)
+    # keeping max orderkey — same deterministic tie-break as the Ray
+    # side (pipelines/temporal.py)
+    sql["events_orders_asof"] = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+od AS (
+  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+  FROM o1 JOIN orders o USING (o_orderkey)
+),
+cand AS (
+  SELECT e.event_id, e.user_id, od.o_orderkey, od.o_orderdate,
+         od.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY od.o_orderdate DESC) AS rn
+  FROM events e JOIN od
+    ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+FROM cand WHERE rn = 1
+"""
+
+    sql["order_ship_window"] = """
+SELECT o.o_orderkey, o.o_orderdate,
+       count(l.l_orderkey) AS n_shipped,
+       round(coalesce(sum(l.l_quantity), 0), 6) AS qty_shipped
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2
+"""
+
+    sql["revenue_by_nation"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+    # the SQL-checkable slice of the Fisher literature ranking:
+    # q=3 in-vocab query terms {click,error,purchase} → threshold 2
+    # (mesh_csr.py:118 semantics; see pipelines/encode.py)
+    sql["literature_overlap"] = """
+WITH t AS (
+  SELECT event_type AS mesh_id, CAST(user_id AS VARCHAR) AS pmid,
+         (event_id % 2) + 1 AS value
+  FROM events
+),
+cells AS (
+  SELECT pmid, mesh_id, sum(value) AS v FROM t GROUP BY 1, 2
+),
+f AS (
+  SELECT pmid,
+         CASE WHEN mesh_id IN ('click','error','purchase')
+              THEN v ELSE 0 END AS v_in_q,
+         CASE WHEN mesh_id IN ('click','error','purchase')
+              THEN 1 ELSE 0 END AS in_q
+  FROM cells
+),
+p AS (
+  SELECT pmid, CAST(sum(v_in_q) AS BIGINT) AS pub_count,
+         CAST(sum(in_q) AS BIGINT) AS overlap_n,
+         count(*) AS n_target
+  FROM f GROUP BY 1
+)
+SELECT pmid, pub_count, overlap_n,
+       round(overlap_n / 3.0, 6) AS coverage
+FROM p WHERE pub_count >= 2
+"""
+
+    # exact char-5-gram Jaccard under 32-char prefix blocking; the
+    # threshold test is integer math (2*inter >= union) on both sides
+    sql["prefix_block_jaccard"] = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS pfx, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, pfx, substr(text, CAST(p AS INT), 5) AS g
+  FROM d, LATERAL unnest(range(1, len(text) - 3)) AS t(p)
+  WHERE len(text) >= 5
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.pfx = b.pfx AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM pair p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+WHERE 2 * inter >= ca.n + cb.n - inter
+"""
+
+    # polynomial rolling hash h = (h*1000003 + byte) mod 2^61-1 over
+    # the utf-8 bytes, shifted into signed int64 range; the corpus is
+    # ASCII so unicode(char) == the utf-8 byte (stages/textstats.py)
+    sql["fingerprints"] = """
+WITH RECURSIVE fp AS (
+  SELECT doc_id, CAST(0 AS HUGEINT) AS h, 0 AS pos, len(text) AS n
+  FROM documents
+  UNION ALL
+  SELECT f.doc_id,
+         (f.h * 1000003 + unicode(substr(d.text, f.pos + 1, 1)))
+           % CAST(2305843009213693951 AS HUGEINT),
+         f.pos + 1, f.n
+  FROM fp f JOIN documents d USING (doc_id)
+  WHERE f.pos < f.n
+)
+SELECT doc_id,
+       CAST(h AS BIGINT) - 1152921504606846976 AS fingerprint
+FROM fp WHERE pos = n
 """
 
     return sql

@@ -57,6 +57,73 @@ def fingerprints(sf_dir: str):
     )
 
 
+def prefix_block_jaccard(
+    sf_dir: str, *, prefix_len: int = 32, k: int = 5
+):
+    """Exact char-``k``-gram Jaccard near-dup pairs under prefix
+    blocking — the hash-checkable member of the near-dup family (the
+    MinHash/SimHash members are probabilistic and driver-checked
+    rows-only).
+
+    Blocking key: the first ``prefix_len`` characters. Pairs are
+    formed ONLY within a block, so the shuffle ships (prefix, doc)
+    once and pairwise work is bounded by block size — the standard
+    blocking-key shape from entity resolution. The threshold test is
+    pure integer math (``2*inter >= union``), so no float tie can
+    disagree with the SQL oracle; the reported jaccard is a single
+    IEEE division rounded half-away at 6 dp (identical in DuckDB).
+
+    At 100-TB scale hot prefixes (boilerplate openings) are the skew
+    risk; the LSH operators remain the recall path — this operator is
+    the exact, auditable one.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+
+    docs = _documents(sf_dir)
+
+    def add_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "pfx", pc.utf8_slice_codeunits(t.column("text"), 0, prefix_len)
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        if len(g) >= 2:
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].tolist()
+            shingles = [
+                {x[i : i + k] for i in range(len(x) - k + 1)}
+                for x in g["text"].tolist()
+            ]
+            for i in range(len(ids)):
+                si = shingles[i]
+                for j in range(i + 1, len(ids)):
+                    inter = len(si & shingles[j])
+                    union = len(si) + len(shingles[j]) - inter
+                    if union and 2 * inter >= union:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(round_half_away(inter / union, 6))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+    return (
+        docs.map_batches(add_block, batch_format="pyarrow")
+        .groupby("pfx")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 def _variants_ds(sf_dir: str, *, materialized: bool = False):
     """Deterministic near-dup variant corpus. ``materialized=True``
     pins it in the object store for diamond-shaped consumers

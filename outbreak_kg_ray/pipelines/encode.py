@@ -101,40 +101,32 @@ def dict_encoded_triples(sf_dir: str, *, num_partitions: int = 8):
     return joined.map_batches(encode, batch_format="pyarrow")
 
 
-def literature_pvalues(sf_dir: str, query_mesh_terms: list[str]):
-    """Fisher-exact ranking (mesh_csr.py:102-166): PMIDs sharing
-    enough of the query MeSH set, ranked by
-    (overlap desc, coverage desc, pval asc). Fisher is computed from
-    scratch (functions/stats.py) — scipy is unavailable here.
-
-    Faithful details: publication_counts sums matrix VALUES
-    (major+1), not presence (mesh_csr.py:116); threshold is
-    len(terms)-1 for ≤4 terms else 3 (mesh_csr.py:118).
+def _per_pmid_overlap(sf_dir: str, query_mesh_terms: list[str]):
+    """Shared distributed core of the literature family: per-PMID
+    (pub_count, overlap_n, n_target) over the coo→csr cells, filtered
+    to the reference's threshold. Returns
+    ``(kept_dataset_or_None, q, total_terms)``.
 
     Distributed shape (replaces the round-1 driver dict-of-dicts
     matrix): duplicate (pmid, mesh) cells sum in ONE grouped
-    aggregate (coo→csr semantics), then every per-PMID Fisher input
+    aggregate (coo→csr semantics), then every per-PMID input
     (overlap, target size, in-query value sum) is an algebraic
     aggregate over those cells — groupby(pmid) with three Sums and a
     Count, no per-group UDF and no driver matrix. Only the
     thresholded survivors (a tiny result set) reach the driver."""
-    import pandas as pd
     import pyarrow.compute as pc
-
-    from ..functions.stats import fisher_exact_greater
+    from ray.data.aggregate import Count, Sum
 
     triples = events_triples(sf_dir)
     mesh_rank = _mesh_rank_map(triples)
     query = set(query_mesh_terms) - MESH_ID_EXCLUDE
     query_in_vocab = sorted(m for m in query if m in mesh_rank)
     if not query_in_vocab:
-        return pd.DataFrame(columns=["pmid", "overlap_n", "coverage", "pval"])
+        return None, 0, len(mesh_rank)
     total_terms = len(mesh_rank)
     q = len(query_in_vocab)
     threshold = q - 1 if q <= 4 else 3
     qset = pa.array(query_in_vocab)
-
-    from ray.data.aggregate import Count, Sum
 
     # coo→csr: duplicate (pmid, mesh) entries sum
     cells = triples.groupby(["pmid", "mesh_id"]).aggregate(
@@ -162,7 +154,61 @@ def literature_pvalues(sf_dir: str, query_mesh_terms: list[str]):
             Count(alias_name="n_target"),
         )
     )
-    kept = per_pmid.filter(expr=f"pub_count >= {threshold}")
+    return per_pmid.filter(expr=f"pub_count >= {threshold}"), q, total_terms
+
+
+def literature_overlap(sf_dir: str, query_mesh_terms: list[str]):
+    """The SQL-checkable slice of the Fisher ranking
+    (mesh_csr.py:102-136): per-PMID pub_count / overlap_n / coverage
+    over the thresholded survivors, WITHOUT the p-value (Fisher is
+    not ANSI-SQL-expressible; ``literature_pvalues`` adds it and is
+    driver-checked rows-only). Gives the literature family a full
+    hash-checked member."""
+
+    def cov(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ov = t.column("overlap_n")
+        return pa.table(
+            {
+                "pmid": t.column("pmid"),
+                "pub_count": t.column("pub_count"),
+                "overlap_n": ov,
+                "coverage": pa.array(
+                    [round_half_away(o / q, 6) for o in ov.to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    kept, q, _total = _per_pmid_overlap(sf_dir, query_mesh_terms)
+    if kept is None:
+        import pandas as pd
+
+        return pd.DataFrame(
+            columns=["pmid", "pub_count", "overlap_n", "coverage"]
+        )
+    return kept.map_batches(cov, batch_format="pyarrow")
+
+
+def literature_pvalues(sf_dir: str, query_mesh_terms: list[str]):
+    """Fisher-exact ranking (mesh_csr.py:102-166): PMIDs sharing
+    enough of the query MeSH set, ranked by
+    (overlap desc, coverage desc, pval asc). Fisher is computed from
+    scratch (functions/stats.py) — scipy is unavailable here.
+
+    Faithful details: publication_counts sums matrix VALUES
+    (major+1), not presence (mesh_csr.py:116); threshold is
+    len(terms)-1 for ≤4 terms else 3 (mesh_csr.py:118). The
+    distributed core is ``_per_pmid_overlap`` (shared with the
+    SQL-checkable ``literature_overlap``)."""
+    import pandas as pd
+
+    from ..functions.stats import fisher_exact_greater
+
+    kept, q, total_terms = _per_pmid_overlap(sf_dir, query_mesh_terms)
+    if kept is None:
+        return pd.DataFrame(columns=["pmid", "overlap_n", "coverage", "pval"])
 
     def score(t: pa.Table) -> pa.Table:
         pmids, overlaps, covs, pvals = [], [], [], []

@@ -9,6 +9,7 @@ Float outputs are rounded to 6 dp for cross-engine comparability.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from outbreak_kg_ray.functions.rounding import np_round_half_away, pa_round_half_away
@@ -179,6 +180,122 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
     out = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"),
         Sum("revenue", alias_name="revenue"),
+    )
+
+    def round2(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("revenue"),
+            "revenue",
+            pa_round_half_away(t.column("revenue"), 2),
+        )
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str, *, num_partitions: int = 16):
+    """TPC-H Q5-style multi-way join: revenue by supplier nation where
+    the customer and the supplier share a nation.
+
+    Join plan (the scale-aware part): the three corpus-scale tables
+    (lineitem, orders, customer) chain through Ray Data's distributed
+    hash join on their natural keys; the three dimension tables
+    (supplier, nation, region — 4 orders of magnitude smaller) ride
+    along as ``ray.put``-broadcast dicts applied vectorized per
+    batch. No dimension is re-shipped per batch and no corpus-scale
+    table is ever broadcast.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dims = ray.put(
+        (
+            dict(
+                zip(
+                    supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist(),
+                )
+            ),
+            dict(
+                zip(
+                    nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist(),
+                )
+            ),
+        )
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": disc,
+            }
+        )
+
+    joined = (
+        lineitem.map_batches(derive, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .join(
+            customer,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    )
+
+    def attach_dims(t: pa.Table) -> pa.Table:
+        supp_nat, nat_name = ray.get(dims)
+        snat = np.array(
+            [supp_nat.get(s, -1) for s in t.column("l_suppkey").to_pylist()],
+            dtype=np.int64,
+        )
+        cnat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        names = [nat_name.get(int(nk)) for nk in snat[keep]]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "rev": t.column("rev").filter(pa.array(keep)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.map_batches(attach_dims, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+        )
     )
 
     def round2(t: pa.Table) -> pa.Table:

@@ -1,0 +1,219 @@
+"""Temporal join operators Ray Data lacks natively — as-of join and
+date-band (interval) join — composed per SURVEY.md §2 custom-operator
+guidance: key-partitioned ``groupby().map_groups`` with a sorted
+merge for the as-of case, and a calendar-bounded broadcast prefix-sum
+for the band case.
+
+Reference parity: the reference's only temporal lookup is the J1
+alert→outbreak timestamp join (kg/build.py); these generalize it to
+the as-of / interval semantics a training-data pipeline needs
+(event sessionization, windowed joins).
+
+Scale notes (documented partitioning assumptions):
+
+* ``asof_join_events_orders`` shuffles both inputs ONCE by the join
+  key (user/customer); per-group work is ``O((E_u + O_u) log O_u)``
+  via ``numpy.searchsorted``. Hot keys are bounded by a single
+  user's history — the same assumption every keyed sessionizer
+  makes. Nothing O(corpus) on the driver.
+* ``order_ship_window`` pre-aggregates the probe side to one row per
+  distinct ship date BEFORE any pairing. The daily table is
+  calendar-bounded (a decade of days ≈ 3.7k rows regardless of
+  corpus size), so it is broadcast via ``ray.put`` and each order
+  batch answers its window with two vectorized ``searchsorted``
+  lookups against prefix sums — zero shuffle, zero pair explosion.
+  The naive order×lineitem inequality join this replaces is
+  O(|orders| × window-density) and melts at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from outbreak_kg_ray.functions.rounding import np_round_half_away
+from outbreak_kg_ray.sources.io import read_parquet_clean
+
+_TS = pa.timestamp("us")
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("ts", _TS),
+        ("event_id", pa.int64()),
+        ("o_orderkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+        ("side", pa.int8()),
+    ]
+)
+
+_ASOF_OUT = {
+    "event_id": "int64",
+    "user_id": "int64",
+    "o_orderkey": "int64",
+    "o_totalprice": "float64",
+}
+
+
+def _empty_asof() -> pd.DataFrame:
+    df = pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in _ASOF_OUT.items()}
+    )
+    df["o_orderdate"] = pd.Series(dtype="datetime64[us]")
+    return df[
+        ["event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ]
+
+
+def asof_join_events_orders(sf_dir: str):
+    """For each event, the most recent order (``o_orderdate <= ts``)
+    of the same user — the classic as-of join.
+
+    Determinism: orders are first reduced to one row per
+    (custkey, orderdate) keeping the max ``o_orderkey`` (the SQL
+    oracle applies the same reduction), so date ties cannot flip the
+    matched row across engines.
+
+    Composition: both sides are projected onto one tagged-union
+    schema, unioned, hash-partitioned by ``user_id`` in a single
+    ``groupby``, and merged per key with a sorted ``searchsorted``
+    — the standard distributed as-of shape when the engine has no
+    native ASOF operator.
+    """
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts").cast(_TS),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+                "side": pa.array([1] * n, pa.int8()),
+            },
+            schema=_ASOF_SCHEMA,
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "user_id": t.column("o_custkey").cast(pa.int64()),
+                "ts": t.column("o_orderdate").cast(_TS),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_totalprice": t.column("o_totalprice").cast(pa.float64()),
+                "side": pa.array([0] * n, pa.int8()),
+            },
+            schema=_ASOF_SCHEMA,
+        )
+
+    unioned = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        ordr = g[g["side"] == 0]
+        evts = g[g["side"] == 1]
+        if ordr.empty or evts.empty:
+            return _empty_asof()
+        # one order per date: max orderkey wins (deterministic tie-break)
+        ordr = (
+            ordr.sort_values(["ts", "o_orderkey"])
+            .groupby("ts", as_index=False)
+            .last()
+        )
+        odates = ordr["ts"].to_numpy()
+        idx = (
+            np.searchsorted(odates, evts["ts"].to_numpy(), side="right") - 1
+        )
+        keep = idx >= 0
+        evts = evts[keep]
+        idx = idx[keep]
+        if not len(evts):
+            return _empty_asof()
+        return pd.DataFrame(
+            {
+                "event_id": evts["event_id"].to_numpy().astype("int64"),
+                "user_id": evts["user_id"].to_numpy(),
+                "o_orderkey": ordr["o_orderkey"]
+                .to_numpy()[idx]
+                .astype("int64"),
+                "o_orderdate": odates[idx],
+                "o_totalprice": ordr["o_totalprice"].to_numpy()[idx],
+            }
+        )
+
+    return unioned.groupby("user_id").map_groups(
+        match, batch_format="pandas"
+    )
+
+
+def order_ship_window(sf_dir: str, *, window_days: int = 30):
+    """Per order: how many lineitems (corpus-wide) shipped in
+    ``[o_orderdate, o_orderdate + window_days)`` and their total
+    quantity — a date-band (interval) join.
+
+    Shape: the probe side collapses to one row per distinct ship
+    date FIRST (a groupby whose output is calendar-bounded), prefix
+    sums are broadcast once with ``ray.put``, and each order batch
+    answers its band with two ``searchsorted`` calls. ``l_quantity``
+    is integer-valued in this corpus, so day-bucketed partial sums
+    reassociate without float drift vs the oracle's direct sum.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    daily = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_quantity"],
+        )
+        .groupby("l_shipdate")
+        .aggregate(
+            Count(alias_name="n"), Sum("l_quantity", alias_name="q")
+        )
+    )
+    # calendar-bounded: one row per distinct ship date (~3.7k/decade)
+    rows = sorted(daily.take_all(), key=lambda r: r["l_shipdate"])
+    days = np.array([r["l_shipdate"] for r in rows], dtype="datetime64[us]")
+    cum_n = np.concatenate(
+        [[0], np.cumsum([r["n"] for r in rows], dtype=np.int64)]
+    )
+    cum_q = np.concatenate(
+        [[0.0], np.cumsum([r["q"] for r in rows], dtype=np.float64)]
+    )
+    ref = ray.put((days, cum_n, cum_q))
+    delta = np.timedelta64(window_days, "D").astype("timedelta64[us]")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        d, cn, cq = ray.get(ref)
+        od = t.column("o_orderdate").cast(_TS).to_numpy()
+        lo = np.searchsorted(d, od, side="left")
+        hi = np.searchsorted(d, od + delta, side="left")
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate").cast(_TS),
+                "n_shipped": pa.array(cn[hi] - cn[lo], pa.int64()),
+                "qty_shipped": pa.array(
+                    np_round_half_away(cq[hi] - cq[lo], 6), pa.float64()
+                ),
+            }
+        )
+
+    return orders.map_batches(window, batch_format="pyarrow")

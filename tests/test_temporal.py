@@ -1,0 +1,173 @@
+"""Tests for the temporal-join family (pipelines/temporal.py), the
+Q5-style multi-join (relational.revenue_by_nation), the SQL-checkable
+literature slice (encode.literature_overlap) and the blocked exact
+Jaccard (docops.prefix_block_jaccard) — each checked against an
+independent brute-force / DuckDB computation on sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from outbreak_kg_ray.pipelines import docops, encode, relational, temporal
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events", "customer", "supplier",
+              "nation", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_asof_join_matches_bruteforce(sf_dir):
+    out = temporal.asof_join_events_orders(sf_dir).to_pandas()
+    con = _duck(sf_dir)
+    events = con.execute(
+        "SELECT event_id, user_id, ts FROM events"
+    ).fetchdf()
+    orders = con.execute(
+        """SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2"""
+    ).fetchdf()
+    by_user = {
+        k: g.sort_values("o_orderdate")
+        for k, g in orders.groupby("o_custkey")
+    }
+    expected = {}
+    for _, e in events.iterrows():
+        g = by_user.get(e["user_id"])
+        if g is None:
+            continue
+        prior = g[g["o_orderdate"] <= e["ts"]]
+        if len(prior):
+            expected[e["event_id"]] = int(prior.iloc[-1]["o_orderkey"])
+    got = dict(zip(out["event_id"], out["o_orderkey"]))
+    assert got == expected
+    assert len(out) == len(expected)
+    # every matched order strictly precedes (or equals) its event ts
+    merged = out.merge(events, on="event_id", suffixes=("", "_e"))
+    assert (merged["o_orderdate"] <= merged["ts"]).all()
+
+
+def test_asof_empty_group_schema_stable(sf_dir):
+    # rows survive with the declared 5-column schema even when some
+    # user groups are order-only or event-only
+    ds = temporal.asof_join_events_orders(sf_dir)
+    assert set(ds.schema().names) == {
+        "event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    }
+
+
+def test_order_ship_window_matches_sql(sf_dir):
+    out = (
+        temporal.order_ship_window(sf_dir)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """SELECT o.o_orderkey, count(l.l_orderkey) AS n_shipped,
+                  coalesce(sum(l.l_quantity), 0) AS qty_shipped
+           FROM orders o LEFT JOIN lineitem l
+             ON l.l_shipdate >= o.o_orderdate
+            AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    assert (out["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    assert (out["n_shipped"].to_numpy() == exp["n_shipped"].to_numpy()).all()
+    assert np.allclose(
+        out["qty_shipped"].to_numpy(),
+        exp["qty_shipped"].to_numpy().astype(float),
+    )
+    # zero-shipment orders are present, not dropped (left semantics)
+    assert len(out) == 1500
+
+
+def test_revenue_by_nation_matches_sql(sf_dir):
+    out = (
+        relational.revenue_by_nation(sf_dir)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """SELECT n.n_name,
+                  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                    AS revenue,
+                  count(*) AS n_items
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    assert out["n_name"].tolist() == exp["n_name"].tolist()
+    assert out["n_items"].tolist() == exp["n_items"].tolist()
+    assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
+
+
+def test_literature_overlap_bounds_and_threshold(sf_dir):
+    df = encode.literature_overlap(
+        sf_dir, ["click", "error", "purchase"]
+    ).to_pandas()
+    assert len(df) > 0
+    assert (df["pub_count"] >= 2).all()  # q=3 → threshold 2
+    assert df["overlap_n"].between(0, 3).all()
+    assert np.allclose(df["coverage"], df["overlap_n"] / 3.0, atol=1e-6)
+    # unknown query terms → empty frame with stable columns
+    empty = encode.literature_overlap(sf_dir, ["no-such-term"])
+    assert list(empty.columns) == [
+        "pmid", "pub_count", "overlap_n", "coverage"
+    ]
+    assert len(empty) == 0
+
+
+def test_prefix_block_jaccard_exact(sf_dir):
+    out = docops.prefix_block_jaccard(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert out["jaccard"].between(0.5, 1.0).all()
+    # exact recomputation for each emitted pair
+    con = _duck(sf_dir)
+    texts = dict(
+        con.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+
+    def sh(x, k=5):
+        return {x[i:i + k] for i in range(len(x) - k + 1)}
+
+    for _, r in out.iterrows():
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        assert a[:32] == b[:32]
+        inter = len(sh(a) & sh(b))
+        union = len(sh(a) | sh(b))
+        assert 2 * inter >= union
+        assert abs(r["jaccard"] - inter / union) < 1e-6
+
+
+def test_fingerprint_sql_equivalence():
+    # the recursive-CTE oracle in __ray_entry__ assumes ASCII text
+    # (unicode(char) == utf-8 byte); assert the corpus satisfies it
+    from outbreak_kg_ray.stages.textstats import fingerprint
+
+    con = duckdb.connect()
+    got = con.execute(
+        """WITH RECURSIVE fp AS (
+             SELECT CAST(0 AS HUGEINT) AS h, 0 AS pos, 5 AS n
+             UNION ALL
+             SELECT (h * 1000003 + unicode(substr('abcde', pos + 1, 1)))
+                      % CAST(2305843009213693951 AS HUGEINT),
+                    pos + 1, n
+             FROM fp WHERE pos < n)
+           SELECT CAST(h AS BIGINT) FROM fp WHERE pos = n"""
+    ).fetchone()[0]
+    assert got == fingerprint("abcde")
