@@ -141,7 +141,7 @@ def events_hourly(sf_dir: str):
     return out.map_batches(round6, batch_format="pyarrow")
 
 
-def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
+def order_lineitem_join(sf_dir: str, *, num_partitions: int | None = None):
     """orders ⋈ lineitem revenue rollup via Ray Data's distributed
     HASH JOIN — the big-side⋈big-side case where no side fits a
     broadcast (contrast: top_customers broadcasts the small customer
@@ -152,6 +152,11 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
     → (o_orderpriority, n_items, revenue) rounded to 2 dp."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        num_partitions = _adaptive_join_partitions(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
@@ -192,7 +197,23 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int = 16):
     return out.map_batches(round2, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str, *, num_partitions: int = 16):
+def _adaptive_join_partitions(
+    *paths: str, rows_per_partition: int = 250_000, lo: int = 2, hi: int = 64
+) -> int:
+    """Size hash-join partition count from footer row counts: one
+    partition per ~250k joined input rows, clamped. Ray's JoinOperator
+    spawns an actor pool per join — at small scale a fixed high count
+    pays actor-spawn latency for nothing, at large scale too few
+    partitions makes each shuffle block exceed the target block size.
+    Callers can still pass an explicit ``num_partitions`` (a 256-node
+    run wants it keyed to the cluster, not the input)."""
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_metadata(p).num_rows for p in paths)
+    return max(lo, min(hi, rows // rows_per_partition + 1))
+
+
+def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
     """TPC-H Q5-style multi-way join: revenue by supplier nation where
     the customer and the supplier share a nation.
 
@@ -206,6 +227,13 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 16):
     """
     import pyarrow.parquet as pq
     import ray
+
+    if num_partitions is None:
+        num_partitions = _adaptive_join_partitions(
+            f"{sf_dir}/lineitem.parquet",
+            f"{sf_dir}/orders.parquet",
+            f"{sf_dir}/customer.parquet",
+        )
 
     lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
