@@ -279,9 +279,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "order_lineitem_join": relational.order_lineitem_join,
         "revenue_by_nation": relational.revenue_by_nation,
-        # --- temporal joins (as-of / date-band) ---
+        "top_customers_by_nation": relational.top_customers_by_nation,
+        "token_count_quantiles": relational.token_count_quantiles,
+        # --- temporal joins / sessionization ---
         "events_orders_asof": temporal.asof_join_events_orders,
         "order_ship_window": temporal.order_ship_window,
+        "events_sessionize": temporal.sessionize_events,
         # --- SQL-checkable members of the literature / near-dup families ---
         "literature_overlap": lambda sf: encode.literature_overlap(
             sf, ["click", "error", "purchase"]
@@ -1096,6 +1099,50 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
                 AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
+"""
+
+    # gap-based sessionization: lag → gap flag → running sum, ordered
+    # (ts, event_id) per user — same tie-break as the Ray side
+    sql["events_sessionize"] = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_id
+FROM o
+"""
+
+    sql["top_customers_by_nation"] = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_nationkey, r.o_custkey AS c_custkey,
+         round(r.revenue, 6) AS revenue,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY r.revenue DESC, r.o_custkey) AS rank
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT c_nationkey, c_custkey, revenue, rank FROM j WHERE rank <= 3
+"""
+
+    sql["token_count_quantiles"] = """
+WITH t AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT round(quantile_cont(n_tokens, 0.5), 6) AS q50,
+       round(quantile_cont(n_tokens, 0.9), 6) AS q90,
+       round(quantile_cont(n_tokens, 0.99), 6) AS q99
+FROM t
 """
 
     # the SQL-checkable slice of the Fisher literature ranking:

@@ -336,6 +336,119 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
     return out.map_batches(round2, batch_format="pyarrow")
 
 
+def top_customers_by_nation(sf_dir: str, *, k: int = 3):
+    """Per-nation top-k customers by order revenue — the grouped
+    top-k operator (window ``row_number() <= k`` in SQL).
+
+    Shape: revenue pre-aggregates per customer FIRST (orders →
+    groupby(custkey), output bounded by |customers|), then one hash
+    join attaches c_nationkey, and the grouped top-k runs per nation
+    over per-customer rows — the expensive exchange is the
+    pre-aggregated table, never raw orders. Ties break by ascending
+    custkey on both engines."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    num_partitions = _adaptive_join_partitions(
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    rev = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue")
+    )
+    joined = rev.join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True]
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "c_nationkey": g["c_nationkey"].to_numpy(),
+                "c_custkey": g["o_custkey"].to_numpy(),
+                "revenue": np_round_half_away(
+                    g["revenue"].to_numpy(), 6
+                ),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return joined.groupby("c_nationkey").map_groups(
+        topk, batch_format="pandas"
+    )
+
+
+def token_count_quantiles(sf_dir: str):
+    """Exact linear-interpolated quantiles (p50/p90/p99) of the
+    per-document whitespace token count.
+
+    Distributed shape: token counts are small integers, so the
+    groupby(count) histogram is VALUE-bounded (thousands of distinct
+    counts regardless of corpus size); the tiny histogram reaches the
+    driver and the interpolation is exact — the same
+    bounded-domain trick the ship-window join uses with the
+    calendar. Matches DuckDB ``quantile_cont`` (linear
+    interpolation at rank p·(n−1))."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_tokens": pa.array(
+                    [len(x.split()) for x in t.column("text").to_pylist()],
+                    pa.int64(),
+                )
+            }
+        )
+
+    hist = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Count(alias_name="freq"))
+        .take_all()
+    )  # value-bounded: one row per distinct token count
+    hist.sort(key=lambda r: r["n_tokens"])
+    values = np.array([r["n_tokens"] for r in hist], dtype=np.float64)
+    freqs = np.array([r["freq"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(freqs)
+    n = int(cum[-1])
+
+    def q(p: float) -> float:
+        pos = p * (n - 1)
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+        hi_v = values[np.searchsorted(cum, min(lo_i + 1, n - 1) + 1,
+                                      side="left")]
+        return round_half_away(lo_v + (hi_v - lo_v) * frac, 6)
+
+    return pa.table(
+        {
+            "q50": pa.array([q(0.5)], pa.float64()),
+            "q90": pa.array([q(0.9)], pa.float64()),
+            "q99": pa.array([q(0.99)], pa.float64()),
+        }
+    )
+
+
 def events_sliding_window(sf_dir: str):
     """3-hour sliding-window aggregate per event type — the custom
     windowed operator Ray Data lacks natively, composed per

@@ -159,6 +159,43 @@ def asof_join_events_orders(sf_dir: str):
     )
 
 
+def sessionize_events(sf_dir: str, *, gap_minutes: int = 30):
+    """Gap-based sessionization: per user, a new session starts when
+    the time since the previous event exceeds ``gap_minutes``. Emits
+    one row per event with its session ordinal (1-based per user) —
+    the standard clickstream / training-data session operator.
+
+    Shape: ONE hash shuffle by ``user_id`` (the same partitioning key
+    the as-of join uses), then a vectorized per-group pass: sort,
+    diff, cumsum — no per-row Python. Group size is bounded by a
+    single user's history. The SQL oracle is the classic
+    lag → gap-flag → running-sum window pair.
+    """
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": ts,
+                "session_id": np.cumsum(new_session),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(
+        assign, batch_format="pandas"
+    )
+
+
 def order_ship_window(sf_dir: str, *, window_days: int = 30):
     """Per order: how many lineitems (corpus-wide) shipped in
     ``[o_orderdate, o_orderdate + window_days)`` and their total

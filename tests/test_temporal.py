@@ -154,6 +154,51 @@ def test_prefix_block_jaccard_exact(sf_dir):
         assert abs(r["jaccard"] - inter / union) < 1e-6
 
 
+def test_sessionize_gap_semantics(sf_dir):
+    out = temporal.sessionize_events(sf_dir).to_pandas()
+    assert len(out) == 1000
+    # per user: session ids start at 1, are non-decreasing in event
+    # order, and increment exactly at >30min gaps
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        assert g.loc[0, "session_id"] == 1
+        gaps = g["ts"].diff().dt.total_seconds().to_numpy()[1:]
+        expected_incr = (gaps > 30 * 60).astype(int)
+        actual_incr = g["session_id"].diff().to_numpy()[1:].astype(int)
+        assert (actual_incr == expected_incr).all()
+
+
+def test_top_customers_by_nation(sf_dir):
+    out = relational.top_customers_by_nation(sf_dir).to_pandas()
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS revenue
+                        FROM orders GROUP BY 1)
+           SELECT c.c_nationkey, r.o_custkey AS c_custkey, r.revenue,
+                  row_number() OVER (PARTITION BY c.c_nationkey
+                                     ORDER BY r.revenue DESC, r.o_custkey)
+                    AS rank
+           FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+           QUALIFY rank <= 3"""
+    ).fetchdf()
+    a = out.sort_values(["c_nationkey", "rank"]).reset_index(drop=True)
+    b = exp.sort_values(["c_nationkey", "rank"]).reset_index(drop=True)
+    assert a["c_custkey"].tolist() == b["c_custkey"].tolist()
+    assert (a.groupby("c_nationkey")["rank"].max() <= 3).all()
+
+
+def test_token_count_quantiles(sf_dir):
+    out = relational.token_count_quantiles(sf_dir).to_pandas()
+    con = _duck(sf_dir)
+    exp = con.execute(
+        r"""SELECT quantile_cont(len(string_split_regex(trim(text),
+                                                        '\s+')), 0.5)
+            FROM documents"""
+    ).fetchone()[0]
+    assert abs(out.loc[0, "q50"] - exp) < 1e-6
+    assert out.loc[0, "q50"] <= out.loc[0, "q90"] <= out.loc[0, "q99"]
+
+
 def test_fingerprint_sql_equivalence():
     # the recursive-CTE oracle in __ray_entry__ assumes ASCII text
     # (unicode(char) == utf-8 byte); assert the corpus satisfies it
