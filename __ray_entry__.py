@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal binary-column stages (decode stubbed) ---
         "image_features": mm.image_features,
         "audio_frames": mm.audio_frames,
+        "video_frame_samples": mm.video_frame_samples,
+        "image_thumbnails": mm.image_thumbnails,
         # --- literature matrix (dict encode + fisher ranking) ---
         "dict_encode": dict_encode,
         "literature_rank": literature_rank,
@@ -269,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dups": docops.ngram_jaccard_near_dups,
         "ann_topk": docops.ann_topk,
         "ann_topk_ivf": docops.ann_topk_ivf,
+        "ann_topk_lsh": docops.ann_topk_lsh,
         "embedding_near_dups": docops.embedding_near_dups,
         "near_dup_keep": docops.near_dup_keep,
         "quality_filter_sample": docops.quality_filter_sample,
@@ -912,6 +915,47 @@ SELECT doc_id * 2 AS media_id, w AS width, h AS height,
        CAST((doc_id * 131 + (w * h - 1) * 29) % 256 AS DOUBLE) AS f_last,
        round(avg(pv), 6) AS f_mean
 FROM px GROUP BY doc_id, w, h
+"""
+
+    # analytic oracle for the FVID container (stride-2 frame sample):
+    # pixel[f][i] = (doc*17 + f*53 + i*29) % 256 over sampled frames
+    sql["video_frame_samples"] = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h,
+         4 + doc_id % 12 AS nf
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nf,
+         (doc_id * 17 + f.range * 2 * 53 + i.range * 29) % 256 AS pv
+  FROM dims CROSS JOIN range(0, 8) f CROSS JOIN range(0, 225) i
+  WHERE f.range * 2 < nf AND i.range < w * h
+)
+SELECT doc_id AS media_id, w AS width, h AS height, nf AS n_frames,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+       round(avg(pv), 6) AS sampled_mean
+FROM px GROUP BY doc_id, w, h, nf
+"""
+
+    # analytic oracle for the 8x8 nearest-neighbor thumbnail:
+    # src index = (r*h//8)*w + (c*w//8), pv = (doc*131 + idx*29) % 256
+    sql["image_thumbnails"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         (doc_id * 131 +
+          (((r.range // 8) * h // 8) * w + ((r.range % 8) * w // 8)) * 29
+         ) % 256 AS pv
+  FROM dims CROSS JOIN range(0, 64) r
+)
+SELECT doc_id * 2 AS media_id,
+       CAST(8 AS BIGINT) AS thumb_w, CAST(8 AS BIGINT) AS thumb_h,
+       round(avg(pv), 6) AS thumb_mean,
+       CAST((doc_id * 131) % 256 AS DOUBLE) AS top_left
+FROM cells GROUP BY doc_id
 """
 
     sql["audio_frames"] = """

@@ -196,6 +196,13 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10):
     return ss.ann_topk_ivf(_embeddings(sf_dir), qids, qmat, k=k)
 
 
+def ann_topk_lsh(sf_dir: str, *, k: int = 10):
+    """Random-hyperplane LSH ANN (approximate; rows-only checked —
+    recall vs the brute-force baseline is asserted in tests)."""
+    qids, qmat = _query_vectors(sf_dir)
+    return ss.ann_topk_lsh(_embeddings(sf_dir), qids, qmat, k=k)
+
+
 def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
     """Cosine ≥ threshold pairs (a < b) between every vector and the
     label==0 subset, centroid-bucketed: no O(corpus) broadcast — the

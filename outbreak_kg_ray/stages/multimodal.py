@@ -92,6 +92,44 @@ def media_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def video_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — kept small so the analytic oracle
+    stays cheap; the stage logic is size-independent."""
+    return 8 + doc_id % 8, 8 + (doc_id * 3) % 8, 4 + doc_id % 12
+
+
+def make_video_payload(doc_id: int) -> bytes:
+    """``b"FVID" + u16 w + u16 h + u16 n_frames`` then ``n_frames``
+    planes of ``w*h`` pixel bytes with
+    ``pixel[f][i] = (seed*17 + f*53 + i*29) % 256``."""
+    w, h, nf = video_params(doc_id)
+    f = np.arange(nf, dtype=np.int64)[:, None]
+    i = np.arange(w * h, dtype=np.int64)[None, :]
+    planes = ((doc_id * 17 + f * 53 + i * 29) % 256).astype(np.uint8)
+    return b"FVID" + struct.pack(">HHH", w, h, nf) + planes.tobytes()
+
+
+def video_dataset(sf_dir: str):
+    import ray.data as rd
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(
+                    [make_video_payload(d) for d in ids], pa.binary()
+                ),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(batch, batch_format="pyarrow", batch_size=512)
+
+
 def media_dataset(sf_dir: str):
     import ray.data as rd
 
@@ -197,6 +235,121 @@ class AudioFrameSampleStage:
                 "frame_mean": pa.array(means, pa.float64()),
             }
         )
+
+
+class VideoFrameSampleStage:
+    """media(payload) → every-``stride``-th-frame summary — the video
+    frame-sample shape: parse the container header, view the payload
+    as an (n_frames, w*h) plane matrix, take the strided frame slice,
+    reduce vectorized. Real codecs (ffmpeg) are absent; the FVID
+    fake-container path does real byte parsing so swapping in a codec
+    changes only the plane extraction."""
+
+    MAGIC = b"FVID"
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+        self.header = struct.Struct(">HHH")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, nfs, n_sampled, means = [], [], [], [], [], []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            if not payload.startswith(self.MAGIC):
+                raise NotImplementedError(
+                    "real video decode requires ffmpeg, absent here"
+                )
+            w, h, nf = self.header.unpack(payload[4:10])
+            planes = np.frombuffer(
+                payload, dtype=np.uint8, offset=10
+            ).reshape(nf, w * h)
+            sampled = planes[:: self.stride]
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            nfs.append(nf)
+            n_sampled.append(sampled.shape[0])
+            means.append(round_half_away(float(sampled.mean()), 6))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int64()),
+                "sampled_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+
+class ImageResizeStage:
+    """media(payload) → nearest-neighbor ``size×size`` thumbnail
+    summary. The resize is the real kernel (integer source-index
+    grids + a fancy-index gather on the decoded pixel matrix); only
+    the container decode is the fake-format stand-in."""
+
+    MAGIC = b"FIMG"
+
+    def __init__(self, size: int = 8):
+        self.size = size
+        self.header = struct.Struct(">HH")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, means, top_left = [], [], []
+        s = self.size
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            if not payload.startswith(self.MAGIC):
+                decode_image_real(payload)  # stub: raises NotImplementedError
+            w, h = self.header.unpack(payload[4:8])
+            pixels = np.frombuffer(
+                payload, dtype=np.uint8, offset=8
+            ).reshape(h, w)
+            rows = (np.arange(s) * h) // s
+            cols = (np.arange(s) * w) // s
+            thumb = pixels[rows][:, cols]
+            ids.append(mid)
+            means.append(round_half_away(float(thumb.mean()), 6))
+            top_left.append(float(thumb[0, 0]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "thumb_w": pa.array([s] * len(ids), pa.int64()),
+                "thumb_h": pa.array([s] * len(ids), pa.int64()),
+                "thumb_mean": pa.array(means, pa.float64()),
+                "top_left": pa.array(top_left, pa.float64()),
+            }
+        )
+
+
+def video_frame_samples(sf_dir: str, *, stride: int = 2,
+                        batch_size: int = 64, concurrency=(1, 4)):
+    return video_dataset(sf_dir).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_thumbnails(sf_dir: str, *, size: int = 8, batch_size: int = 64,
+                     concurrency=(1, 4)):
+    import pyarrow.compute as pc
+
+    ds = media_dataset(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def image_features(sf_dir: str, *, batch_size: int = 64,

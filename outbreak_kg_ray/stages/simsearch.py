@@ -170,6 +170,78 @@ def ann_topk_ivf(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
     return topk_merge(partials, k)
 
 
+class HyperplaneLSHTopK:
+    """Random-hyperplane (signed-projection) LSH probe — the third
+    ANN scale path next to brute force (exact) and IVF (coarse
+    centroids). Each vector gets ``n_planes`` sign bits packed into
+    ``n_bands`` band codes; a row is scored for a query iff at least
+    one band code matches (banding trades recall for candidate count
+    exactly like MinHash LSH does for sets). Deterministic planes
+    (fixed seed) keep runs reproducible; signature computation is one
+    matmul + comparison per batch."""
+
+    def __init__(self, queries_ref, k: int = 10, n_planes: int = 16,
+                 n_bands: int = 4, dim: int = 64):
+        import ray
+
+        assert n_planes % n_bands == 0
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        rng = np.random.RandomState(11)
+        self.planes = rng.randn(dim, n_planes)
+        self.width = n_planes // n_bands
+        self._pows = (1 << np.arange(self.width)).astype(np.int64)
+        self.qcodes = self._codes(self.q)  # (Q, n_bands)
+
+    def _codes(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes > 0).astype(np.int64)  # (N, P)
+        n = bits.shape[0]
+        return bits.reshape(n, -1, self.width) @ self._pows  # (N, B)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        codes = self._codes(emb)  # (batch, B)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = (codes == self.qcodes[qi][None, :]).any(axis=1)
+            if not mask.any():
+                continue
+            ids = vec_ids[mask]
+            col = emb[mask] @ self.q[qi]
+            order = np.lexsort((ids, -col))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())  # unrounded, see topk_merge
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_topk_lsh(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
+                 n_planes: int = 16, n_bands: int = 4, dim: int = 64):
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    partials = embeddings_ds.map_batches(
+        HyperplaneLSHTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "n_planes": n_planes,
+            "n_bands": n_bands, "dim": dim,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return topk_merge(partials, k)
+
+
 class CosinePairs:
     """batch × broadcast-subset cosine ≥ threshold pairs (a < b)."""
 

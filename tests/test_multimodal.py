@@ -71,3 +71,61 @@ def test_media_dataset_plumbing(ray_session):
     frames = mm.audio_frames(SF).to_pandas()
     assert len(frames) == 500
     assert (frames["n_frames"] > 0).all()
+
+
+def test_video_payload_roundtrip():
+    """FVID byte layout parses back to the synthesis formula."""
+    import numpy as np
+
+    payload = mm.make_video_payload(7)
+    w, h, nf = mm.video_params(7)
+    out = mm.VideoFrameSampleStage(stride=2)(
+        pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    row = out.to_pylist()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (w, h, nf)
+    assert row["n_sampled"] == (nf + 1) // 2
+    # brute-force expected mean over sampled planes
+    vals = [
+        (7 * 17 + f * 53 + i * 29) % 256
+        for f in range(0, nf, 2)
+        for i in range(w * h)
+    ]
+    assert abs(row["sampled_mean"] - np.mean(vals)) < 1e-6
+
+
+def test_image_resize_nearest_neighbor():
+    import numpy as np
+
+    payload = mm.make_image_payload(3)
+    w, h = mm.image_dims(3)
+    out = mm.ImageResizeStage(size=8)(
+        pa.table(
+            {
+                "media_id": pa.array([6], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    ).to_pylist()[0]
+    pixels = np.array(
+        [(3 * 131 + i * 29) % 256 for i in range(w * h)]
+    ).reshape(h, w)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    thumb = pixels[rows][:, cols]
+    assert out["top_left"] == float(thumb[0, 0])
+    assert abs(out["thumb_mean"] - thumb.mean()) < 1e-6
+
+
+def test_video_pipeline_plumbing(ray_session):
+    df = mm.video_frame_samples(SF).to_pandas()
+    assert len(df) == 500
+    assert (df["n_sampled"] >= 2).all()
+    thumbs = mm.image_thumbnails(SF).to_pandas()
+    assert len(thumbs) == 500
+    assert (thumbs["thumb_w"] == 8).all()

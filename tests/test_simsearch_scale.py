@@ -63,6 +63,30 @@ def test_ivf_results_subset_of_exact(ray_session):
     assert len(ivf) > 0
 
 
+def test_lsh_results_subset_of_exact(ray_session):
+    """Hyperplane-LSH probe: every hit carries the exact cosine score,
+    each query retrieves itself (identical band codes), and recall vs
+    the brute-force top-k stays meaningful."""
+    from outbreak_kg_ray.pipelines import docops
+
+    exact = docops.ann_topk(SF).to_pandas()
+    lsh = docops.ann_topk_lsh(SF).to_pandas()
+    exact_scores = {
+        (q, v): s
+        for q, v, s in zip(exact.query_id, exact.vec_id, exact.score)
+    }
+    hits = sum(
+        (q, v) in exact_scores and abs(exact_scores[(q, v)] - s) < 1e-9
+        for q, v, s in zip(lsh.query_id, lsh.vec_id, lsh.score)
+    )
+    assert hits >= len(lsh) * 0.3
+    assert len(lsh) > 0
+    # self-retrieval: a query vector always matches its own bands
+    for qid in lsh.query_id.unique():
+        g = lsh[lsh.query_id == qid]
+        assert qid in set(g.vec_id)
+
+
 def test_repeat_replicas_are_deterministic_variants(ray_session, tmp_path):
     """Corpus replication (bench scale-up): each replica adds one doc
     per base doc (shifted doc_id), the base slice is untouched, and
