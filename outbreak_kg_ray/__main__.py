@@ -77,6 +77,21 @@ def cmd_status(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Run registered TableBuilders (the §2.10 extension surface) to
+    a sink: every stock product table plus any user-registered ones,
+    or a --tables subset."""
+    _ensure_ray()
+    from . import registry
+
+    names = args.tables.split(",") if args.tables else None
+    out = registry.build_tables(
+        args.sf_dir, args.out, names=names, fmt=args.format
+    )
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="outbreak_kg_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -92,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="show checkpoint manifest")
     s.add_argument("--ckpt", required=True)
     s.set_defaults(fn=cmd_status)
+
+    e = sub.add_parser(
+        "export", help="run registered TableBuilders to parquet/tsv"
+    )
+    e.add_argument("--sf-dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--tables", default=None,
+                   help="comma-separated subset (default: all)")
+    e.add_argument("--format", choices=("parquet", "tsv"),
+                   default="parquet")
+    e.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)
