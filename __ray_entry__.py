@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alerts_by_symptom": lambda sf: serving.alerts_by_facet(
             sf, symptom="MESH:D003371"
         ),
+        "indicators_by_country": lambda sf: serving.indicators_by_country(
+            sf, geolocation="Asia", indicator_filter="total"
+        ),
         "autocomplete_terms": serving.autocomplete_terms,
         "dedup_pages": dedup_pages_q,
         # --- multimodal binary-column stages (decode stubbed) ---
@@ -1143,6 +1146,55 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
                 AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
+"""
+
+    # /v1/indicators analog: geolocation isa*0.. closure in BOTH
+    # directions (the reference's Cypher UNION, kg/client.py:84-92),
+    # name CONTAINS filter; 'Asia' resolves via exact ontology name
+    # match, mirroring resolve_curie for unambiguous plain names
+    sql["indicators_by_country"] = f"""
+WITH RECURSIVE {_ont_cte()},
+isa(s, e) AS (
+  SELECT start_id, end_id FROM ({sql["mesh_hierarchy_edges"]})
+  UNION ALL
+  SELECT start_id, end_id FROM ({sql["geoname_edges"]})
+),
+target(c) AS (
+  SELECT 'MESH:' || mesh_id FROM ont WHERE lower(name) = 'asia'
+),
+down(c) AS (
+  SELECT c FROM target
+  UNION
+  SELECT i.s FROM isa i JOIN down d ON i.e = d.c
+),
+up(c) AS (
+  SELECT c FROM target
+  UNION
+  SELECT i.e FROM isa i JOIN up u ON i.s = u.c
+),
+members(c) AS (SELECT c FROM down UNION SELECT c FROM up),
+edges AS (
+  SELECT start_id, years_data, end_id
+  FROM ({_indicator_edges_sql("health")})
+  UNION ALL
+  SELECT start_id, years_data, end_id
+  FROM ({_indicator_edges_sql("dev")})
+),
+nodes AS (
+  SELECT DISTINCT 'wdi:' || code AS curie, sname AS name
+  FROM (WITH {_series_cte("health")} SELECT code, sname FROM series
+        WHERE NOT shared)
+  UNION
+  SELECT DISTINCT 'wdi:' || code AS curie, sname AS name
+  FROM (WITH {_series_cte("dev")} SELECT code, sname FROM series
+        WHERE NOT shared)
+)
+SELECT DISTINCT e.start_id AS country_curie, e.end_id AS indicator_curie,
+       n.name AS indicator_name, e.years_data
+FROM edges e
+JOIN nodes n ON n.curie = e.end_id
+JOIN members m ON m.c = e.start_id
+WHERE n.name LIKE '%total%'
 """
 
     # gap-based sessionization: lag → gap flag → running sum, ordered

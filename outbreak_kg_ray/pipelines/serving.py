@@ -271,6 +271,93 @@ def facet_descendants(target_curie: str, *,
     return out
 
 
+def facet_ancestors(target_curie: str) -> set[str]:
+    """All curies reachable FROM ``target_curie`` via 0+ ``isa`` hops
+    (the upward leg of the reference's two-direction indicator query,
+    kg/client.py:84-92). Forward BFS over the vocabulary-bounded
+    ontology edges on the driver."""
+    from collections import defaultdict
+
+    from .kg import geoname_edges_table, mesh_hierarchy_edges_table
+
+    parents: dict[str, list[str]] = defaultdict(list)
+    for t in (mesh_hierarchy_edges_table(), geoname_edges_table()):
+        for s, e in zip(t.column("start_id").to_pylist(),
+                        t.column("end_id").to_pylist()):
+            parents[s].append(e)
+    out = {target_curie}
+    stack = [target_curie]
+    while stack:
+        for p in parents.get(stack.pop(), []):
+            if p not in out:
+                out.add(p)
+                stack.append(p)
+    return out
+
+
+def indicators_by_country(sf_dir: str, geolocation: str = "Asia",
+                          indicator_filter: str = "total"):
+    """The ``/v1/indicators`` endpoint (kg/api.py:54-61;
+    client.query_indicators kg/client.py:76-114): indicator edges of
+    every geolocation whose ``isa*0..`` closure reaches the query
+    curie in EITHER direction (the Cypher UNION of the two
+    path-direction MATCHes), name-filtered by ``CONTAINS``.
+
+    All inputs are vocabulary-bounded reference tables (countries ×
+    series), so this composes driver-side Arrow like the other
+    indicator builders; nothing corpus-scale moves."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .kg import indicator_edges_table, indicator_nodes_table
+
+    empty = pa.table(
+        {
+            "country_curie": pa.array([], pa.string()),
+            "indicator_curie": pa.array([], pa.string()),
+            "indicator_name": pa.array([], pa.string()),
+            "years_data": pa.array([], pa.string()),
+        }
+    )
+    curie = resolve_curie(geolocation)
+    if curie is None:
+        return rd.from_arrow(empty)
+    members = facet_descendants(curie) | facet_ancestors(curie)
+
+    edges = pa.concat_tables(
+        [indicator_edges_table(k) for k in ("health", "dev")]
+    )
+    nodes = pa.concat_tables(
+        [indicator_nodes_table(k) for k in ("health", "dev")]
+    )
+    name_by_curie = dict(
+        zip(nodes.column("curie").to_pylist(),
+            nodes.column("name").to_pylist())
+    )
+    rows = []
+    for s, yd, e in zip(
+        edges.column("start_id").to_pylist(),
+        edges.column("years_data").to_pylist(),
+        edges.column("end_id").to_pylist(),
+    ):
+        name = name_by_curie.get(e, "")
+        if s in members and indicator_filter in name:
+            rows.append((s, e, name, yd))
+    if not rows:
+        return rd.from_arrow(empty)
+    rows = sorted(set(rows))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "country_curie": pa.array([r[0] for r in rows]),
+                "indicator_curie": pa.array([r[1] for r in rows]),
+                "indicator_name": pa.array([r[2] for r in rows]),
+                "years_data": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+
+
 def alerts_by_facet(sf_dir: str, *, disease: str | None = None,
                     geolocation: str | None = None,
                     pathogen: str | None = None,

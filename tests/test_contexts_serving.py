@@ -155,3 +155,25 @@ def test_text_relations_composed(ray_session):
     # scores only over typed pairs, both sides in the annotation set
     for a, b, _s in tr["realism_score"]["scores"]:
         assert f"MESH:{a}" in curies and f"MESH:{b}" in curies
+
+
+def test_indicators_by_country(ray_session, sf_dir):
+    """/v1/indicators analog: two-direction isa closure + CONTAINS
+    filter (kg/client.py:76-114)."""
+    from outbreak_kg_ray.pipelines import serving
+
+    df = serving.indicators_by_country(
+        sf_dir, geolocation="Asia", indicator_filter="total"
+    ).to_pandas()
+    assert len(df) > 0
+    assert all("total" in n for n in df["indicator_name"])
+    # every country is in Asia's two-direction closure
+    members = serving.facet_descendants(
+        serving.resolve_curie("Asia")
+    ) | serving.facet_ancestors(serving.resolve_curie("Asia"))
+    assert set(df["country_curie"]) <= members
+    # unresolvable geolocation empties the result, like the reference
+    empty = serving.indicators_by_country(
+        sf_dir, geolocation="Atlantis-nowhere"
+    ).to_pandas()
+    assert len(empty) == 0
