@@ -115,6 +115,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_pages(pages_dataset(sf_dir))
 
+    def alert_text(sf_dir, doc_id: int = 42):
+        """/v1/alerts/<id> analog (kg/api.py:43-49): one alert's
+        rendered text, served by a doc-range PRUNED read
+        (lo <= doc_id < hi pushed to the Parquet scan) — the engine
+        never synthesizes or extracts the rest of the corpus."""
+        return (
+            extract_docs(
+                pages_dataset(sf_dir, doc_lo=doc_id, doc_hi=doc_id + 1)
+            )
+            .select_columns(["doc_id", "extracted_text"])
+        )
+
     def docs_table(sf_dir):
         """Parsed-docs table (reference per-alert JSON dump, S2)."""
         return extract_docs(pages_dataset(sf_dir)).select_columns(
@@ -255,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "autocomplete_terms": serving.autocomplete_terms,
         "dedup_pages": dedup_pages_q,
+        "alert_text": alert_text,
         # --- multimodal binary-column stages (decode stubbed) ---
         "image_features": mm.image_features,
         "audio_frames": mm.audio_frames,
@@ -1146,6 +1159,12 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
                 AND c.c_nationkey = s.s_nationkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
+"""
+
+    # /v1/alerts/<id> analog: the extract pipeline filtered to one doc
+    sql["alert_text"] = f"""
+SELECT * FROM ({sql["extract_text"]}) t
+WHERE t.doc_id = printf('%08d.%d', 20200000 + 42 % 10000, 1000000 + 42)
 """
 
     # /v1/indicators analog: geolocation isa*0.. closure in BOTH
