@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "top_customers_by_nation": relational.top_customers_by_nation,
         "token_count_quantiles": relational.token_count_quantiles,
+        "events_props_stats": relational.events_props_stats,
+        "customers_without_orders": relational.customers_without_orders,
         # --- temporal joins / sessionization ---
         "events_orders_asof": temporal.asof_join_events_orders,
         "order_ship_window": temporal.order_ship_window,
@@ -1232,6 +1234,24 @@ SELECT event_id, user_id, ts,
             OVER (PARTITION BY user_id
                   ORDER BY ts, event_id) AS BIGINT) AS session_id
 FROM o
+"""
+
+    sql["events_props_stats"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+    sql["customers_without_orders"] = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
 """
 
     sql["top_customers_by_nation"] = """

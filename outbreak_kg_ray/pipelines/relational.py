@@ -449,6 +449,84 @@ def token_count_quantiles(sf_dir: str):
     )
 
 
+def events_props_stats(sf_dir: str):
+    """Per-event-type stats over a JSON payload column — the
+    reference's ``json.loads`` surface (kg/client.py:104) done
+    vectorized: the field is pulled with ONE ``pc.extract_regex``
+    over the whole batch (no per-row json.loads in the hot path),
+    then a plain grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        hits = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hits, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+def customers_without_orders(sf_dir: str, *, since: str = "2000-01-01"):
+    """Anti-join: customers with no order on/after ``since``. Shape:
+    the order side is row-filtered AT THE SCAN, then collapses to its
+    distinct keys (bounded by |customers|) before one left-outer hash
+    join and a null filter — the standard distributed anti-join; no
+    corpus-scale broadcast."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    num_partitions = _adaptive_join_partitions(
+        f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    cutoff = np.datetime64(since)
+
+    def recent(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(
+            t.column("o_orderdate"),
+            pa.scalar(cutoff.astype("datetime64[us]").item()),
+        )
+        return t.filter(mask).select(["o_custkey"])
+
+    order_keys = (
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate"],
+        )
+        .map_batches(recent, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    joined = customer.join(
+        order_keys,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t.column("_n"))
+        kept = t.filter(mask)
+        return kept.select(["c_custkey", "c_name"])
+
+    return joined.map_batches(anti, batch_format="pyarrow")
+
+
 def events_sliding_window(sf_dir: str):
     """3-hour sliding-window aggregate per event type — the custom
     windowed operator Ray Data lacks natively, composed per

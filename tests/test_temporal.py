@@ -216,3 +216,34 @@ def test_fingerprint_sql_equivalence():
            SELECT CAST(h AS BIGINT) FROM fp WHERE pos = n"""
     ).fetchone()[0]
     assert got == fingerprint("abcde")
+
+
+def test_events_props_stats(sf_dir):
+    out = relational.events_props_stats(sf_dir).to_pandas()
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """SELECT event_type, count(*) AS n,
+                  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    a = out.sort_values("event_type").reset_index(drop=True)
+    assert a["n"].tolist() == exp["n"].tolist()
+    assert a["sum_k"].astype(int).tolist() == exp["sum_k"].astype(int).tolist()
+    assert a["max_k"].tolist() == exp["max_k"].tolist()
+
+
+def test_customers_without_orders_antijoin(sf_dir):
+    out = relational.customers_without_orders(sf_dir).to_pandas()
+    con = _duck(sf_dir)
+    exp = set(
+        r[0] for r in con.execute(
+            """SELECT c_custkey FROM customer c
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')"""
+        ).fetchall()
+    )
+    assert set(out["c_custkey"]) == exp
+    assert len(out) == len(exp) > 0
