@@ -62,19 +62,25 @@ def pricing_summary(sf_dir: str):
     return out.map_batches(round2, batch_format="pyarrow")
 
 
+# A dimension table up to this many rows rides along as a ray.put
+# broadcast dict; beyond it, the pipeline swaps to a distributed hash
+# join automatically. Picked so the broadcast side stays a few tens of
+# MB per worker; the swap is measured (footer row count), not a code
+# path the caller chooses — same policy as the KG combine strategy.
+BROADCAST_DIM_ROWS = 200_000
+
+
 def top_customers(sf_dir: str, k: int = 10):
-    """orders ⋈ customer (broadcast small side) → revenue per
-    customer → deterministic top-k."""
+    """orders → revenue per customer → deterministic top-k, with the
+    customer name attached. The name side broadcasts while customer
+    is measurably small and swaps to a distributed hash join past
+    ``BROADCAST_DIM_ROWS`` (customer scales with the corpus — a fixed
+    broadcast would be the round-1 O(corpus)-driver-state bug in new
+    clothes)."""
     import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    name_by_key = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
-    )
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -84,20 +90,58 @@ def top_customers(sf_dir: str, k: int = 10):
         Count(alias_name="n_orders"),
     )
 
-    def attach(t: pa.Table) -> pa.Table:
-        keys = t.column("o_custkey").to_pylist()
-        return pa.table(
-            {
-                "c_custkey": t.column("o_custkey"),
-                "c_name": pa.array(
-                    [name_by_key.get(key1) for key1 in keys], pa.string()
-                ),
-                "revenue": pa_round_half_away(t.column("revenue"), 6),
-                "n_orders": t.column("n_orders"),
-            }
+    cust_path = f"{sf_dir}/customer.parquet"
+    n_cust = pq.read_metadata(cust_path).num_rows
+    if n_cust <= BROADCAST_DIM_ROWS:
+        cust = pq.read_table(cust_path, columns=["c_custkey", "c_name"])
+        ref = ray.put(
+            dict(
+                zip(
+                    cust.column("c_custkey").to_pylist(),
+                    cust.column("c_name").to_pylist(),
+                )
+            )
         )
 
-    joined = agg.map_batches(attach, batch_format="pyarrow")
+        def attach(t: pa.Table) -> pa.Table:
+            name_by_key = ray.get(ref)
+            keys = t.column("o_custkey").to_pylist()
+            return pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "c_name": pa.array(
+                        [name_by_key.get(key1) for key1 in keys],
+                        pa.string(),
+                    ),
+                    "revenue": pa_round_half_away(t.column("revenue"), 6),
+                    "n_orders": t.column("n_orders"),
+                }
+            )
+
+        joined = agg.map_batches(attach, batch_format="pyarrow")
+    else:
+        customer = read_parquet_clean(
+            cust_path, columns=["c_custkey", "c_name"]
+        )
+        j = agg.join(
+            customer,
+            join_type="inner",
+            num_partitions=_adaptive_join_partitions(cust_path),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "c_custkey": t.column("o_custkey"),
+                    "c_name": t.column("c_name"),
+                    "revenue": pa_round_half_away(t.column("revenue"), 6),
+                    "n_orders": t.column("n_orders"),
+                }
+            )
+
+        joined = j.map_batches(project, batch_format="pyarrow")
     return joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
 
 
@@ -219,11 +263,12 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
 
     Join plan (the scale-aware part): the three corpus-scale tables
     (lineitem, orders, customer) chain through Ray Data's distributed
-    hash join on their natural keys; the three dimension tables
-    (supplier, nation, region — 4 orders of magnitude smaller) ride
-    along as ``ray.put``-broadcast dicts applied vectorized per
-    batch. No dimension is re-shipped per batch and no corpus-scale
-    table is ever broadcast.
+    hash join on their natural keys. Supplier (100× smaller than
+    lineitem but still corpus-scaling) broadcasts while measurably
+    under ``BROADCAST_DIM_ROWS`` and swaps to a fourth hash join past
+    it; nation (a fixed 25-row table) always broadcasts. No dimension
+    is re-shipped per batch and nothing corpus-scale is ever
+    broadcast.
     """
     import pyarrow.parquet as pq
     import ray
@@ -246,26 +291,16 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
 
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
+    supp_path = f"{sf_dir}/supplier.parquet"
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    dims = ray.put(
-        (
-            dict(
-                zip(
-                    supp.column("s_suppkey").to_pylist(),
-                    supp.column("s_nationkey").to_pylist(),
-                )
-            ),
-            dict(
-                zip(
-                    nation.column("n_nationkey").to_pylist(),
-                    nation.column("n_name").to_pylist(),
-                )
-            ),
+    nat_ref = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_name").to_pylist(),
+            )
         )
     )
 
@@ -282,9 +317,51 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
             }
         )
 
+    li = lineitem.map_batches(derive, batch_format="pyarrow")
+
+    if pq.read_metadata(supp_path).num_rows <= BROADCAST_DIM_ROWS:
+        supp = pq.read_table(
+            supp_path, columns=["s_suppkey", "s_nationkey"]
+        )
+        supp_ref = ray.put(
+            dict(
+                zip(
+                    supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist(),
+                )
+            )
+        )
+
+        def attach_snat(t: pa.Table) -> pa.Table:
+            supp_nat = ray.get(supp_ref)
+            snat = np.array(
+                [supp_nat.get(s, -1)
+                 for s in t.column("l_suppkey").to_pylist()],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nationkey": pa.array(snat),
+                    "rev": t.column("rev"),
+                }
+            )
+
+        li = li.map_batches(attach_snat, batch_format="pyarrow")
+    else:
+        supplier = read_parquet_clean(
+            supp_path, columns=["s_suppkey", "s_nationkey"]
+        )
+        li = li.join(
+            supplier,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ).select_columns(["l_orderkey", "s_nationkey", "rev"])
+
     joined = (
-        lineitem.map_batches(derive, batch_format="pyarrow")
-        .join(
+        li.join(
             orders,
             join_type="inner",
             num_partitions=num_partitions,
@@ -301,11 +378,8 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
     )
 
     def attach_dims(t: pa.Table) -> pa.Table:
-        supp_nat, nat_name = ray.get(dims)
-        snat = np.array(
-            [supp_nat.get(s, -1) for s in t.column("l_suppkey").to_pylist()],
-            dtype=np.int64,
-        )
+        nat_name = ray.get(nat_ref)
+        snat = t.column("s_nationkey").to_numpy(zero_copy_only=False)
         cnat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
         keep = snat == cnat
         names = [nat_name.get(int(nk)) for nk in snat[keep]]

@@ -247,3 +247,31 @@ def test_customers_without_orders_antijoin(sf_dir):
     )
     assert set(out["c_custkey"]) == exp
     assert len(out) == len(exp) > 0
+
+
+def test_broadcast_join_swap_equivalence(sf_dir, monkeypatch):
+    """The broadcast↔hash-join selection is measured, not caller
+    chosen; both branches must return identical rows (the KG combine
+    strategy's invariant, applied to dimension attachment)."""
+    base_top = relational.top_customers(sf_dir).to_pandas()
+    base_rev = (
+        relational.revenue_by_nation(sf_dir)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(relational, "BROADCAST_DIM_ROWS", 0)
+    join_top = relational.top_customers(sf_dir).to_pandas()
+    join_rev = (
+        relational.revenue_by_nation(sf_dir)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert base_top[["c_custkey", "c_name", "n_orders"]].equals(
+        join_top[["c_custkey", "c_name", "n_orders"]]
+    )
+    assert np.allclose(base_top["revenue"], join_top["revenue"])
+    assert base_rev["n_name"].tolist() == join_rev["n_name"].tolist()
+    assert base_rev["n_items"].tolist() == join_rev["n_items"].tolist()
+    assert np.allclose(base_rev["revenue"], join_rev["revenue"], atol=0.011)
