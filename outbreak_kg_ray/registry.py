@@ -70,23 +70,47 @@ def build_tables(
     *,
     names: list[str] | None = None,
     fmt: str = "parquet",
+    resume: bool = True,
 ) -> dict[str, dict]:
     """Run registered builders and write each to ``out_dir/<name>``.
 
     ``fmt="parquet"`` streams through the partitioned Parquet sink
     (never materializes on the driver); ``fmt="tsv"`` uses the
     reference-parity sorted golden TSV (small, final tables only).
-    Returns ``{name: {"rows": n, "path": p}}``.
-    """
+    Returns ``{name: {"rows": n, "path": p, "skipped": bool}}``.
+
+    Resumability: each completed table gets a ``<name>.done.json``
+    marker (rows + input fingerprint); a re-run of a killed export
+    with ``resume=True`` skips tables whose marker matches the
+    current inputs — the per-table analog of the KG pipeline's
+    per-partition checkpoint (state/checkpoint.py)."""
+    import json
     import os
 
     from .sources import writers
+    from .state.checkpoint import file_fingerprint
 
     _ensure_defaults()
     chosen = names if names is not None else sorted(_REGISTRY)
+    fps = ":".join(
+        file_fingerprint(os.path.join(sf_dir, f))
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+    ) if os.path.isdir(sf_dir) else sf_dir
     results: dict[str, dict] = {}
+    os.makedirs(out_dir, exist_ok=True)
     for name in chosen:
         b = _REGISTRY[name]
+        marker = os.path.join(out_dir, f"{name}.done.json")
+        if resume and os.path.exists(marker):
+            with open(marker) as fh:
+                meta = json.load(fh)
+            if meta.get("fingerprint") == fps and meta.get("fmt") == fmt:
+                results[name] = {
+                    "rows": meta["rows"], "path": meta["path"],
+                    "skipped": True,
+                }
+                continue
         ds = b.fn(sf_dir)
         if fmt == "parquet":
             path = os.path.join(out_dir, name)
@@ -102,7 +126,14 @@ def build_tables(
             rows = writers.write_sorted_tsv(ds, path, cols)
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
-        results[name] = {"rows": rows, "path": path}
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"rows": rows, "path": path, "fingerprint": fps,
+                 "fmt": fmt}, fh,
+            )
+        os.replace(tmp, marker)  # atomic: marker exists ⇒ table complete
+        results[name] = {"rows": rows, "path": path, "skipped": False}
     return results
 
 

@@ -68,3 +68,31 @@ def test_build_tables_parquet(ray_session, sf_dir, tmp_path):
     assert out["mesh_hierarchy_nodes"]["rows"] == 58
     assert out["alert_nodes"]["rows"] == 500
     assert os.path.isdir(out["alert_nodes"]["path"])
+
+
+def test_build_tables_resume_skips_completed(ray_session, sf_dir, tmp_path):
+    """Re-running a finished export skips via the done-marker; a
+    changed-input fingerprint invalidates the skip."""
+    import json
+
+    first = registry.build_tables(
+        sf_dir, str(tmp_path), names=["mesh_hierarchy_nodes"],
+        fmt="parquet",
+    )
+    assert first["mesh_hierarchy_nodes"]["skipped"] is False
+    again = registry.build_tables(
+        sf_dir, str(tmp_path), names=["mesh_hierarchy_nodes"],
+        fmt="parquet",
+    )
+    assert again["mesh_hierarchy_nodes"]["skipped"] is True
+    assert again["mesh_hierarchy_nodes"]["rows"] == 58
+    # corrupt the fingerprint -> recompute
+    marker = tmp_path / "mesh_hierarchy_nodes.done.json"
+    meta = json.loads(marker.read_text())
+    meta["fingerprint"] = "stale"
+    marker.write_text(json.dumps(meta))
+    third = registry.build_tables(
+        sf_dir, str(tmp_path), names=["mesh_hierarchy_nodes"],
+        fmt="parquet",
+    )
+    assert third["mesh_hierarchy_nodes"]["skipped"] is False
