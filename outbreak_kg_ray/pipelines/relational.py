@@ -106,17 +106,19 @@ def top_customers(sf_dir: str, k: int = 10):
         def attach(t: pa.Table) -> pa.Table:
             name_by_key = ray.get(ref)
             keys = t.column("o_custkey").to_pylist()
+            names = [name_by_key.get(key1) for key1 in keys]
+            # drop keys absent from customer: the hash-join branch is
+            # an inner join, so both branches must agree on non-FK
+            # inputs (the swap is execution strategy, not semantics)
+            keep = pa.array([n is not None for n in names])
             return pa.table(
                 {
                     "c_custkey": t.column("o_custkey"),
-                    "c_name": pa.array(
-                        [name_by_key.get(key1) for key1 in keys],
-                        pa.string(),
-                    ),
+                    "c_name": pa.array(names, pa.string()),
                     "revenue": pa_round_half_away(t.column("revenue"), 6),
                     "n_orders": t.column("n_orders"),
                 }
-            )
+            ).filter(keep)
 
         joined = agg.map_batches(attach, batch_format="pyarrow")
     else:
@@ -241,20 +243,15 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int | None = None):
     return out.map_batches(round2, batch_format="pyarrow")
 
 
-def _adaptive_join_partitions(
-    *paths: str, rows_per_partition: int = 250_000, lo: int = 2, hi: int = 64
-) -> int:
-    """Size hash-join partition count from footer row counts: one
-    partition per ~250k joined input rows, clamped. Ray's JoinOperator
-    spawns an actor pool per join — at small scale a fixed high count
-    pays actor-spawn latency for nothing, at large scale too few
-    partitions makes each shuffle block exceed the target block size.
-    Callers can still pass an explicit ``num_partitions`` (a 256-node
-    run wants it keyed to the cluster, not the input)."""
+def _adaptive_join_partitions(*paths: str) -> int:
+    """Footer-row-count front-end of the shared partition policy
+    (functions/partitions.py)."""
     import pyarrow.parquet as pq
 
+    from outbreak_kg_ray.functions.partitions import adaptive_partitions
+
     rows = sum(pq.read_metadata(p).num_rows for p in paths)
-    return max(lo, min(hi, rows // rows_per_partition + 1))
+    return adaptive_partitions(rows)
 
 
 def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
@@ -500,6 +497,9 @@ def token_count_quantiles(sf_dir: str):
         .aggregate(Count(alias_name="freq"))
         .take_all()
     )  # value-bounded: one row per distinct token count
+    if not hist:  # empty corpus → NULL quantiles, like quantile_cont
+        null = pa.array([None], pa.float64())
+        return pa.table({"q50": null, "q90": null, "q99": null})
     hist.sort(key=lambda r: r["n_tokens"])
     values = np.array([r["n_tokens"] for r in hist], dtype=np.float64)
     freqs = np.array([r["freq"] for r in hist], dtype=np.int64)
@@ -536,7 +536,11 @@ def events_props_stats(sf_dir: str):
     )
 
     def parse(t: pa.Table) -> pa.Table:
-        hits = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        # whitespace-tolerant and sign-aware, so the extraction does
+        # not couple to the generator's exact json.dumps formatting
+        hits = pc.extract_regex(
+            t.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)'
+        )
         k = pc.cast(pc.struct_field(hits, "k"), pa.int64())
         return pa.table({"event_type": t.column("event_type"), "k": k})
 

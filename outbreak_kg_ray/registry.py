@@ -114,15 +114,20 @@ def build_tables(
         ds = b.fn(sf_dir)
         if fmt == "parquet":
             path = os.path.join(out_dir, name)
+            # a killed run leaves partial part files with no marker;
+            # clear them or the re-run would APPEND duplicate rows
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
             writers.write_table_parquet(ds, path)
             import pyarrow.dataset as pads
 
             rows = pads.dataset(path).count_rows()
         elif fmt == "tsv":
-            cols = list(b.columns) if b.columns else list(
-                ds.schema().names if hasattr(ds, "schema") else ds.columns
-            )
+            cols = list(b.columns) if b.columns else _schema_names(ds)
             path = os.path.join(out_dir, f"{name}.tsv")
+            if os.path.exists(path):
+                os.remove(path)
             rows = writers.write_sorted_tsv(ds, path, cols)
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
@@ -135,6 +140,17 @@ def build_tables(
         os.replace(tmp, marker)  # atomic: marker exists ⇒ table complete
         results[name] = {"rows": rows, "path": path, "skipped": False}
     return results
+
+
+def _schema_names(ds) -> list[str]:
+    """Column order for Dataset (schema() is a method), pyarrow Table
+    (schema is a property) or pandas DataFrame builders."""
+    schema = getattr(ds, "schema", None)
+    if callable(schema):
+        return list(schema().names)
+    if schema is not None and hasattr(schema, "names"):
+        return list(schema.names)
+    return list(ds.columns)
 
 
 _DEFAULTS_LOADED = False

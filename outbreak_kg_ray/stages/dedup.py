@@ -291,27 +291,40 @@ class NgramIndexStage:
     at least one of the m smallest with probability ≈ 1-(1-t)^m."""
 
     def __init__(self, key: str = "doc_id", col: str = "text",
-                 k: int = 3, index_shingles: int = 8):
+                 k: int = 3, index_shingles: int = 8,
+                 min_collisions: int = 2):
         self.key, self.col, self.k = key, col, k
         self.m = index_shingles
+        # docs with fewer distinct shingles than the downstream
+        # multiplicity threshold re-emit their shingles in that many
+        # bands, so a pair of short near-identical docs can still
+        # reach the threshold (otherwise a 3-token exact duplicate —
+        # one shingle, one collision — would be silently dropped)
+        self.min_collisions = min_collisions
 
     def __call__(self, t: pa.Table) -> pa.Table:
         keys = t.column(self.key).to_pylist()
         texts = t.column(self.col).to_pylist()
+        bands: list = []
         band_hashes: list = []
         out_keys: list = []
         for key, text in zip(keys, texts):
             sh = _shingle_hashes(text, self.k)
             if sh.size == 0:
                 continue
-            mins = np.sort(sh)[: self.m]
-            band_hashes.extend(mins.view(np.int64).tolist())
-            out_keys.extend([key] * len(mins))
+            mins = np.sort(sh)[: self.m].view(np.int64).tolist()
+            n_bands = (
+                self.min_collisions
+                if len(mins) < self.min_collisions
+                else 1
+            )
+            for b in range(n_bands):
+                bands.extend([b] * len(mins))
+                band_hashes.extend(mins)
+                out_keys.extend([key] * len(mins))
         return pa.table(
             {
-                "band": pa.array(
-                    np.zeros(len(out_keys), dtype=np.int32)
-                ),
+                "band": pa.array(bands, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.int64()),
                 self.key: pa.array(out_keys),
             }
@@ -335,13 +348,18 @@ def ngram_candidate_pairs(docs_ds, *, key: str = "doc_id",
     and requiring 2 keeps recall while cutting the verify join from
     O(corpus-pairs-sharing-a-trigram) to near the true-pair count.
     The multiplicity filter reuses the same single groupby the
-    distinct pass already paid — no extra shuffle."""
+    distinct pass already paid — no extra shuffle. Docs with fewer
+    distinct shingles than ``min_collisions`` re-emit their shingles
+    in that many bands (NgramIndexStage), so short exact duplicates
+    still reach the threshold."""
     from ray.data.aggregate import Count
 
     buckets = docs_ds.map_batches(
         NgramIndexStage,
         fn_constructor_kwargs={
-            "key": key, "col": col, "k": k, "index_shingles": index_shingles
+            "key": key, "col": col, "k": k,
+            "index_shingles": index_shingles,
+            "min_collisions": min_collisions,
         },
         batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
     )
@@ -373,21 +391,20 @@ def distinct_pairs(pairs_ds):
 
 
 def _join_partitions_for(ds, default: int = 8) -> int:
-    """Adaptive hash-join partition count: one per ~250k rows, clamped
-    2..64, when the dataset's row count is already known from block
-    metadata (materialized / fully-read inputs — the verify callers
-    pass the pinned variants corpus). Falls back to ``default`` when
-    counting would trigger execution. Ray's JoinOperator spawns an
-    actor pool per join, so oversized counts pay actor-spawn latency
-    at small scale; cluster-sized runs should pass an explicit
-    count."""
+    """Dataset-metadata front-end of the shared partition policy
+    (functions/partitions.py) — used when the row count is already
+    known from block metadata (materialized inputs: the verify
+    callers pass the pinned variants corpus). Falls back to
+    ``default`` when counting would trigger execution."""
+    from outbreak_kg_ray.functions.partitions import adaptive_partitions
+
     try:
         n = ds._meta_count()  # metadata-only; None if unknown
     except Exception:  # noqa: BLE001
         n = None
     if n is None:
         return default
-    return max(2, min(64, n // 250_000 + 1))
+    return adaptive_partitions(n)
 
 
 def attach_pair_payload(pairs_ds, docs_ds, *, key: str = "doc_id",

@@ -227,3 +227,14 @@ def test_quality_filter_sample_deterministic(ray_session):
         assert hashlib.md5(str(d).encode()).hexdigest()[0] in "0123"
     again = docops.quality_filter_sample(sf).to_pandas()
     assert sorted(df["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_short_exact_duplicates_survive_multiplicity_filter(ray_session):
+    """A 3-token exact duplicate has ONE distinct shingle; the
+    min_collisions=2 candidate filter must still surface the pair
+    (short boilerplate dups are the common dedup case)."""
+    ds = _docs_ds([(1, "fever outbreak reported"),
+                   (2, "fever outbreak reported"),
+                   (3, "completely different text here entirely")])
+    pairs = dd.ngram_candidate_pairs(ds).to_pandas()
+    assert {(1, 2)} == set(zip(pairs["a"], pairs["b"]))

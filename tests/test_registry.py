@@ -96,3 +96,32 @@ def test_build_tables_resume_skips_completed(ray_session, sf_dir, tmp_path):
         fmt="parquet",
     )
     assert third["mesh_hierarchy_nodes"]["skipped"] is False
+
+
+def test_interrupted_export_does_not_duplicate(ray_session, sf_dir, tmp_path):
+    """A killed run (parquet files present, marker absent) must be
+    recomputed cleanly, not appended to."""
+    out = registry.build_tables(
+        sf_dir, str(tmp_path), names=["mesh_hierarchy_nodes"],
+        fmt="parquet",
+    )
+    assert out["mesh_hierarchy_nodes"]["rows"] == 58
+    (tmp_path / "mesh_hierarchy_nodes.done.json").unlink()  # simulate kill
+    again = registry.build_tables(
+        sf_dir, str(tmp_path), names=["mesh_hierarchy_nodes"],
+        fmt="parquet",
+    )
+    assert again["mesh_hierarchy_nodes"]["rows"] == 58  # not 116
+
+
+def test_tsv_export_accepts_arrow_table_builder(ray_session, sf_dir, tmp_path):
+    registry.register_builder(
+        "tiny_arrow", lambda sf: pa.table({"x": [2, 1]}), kind="table"
+    )
+    try:
+        out = registry.build_tables(
+            sf_dir, str(tmp_path), names=["tiny_arrow"], fmt="tsv"
+        )
+        assert out["tiny_arrow"]["rows"] == 2
+    finally:
+        registry.unregister_builder("tiny_arrow")

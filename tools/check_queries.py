@@ -71,8 +71,12 @@ def main() -> None:
         if only and name not in only:
             continue
         if name not in oracles:
-            df = to_pandas(fn(sf_dir))
-            print(f"{name}: no_oracle rows={len(df)}")
+            try:
+                df = to_pandas(fn(sf_dir))
+                print(f"{name}: no_oracle rows={len(df)}")
+            except Exception as ex:  # noqa: BLE001
+                print(f"{name}: ERROR {ex}")
+                failures += 1
             continue
         try:
             mine = to_pandas(fn(sf_dir))
