@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_quantiles": relational.token_count_quantiles,
         "events_props_stats": relational.events_props_stats,
         "customers_without_orders": relational.customers_without_orders,
+        "pricing_rollup": relational.pricing_rollup,
+        "stratified_sample": docops.stratified_sample,
         # --- temporal joins / sessionization ---
         "events_orders_asof": temporal.asof_join_events_orders,
         "order_ship_window": temporal.order_ship_window,
@@ -1234,6 +1236,39 @@ SELECT event_id, user_id, ts,
             OVER (PARTITION BY user_id
                   ORDER BY ts, event_id) AS BIGINT) AS session_id
 FROM o
+"""
+
+    # ROLLUP as union-of-levels over ONE detail pass; coarser levels
+    # re-aggregate the (rounded) detail, matching the Ray semantics
+    sql["pricing_rollup"] = """
+WITH detail AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS count_order
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, count_order FROM detail
+UNION ALL
+SELECT l_returnflag, 'ALL', round(sum(sum_qty), 2),
+       CAST(sum(count_order) AS BIGINT)
+FROM detail GROUP BY 1
+UNION ALL
+SELECT 'ALL', 'ALL', round(sum(sum_qty), 2),
+       CAST(sum(count_order) AS BIGINT)
+FROM detail
+"""
+
+    # deterministic stratified sample: ascending md5(doc_id) per lang
+    sql["stratified_sample"] = """
+WITH ranked AS (
+  SELECT lang, doc_id, len(text) AS n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 3
 """
 
     sql["events_props_stats"] = """

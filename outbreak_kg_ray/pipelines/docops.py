@@ -124,6 +124,40 @@ def prefix_block_jaccard(
     )
 
 
+def stratified_sample(sf_dir: str, *, per_stratum: int = 3):
+    """Deterministic stratified sampling: exactly ``per_stratum``
+    docs per language, chosen by ascending md5(doc_id) — the balanced
+    class-sampling operator a training-data pipeline uses to cap
+    over-represented strata.
+
+    Shape: one hash shuffle by the stratum key, then a vectorized
+    per-group sort/head — group size bounded by the stratum, and the
+    md5 order makes the choice reproducible across engines (the SQL
+    oracle ranks with the same expression), unlike random sampling.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    docs = _documents(sf_dir, ("doc_id", "text", "lang"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in g["doc_id"]
+        ]
+        g = g.assign(_h=h).sort_values(["_h", "doc_id"]).head(per_stratum)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["text"].str.len().to_numpy().astype("int64"),
+            }
+        )
+
+    return docs.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
 def _variants_ds(sf_dir: str, *, materialized: bool = False):
     """Deterministic near-dup variant corpus. ``materialized=True``
     pins it in the object store for diamond-shaped consumers

@@ -523,6 +523,71 @@ def token_count_quantiles(sf_dir: str):
     )
 
 
+def pricing_rollup(sf_dir: str):
+    """Pricing summary with ROLLUP semantics: per (returnflag,
+    linestatus), per returnflag subtotals, and the grand total —
+    GROUPING SETS as a union of three aggregates over ONE shared
+    pre-aggregated pass. The detail level is computed once; the
+    coarser levels re-aggregate ITS output (bounded by the group
+    cardinality, not the corpus), so the corpus is scanned exactly
+    once. Rollup keys use the literal 'ALL' (the distributed stand-in
+    for SQL's NULL grouping marker, which hash-compare can't
+    distinguish from data nulls)."""
+    from ray.data.aggregate import Count, Sum
+
+    detail = pricing_summary(sf_dir)
+
+    def relabel(col_flag: str | None, col_status: str | None):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "l_returnflag": (
+                        t.column("l_returnflag")
+                        if col_flag is None
+                        else pa.array([col_flag] * n, pa.string())
+                    ),
+                    "l_linestatus": (
+                        t.column("l_linestatus")
+                        if col_status is None
+                        else pa.array([col_status] * n, pa.string())
+                    ),
+                    "sum_qty": t.column("sum_qty"),
+                    "count_order": t.column("count_order"),
+                }
+            )
+
+        return f
+
+    def reagg(ds):
+        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("count_order", alias_name="count_order"),
+        )
+
+        def round2(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("sum_qty"),
+                "sum_qty",
+                pa_round_half_away(t.column("sum_qty"), 2),
+            )
+
+        return out.map_batches(round2, batch_format="pyarrow")
+
+    base = detail.map_batches(
+        relabel(None, None), batch_format="pyarrow"
+    )
+    by_flag = reagg(
+        detail.map_batches(relabel(None, "ALL"), batch_format="pyarrow")
+    )
+    grand = reagg(
+        detail.map_batches(relabel("ALL", "ALL"), batch_format="pyarrow")
+    )
+    return base.select_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    ).union(by_flag, grand)
+
+
 def events_props_stats(sf_dir: str):
     """Per-event-type stats over a JSON payload column — the
     reference's ``json.loads`` surface (kg/client.py:104) done

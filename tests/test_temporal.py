@@ -275,3 +275,29 @@ def test_broadcast_join_swap_equivalence(sf_dir, monkeypatch):
     assert base_rev["n_name"].tolist() == join_rev["n_name"].tolist()
     assert base_rev["n_items"].tolist() == join_rev["n_items"].tolist()
     assert np.allclose(base_rev["revenue"], join_rev["revenue"], atol=0.011)
+
+
+def test_pricing_rollup_levels(sf_dir):
+    out = relational.pricing_rollup(sf_dir).to_pandas()
+    detail = out[(out["l_returnflag"] != "ALL")
+                 & (out["l_linestatus"] != "ALL")]
+    by_flag = out[(out["l_returnflag"] != "ALL")
+                  & (out["l_linestatus"] == "ALL")]
+    grand = out[(out["l_returnflag"] == "ALL")
+                & (out["l_linestatus"] == "ALL")]
+    assert len(grand) == 1
+    # counts roll up exactly at every level
+    assert grand["count_order"].iloc[0] == detail["count_order"].sum() == 6000
+    for flag, g in detail.groupby("l_returnflag"):
+        sub = by_flag[by_flag["l_returnflag"] == flag]
+        assert sub["count_order"].iloc[0] == g["count_order"].sum()
+
+
+def test_stratified_sample_determinism(sf_dir):
+    from outbreak_kg_ray.pipelines import docops as dops
+
+    a = dops.stratified_sample(sf_dir).to_pandas()
+    b = dops.stratified_sample(sf_dir).to_pandas()
+    key = lambda df: sorted(zip(df["lang"], df["doc_id"]))
+    assert key(a) == key(b)
+    assert (a.groupby("lang").size() == 3).all()
