@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         contexts,
         docops,
         encode,
+        graph,
         kg,
         realism,
         relational,
@@ -232,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alert_outbreak_edges": kg.alert_outbreak_edges,
         "cooccurrence_edges": kg.cooccurrence_edges,
         "cooccurrence_nodes": kg.cooccurrence_nodes,
+        "pagerank": graph.pagerank,
+        "connected_components": graph.connected_components,
         "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
         "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
         "pathogen_disease_edges": lambda sf: kg.pathogen_disease_edges(),
@@ -1391,5 +1394,59 @@ SELECT doc_id,
        CAST(h AS BIGINT) - 1152921504606846976 AS fingerprint
 FROM fp WHERE pos = n
 """
+
+    # --- iterative graph algorithms (pipelines/graph.py) ---
+    # fixed-round functions of the edge list, so the unrolled CTEs
+    # compute the identical value the Ray iteration does
+    graph_edges = f"""
+WITH cooc AS ({sql["cooccurrence_edges"]}),
+e AS (SELECT start_id AS u, end_id AS v FROM cooc
+      UNION ALL SELECT end_id, start_id FROM cooc),
+nd AS (SELECT DISTINCT u AS v FROM e)"""
+
+    pr_iters = "".join(
+        f""",
+r{i} AS (
+  SELECT cur.v,
+         0.15 / (SELECT c FROM nn)
+         + 0.85 * COALESCE(SUM(p."rank" / deg.outdeg), 0) AS "rank"
+  FROM nd cur
+  LEFT JOIN e ON e.v = cur.v
+  LEFT JOIN r{i - 1} p ON p.v = e.u
+  LEFT JOIN deg ON deg.u = e.u
+  GROUP BY cur.v
+)"""
+        for i in range(1, 11)
+    )
+    sql["pagerank"] = (
+        graph_edges
+        + """,
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nd),
+deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY u),
+r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS "rank" FROM nd)"""
+        + pr_iters
+        + """
+SELECT v AS curie, ROUND("rank", 6) AS "rank" FROM r10"""
+    )
+
+    cc_iters = "".join(
+        f""",
+l{i} AS (
+  SELECT cur.v, LEAST(cur.lbl, COALESCE(MIN(p.lbl), cur.lbl)) AS lbl
+  FROM l{i - 1} cur
+  LEFT JOIN e ON e.v = cur.v
+  LEFT JOIN l{i - 1} p ON p.v = e.u
+  GROUP BY cur.v, cur.lbl
+)"""
+        for i in range(1, 9)
+    )
+    sql["connected_components"] = (
+        graph_edges
+        + """,
+l0 AS (SELECT v, v AS lbl FROM nd)"""
+        + cc_iters
+        + """
+SELECT v AS curie, lbl AS component FROM l8"""
+    )
 
     return sql

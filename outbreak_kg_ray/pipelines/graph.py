@@ -1,0 +1,359 @@
+"""Iterative graph algorithms over the co-occurrence knowledge graph.
+
+The reference materializes the co-occurrence graph as static Neo4j
+edges (kg/build.py:60-83) and leaves ranking to Cypher at query time;
+a 10^12-document corpus needs the graph analytics computed in the
+engine instead.  This module adds the two canonical iterative shapes —
+PageRank (power iteration) and connected components (min-label
+propagation) — both with a **fixed iteration count** so the result is
+a deterministic function of the edge list and therefore oracle-checkable
+against an unrolled-CTE DuckDB query.
+
+Scale design: the co-occurrence graph is vocabulary-bounded (MeSH
+namespace — the number of *nodes* does not grow with the corpus, and
+edges are bounded by vocab², reference kg/build.py:60), so the default
+path collects the deduplicated edge list once and power-iterates in
+numpy on the driver.  When the edge list exceeds ``EDGE_FASTPATH_ROWS``
+(a general graph, not vocabulary-bounded) the same fixed-round
+iteration runs distributed: per round a hash join (edges ⋈ ranks on
+src) feeds a ``groupby(dst)`` aggregate, with the rank table
+materialized between rounds so the lineage does not re-execute.  The
+path is picked automatically from the observed edge count; both paths
+compute the identical function (``tests/test_graph.py`` drives both).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from outbreak_kg_ray.functions.rounding import np_round_half_away
+
+# Above this many (symmetrized, deduplicated) edges the iteration runs
+# distributed; below it the edge list is vocabulary-bounded and a
+# driver-side numpy power iteration is faster than 2 shuffles/round.
+EDGE_FASTPATH_ROWS = 2_000_000
+
+_JOIN_PARTITIONS = 16
+
+
+def _join_partitions(n_edges: int) -> int:
+    """Hash-join partition count for the iterative exchanges, sized so
+    no partition is empty: Ray 2.49's join finalize builds a partition
+    that received no shards as a zero-column Arrow table, which Acero
+    rejects ("No match ... for key field").  Dense partitions (≥64
+    edges each) make that unreachable; at the >2M-edge scale where the
+    distributed path auto-selects this always returns the cap."""
+    return max(1, min(_JOIN_PARTITIONS, n_edges // 64))
+
+
+def symmetric_cooccurrence_edges(sf_dir: str, products=None):
+    """(u, v) directed edge Dataset: each undirected occurs_with pair
+    emitted in both directions (so every node has out-degree ≥ 1 and
+    PageRank needs no dangling-mass redistribution)."""
+    from outbreak_kg_ray.pipelines import kg
+
+    edges = kg.cooccurrence_edges(sf_dir, products)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s, e = t.column("start_id"), t.column("end_id")
+        return pa.table(
+            {
+                "u": pa.concat_arrays([c for a in (s, e) for c in a.chunks] or [pa.array([], pa.string())]),
+                "v": pa.concat_arrays([c for a in (e, s) for c in a.chunks] or [pa.array([], pa.string())]),
+            }
+        )
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _collect_codes(edges_ds):
+    """Materialize an edge Dataset to integer-coded numpy arrays.
+
+    Only called on the fast path (edge count under
+    ``EDGE_FASTPATH_ROWS``): nodes are the sorted distinct endpoint
+    strings, so code order == lexicographic order (used by
+    connected_components, where min-code == min-curie)."""
+    t = pa.concat_tables(
+        [pa.table(b) for b in edges_ds.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})]
+    )
+    u = np.asarray(t.column("u").to_pylist(), dtype=object)
+    v = np.asarray(t.column("v").to_pylist(), dtype=object)
+    nodes = np.unique(np.concatenate([u, v])) if len(u) else np.array([], dtype=object)
+    idx = {s: i for i, s in enumerate(nodes)}
+    u_c = np.fromiter((idx[s] for s in u), dtype=np.int64, count=len(u))
+    v_c = np.fromiter((idx[s] for s in v), dtype=np.int64, count=len(v))
+    return nodes, u_c, v_c
+
+
+def _edge_count(edges_ds):
+    return edges_ds.count()
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank_edges(edges_ds, *, iterations: int = 10, damping: float = 0.85,
+                   distributed: bool | None = None):
+    """Fixed-round PageRank over a directed (u, v) edge Dataset.
+
+    Returns a Dataset of (curie, rank) with rank rounded to 6 dp
+    half-away-from-zero (DuckDB ROUND semantics).  ``distributed=None``
+    auto-selects on edge count; True/False force a path (tests)."""
+    edges_ds = edges_ds.materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        nodes, u_c, v_c = _collect_codes(edges_ds)
+        n = len(nodes)
+        if n == 0:
+            return _rank_table(np.array([], dtype=object), np.array([]))
+        outdeg = np.bincount(u_c, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            contrib = rank[u_c] / outdeg[u_c]
+            s = np.zeros(n)
+            np.add.at(s, v_c, contrib)
+            rank = base + damping * s
+        return _rank_table(nodes, rank)
+    return _pagerank_distributed(
+        edges_ds, iterations=iterations, damping=damping
+    )
+
+
+def _rank_table(nodes, rank):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "curie": pa.array(list(nodes), pa.string()),
+            "rank": np_round_half_away(np.asarray(rank, dtype=np.float64), 6),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def _pagerank_distributed(edges_ds, *, iterations: int, damping: float):
+    """General-graph path: per round, edges ⋈ ranks (hash join on u)
+    → per-edge contribution → groupby(v).Sum, ranks materialized
+    between rounds.  Two shuffles per round — the canonical
+    distributed PageRank exchange pattern.
+
+    Joins only ever take a clean-schema left side (the edge list or a
+    map_batches-normalized rank table): Ray 2.49's hash join emits
+    schema-less empty partitions that crash Acero when re-joined, so
+    every join output is immediately re-projected by a schema-stable
+    map_batches before it feeds another join."""
+    from ray.data.aggregate import Count, Sum
+
+    nparts = _join_partitions(edges_ds.count())
+
+    # out-degree doubles as the node table (symmetric edges: every
+    # node has out-degree ≥ 1), and rides inside the rank table so no
+    # iteration ever joins more than once per exchange
+    deg = (
+        edges_ds.groupby("u")
+        .aggregate(Count(alias_name="outdeg"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "curie": t.column("u"),
+                    "outdeg": pc.cast(t.column("outdeg"), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = deg.count()
+    base = (1.0 - damping) / n
+
+    _rank_schema = pa.schema(
+        [("curie", pa.string()), ("outdeg", pa.float64()), ("rank", pa.float64())]
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column("rank", pa.array([1.0 / n] * len(t), pa.float64()))
+
+    ranks = deg.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(iterations):
+        joined = edges_ds.join(
+            ranks, "inner", nparts, on=("u",), right_on=("curie",)
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if "u" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "contrib": pa.array([], pa.float64())}
+                )
+            c = pc.divide(t.column("rank"), t.column("outdeg"))
+            return pa.table({"curie": t.column("v"), "contrib": c})
+
+        summed = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("curie")
+            .aggregate(Sum("contrib", alias_name="csum"))
+        )
+        # inner, not left_outer: symmetric edges guarantee in-degree
+        # ≥ 1 for every node, so `summed` covers the full node set —
+        # and Ray 2.49's left_outer crashes on the schema-less empty
+        # partitions a sparse right side produces
+        merged = ranks.join(
+            summed, "inner", nparts, on=("curie",)
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "curie" not in t.column_names or len(t) == 0:
+                return _rank_schema.empty_table()
+            c = pc.coalesce(t.column("csum"), pa.scalar(0.0, pa.float64()))
+            r = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), c))
+            return pa.table(
+                {"curie": t.column("curie"), "outdeg": t.column("outdeg"),
+                 "rank": r}
+            )
+
+        ranks = merged.map_batches(update, batch_format="pyarrow").materialize()
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "curie": t.column("curie"),
+                "rank": np_round_half_away(
+                    t.column("rank").to_numpy(zero_copy_only=False), 6
+                ),
+            }
+        )
+
+    return ranks.map_batches(final, batch_format="pyarrow")
+
+
+def pagerank(sf_dir: str, *, iterations: int = 10, damping: float = 0.85,
+             distributed: bool | None = None):
+    """PageRank of the co-occurrence graph (10 fixed rounds, d=0.85)."""
+    return pagerank_edges(
+        symmetric_cooccurrence_edges(sf_dir),
+        iterations=iterations, damping=damping, distributed=distributed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation, fixed rounds)
+# ---------------------------------------------------------------------------
+
+def connected_components_edges(edges_ds, *, rounds: int = 8,
+                               distributed: bool | None = None):
+    """Fixed-round min-label propagation over a directed (u, v) edge
+    Dataset; component = lexicographically smallest curie reachable in
+    ≤ ``rounds`` hops.  With rounds ≥ graph diameter this is the exact
+    component id; being a deterministic fixed-round function it
+    hash-matches the unrolled-CTE oracle either way."""
+    edges_ds = edges_ds.materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        nodes, u_c, v_c = _collect_codes(edges_ds)
+        n = len(nodes)
+        label = np.arange(n, dtype=np.int64)  # code order == lexicographic
+        for _ in range(rounds):
+            incoming = np.full(n, n, dtype=np.int64)
+            if len(u_c):
+                np.minimum.at(incoming, v_c, label[u_c])
+            label = np.minimum(label, incoming)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "curie": pa.array(list(nodes), pa.string()),
+                    "component": pa.array(
+                        [nodes[i] for i in label], pa.string()
+                    ),
+                }
+            )
+        )
+    return _components_distributed(edges_ds, rounds=rounds)
+
+
+def _components_distributed(edges_ds, *, rounds: int):
+    from ray.data.aggregate import Count, Min
+
+    nparts = _join_partitions(edges_ds.count())
+
+    nodes = (
+        edges_ds.map_batches(
+            lambda t: pa.table({"curie": t.column("u")}), batch_format="pyarrow"
+        )
+        .groupby("curie")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"curie": t.column("curie"), "label": t.column("curie")})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        joined = edges_ds.join(
+            labels, "inner", nparts, on=("u",), right_on=("curie",)
+        )
+        def neighbor(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "nlabel": pa.array([], pa.string())}
+                )
+            return pa.table(
+                {"curie": t.column("v"), "nlabel": t.column("label")}
+            )
+
+        incoming = (
+            joined.map_batches(neighbor, batch_format="pyarrow")
+            .groupby("curie")
+            .aggregate(Min("nlabel", alias_name="nmin"))
+        )
+        # inner is exact here for the same reason as in PageRank:
+        # symmetric edges mean every node has an incoming min-label
+        merged = labels.join(
+            incoming, "inner", nparts, on=("curie",)
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "curie" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "label": pa.array([], pa.string())}
+                )
+            nl = pc.coalesce(t.column("nmin"), t.column("label"))
+            return pa.table(
+                {
+                    "curie": t.column("curie"),
+                    "label": pc.min_element_wise(t.column("label"), nl),
+                }
+            )
+
+        labels = merged.map_batches(update, batch_format="pyarrow").materialize()
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"curie": t.column("curie"), "component": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components(sf_dir: str, *, rounds: int = 8,
+                         distributed: bool | None = None):
+    """Connected components of the co-occurrence graph (8 fixed rounds)."""
+    return connected_components_edges(
+        symmetric_cooccurrence_edges(sf_dir),
+        rounds=rounds, distributed=distributed,
+    )

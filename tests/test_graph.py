@@ -1,0 +1,89 @@
+"""Iterative graph algorithms (pipelines/graph.py): PageRank and
+connected components, fast (driver numpy) vs distributed (join +
+groupby per round) path equality, plus analytic invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from outbreak_kg_ray.pipelines import graph
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    u = [a for a, b in pairs for _ in (0,)] + [b for a, b in pairs]
+    v = [b for a, b in pairs] + [a for a, b in pairs]
+    return rd.from_arrow(
+        pa.table({"u": pa.array(u, pa.string()), "v": pa.array(v, pa.string())})
+    )
+
+
+# two triangles bridged by one edge, plus an isolated 2-cycle
+PAIRS = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("c", "d"),
+    ("d", "e"), ("e", "f"), ("d", "f"),
+    ("x", "y"),
+]
+
+
+def test_pagerank_paths_agree(ray_session):
+    fast = graph.pagerank_edges(_edges_ds(PAIRS), distributed=False).to_pandas()
+    dist = graph.pagerank_edges(_edges_ds(PAIRS), distributed=True).to_pandas()
+    f = fast.sort_values("curie").reset_index(drop=True)
+    d = dist.sort_values("curie").reset_index(drop=True)
+    assert list(f["curie"]) == list(d["curie"])
+    np.testing.assert_allclose(f["rank"], d["rank"], atol=1.5e-6)
+
+
+def test_pagerank_invariants(ray_session):
+    df = graph.pagerank_edges(_edges_ds(PAIRS), distributed=False).to_pandas()
+    assert len(df) == 8
+    # ranks sum to ~1 (no dangling nodes after symmetrization)
+    assert abs(df["rank"].sum() - 1.0) < 1e-4
+    r = dict(zip(df["curie"], df["rank"]))
+    # the bridge endpoints (degree 3) outrank the pure triangle
+    # corners (degree 2) and the isolated pair
+    assert r["c"] > r["a"] and r["d"] > r["e"]
+    assert r["c"] > r["x"]
+
+
+def test_components_paths_agree(ray_session):
+    fast = graph.connected_components_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    dist = graph.connected_components_edges(
+        _edges_ds(PAIRS), distributed=True
+    ).to_pandas()
+    f = dict(zip(fast["curie"], fast["component"]))
+    d = dict(zip(dist["curie"], dist["component"]))
+    assert f == d
+
+
+def test_components_labels(ray_session):
+    df = graph.connected_components_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    comp = dict(zip(df["curie"], df["component"]))
+    assert {comp[c] for c in "abcdef"} == {"a"}
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_components_rounds_below_diameter(ray_session):
+    # a path graph of 6 nodes has diameter 5; with rounds=2 the fixed-
+    # round function must still be deterministic (and un-converged)
+    chain = [("n%d" % i, "n%d" % (i + 1)) for i in range(5)]
+    df = graph.connected_components_edges(
+        _edges_ds(chain), rounds=2, distributed=False
+    ).to_pandas()
+    comp = dict(zip(df["curie"], df["component"]))
+    assert comp["n2"] == "n0"
+    assert comp["n5"] == "n3"  # only 2 hops propagated
+
+
+def test_pagerank_on_corpus(ray_session, sf_dir):
+    df = graph.pagerank(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert abs(df["rank"].sum() - 1.0) < 1e-3
+    assert (df["rank"] > 0).all()
