@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "order_lineitem_join": relational.order_lineitem_join,
         "revenue_by_nation": relational.revenue_by_nation,
+        "cumulative_order_revenue": relational.cumulative_order_revenue,
+        "triangle_counts": graph.triangle_counts,
         "top_customers_by_nation": relational.top_customers_by_nation,
         "token_count_quantiles": relational.token_count_quantiles,
         "events_props_stats": relational.events_props_stats,
@@ -1440,6 +1442,37 @@ l{i} AS (
 )"""
         for i in range(1, 9)
     )
+    sql["triangle_counts"] = (
+        graph_edges.replace(
+            "e AS (SELECT start_id AS u, end_id AS v FROM cooc\n"
+            "      UNION ALL SELECT end_id, start_id FROM cooc),\n"
+            "nd AS (SELECT DISTINCT u AS v FROM e)",
+            "ce AS (SELECT LEAST(start_id, end_id) AS lo,\n"
+            "              GREATEST(start_id, end_id) AS hi\n"
+            "       FROM cooc GROUP BY 1, 2),\n"
+            "tri AS (\n"
+            "  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c\n"
+            "  FROM ce e1\n"
+            "  JOIN ce e2 ON e2.lo = e1.lo AND e2.hi > e1.hi\n"
+            "  JOIN ce e3 ON e3.lo = e1.hi AND e3.hi = e2.hi\n"
+            ")",
+        )
+        + """
+SELECT v AS curie, COUNT(*) AS n_triangles
+FROM (SELECT a AS v FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY v"""
+    )
+
+    sql["cumulative_order_revenue"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS cum_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
     sql["connected_components"] = (
         graph_edges
         + """,

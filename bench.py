@@ -117,7 +117,7 @@ def run_headline(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-pipeline timings (each consumed via count())."""
     from outbreak_kg_ray.pipelines import docops, realism, relational
-    from outbreak_kg_ray.pipelines import temporal
+    from outbreak_kg_ray.pipelines import graph, temporal
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -138,6 +138,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "order_ship_window": lambda: temporal.order_ship_window(sf_dir),
         "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),
         "prefix_block_jaccard": lambda: docops.prefix_block_jaccard(sf_dir),
+        "pagerank": lambda: graph.pagerank(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

@@ -154,7 +154,10 @@ def _pagerank_distributed(edges_ds, *, iterations: int, damping: float):
     map_batches before it feeds another join."""
     from ray.data.aggregate import Count, Sum
 
-    nparts = _join_partitions(edges_ds.count())
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return _rank_table(np.array([], dtype=object), np.array([]))
+    nparts = _join_partitions(n_edges)
 
     # out-degree doubles as the node table (symmetric edges: every
     # node has out-degree ≥ 1), and rides inside the rank table so no
@@ -286,7 +289,16 @@ def connected_components_edges(edges_ds, *, rounds: int = 8,
 def _components_distributed(edges_ds, *, rounds: int):
     from ray.data.aggregate import Count, Min
 
-    nparts = _join_partitions(edges_ds.count())
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("curie", pa.string()), ("component", pa.string())]
+            ).empty_table()
+        )
+    nparts = _join_partitions(n_edges)
 
     nodes = (
         edges_ds.map_batches(
@@ -356,4 +368,188 @@ def connected_components(sf_dir: str, *, rounds: int = 8,
     return connected_components_edges(
         symmetric_cooccurrence_edges(sf_dir),
         rounds=rounds, distributed=distributed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge join)
+# ---------------------------------------------------------------------------
+
+def _drop_empty_blocks(ds, schema: pa.Schema):
+    """Materialize and rebuild a Dataset from its non-empty blocks
+    (metadata-only filter — no rows move).  Ray 2.49 shuffle operators
+    can emit schema-less empty blocks that crash a downstream Acero
+    join; dropping them is safe because empty blocks carry no data."""
+    import ray.data as rd
+
+    mds = ds.materialize()
+    refs = [
+        ref
+        for bundle in mds.iter_internal_ref_bundles()
+        for (ref, meta) in bundle.blocks
+        if (meta.num_rows or 0) > 0
+    ]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
+_WEDGE_SCHEMA = pa.schema(
+    [("lo", pa.string()), ("hi", pa.string()), ("apex", pa.string())]
+)
+_DIRECTED_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+
+def triangle_counts(sf_dir: str, products=None):
+    """Per-node triangle counts of the co-occurrence graph."""
+    from outbreak_kg_ray.pipelines import kg
+
+    return triangle_counts_edges(kg.cooccurrence_edges(sf_dir, products))
+
+
+def triangle_counts_edges(edges):
+    """Per-node triangle counts over a (start_id, end_id) edge Dataset.
+
+    Distributed shape (no driver-side graph): canonical-pair dedup →
+    **degree-oriented** edges (each edge directed from its
+    lower-degree endpoint, ties by name) so wedge fan-out per node is
+    bounded by out-degree ≤ O(sqrt(E)) even on hub-skewed graphs —
+    the standard skew defence for triangle enumeration — then a
+    self-join on the wedge apex and a closing-edge hash join against
+    the canonical pair set.  Per-node counts are one final groupby
+    over the 3 vertices of each triangle found."""
+    from ray.data.aggregate import Count
+
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("start_id"), t.column("end_id"))
+        hi = pc.max_element_wise(t.column("start_id"), t.column("end_id"))
+        # drop self-loops: they are not simple-graph edges and would
+        # otherwise fabricate wedges
+        return pa.table({"lo": lo, "hi": hi}).filter(pc.not_equal(lo, hi))
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    pairs = _drop_empty_blocks(
+        pairs, pa.schema([("lo", pa.string()), ("hi", pa.string())])
+    ).materialize()
+    empty_counts = pa.schema(
+        [("curie", pa.string()), ("n_triangles", pa.int64())]
+    )
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_counts.empty_table())
+    nparts = _join_partitions(pairs.count())
+
+    # degree of every endpoint (vocabulary-bounded table)
+    def endpoints(t: pa.Table) -> pa.Table:
+        if "lo" not in t.column_names or len(t) == 0:
+            return pa.table({"curie": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "curie": pa.concat_arrays(
+                    [c for col in (t.column("lo"), t.column("hi"))
+                     for c in col.chunks]
+                )
+            }
+        )
+
+    deg = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("curie")
+        .aggregate(Count(alias_name="d"))
+    )
+    deg = _drop_empty_blocks(
+        deg, pa.schema([("curie", pa.string()), ("d", pa.int64())])
+    )
+
+    # attach both endpoint degrees, then orient low-degree → high-degree
+    with_lo = _drop_empty_blocks(
+        pairs.join(deg, "inner", nparts, on=("lo",), right_on=("curie",)),
+        pa.schema([("lo", pa.string()), ("hi", pa.string()), ("d", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"lo": t.column("lo"), "hi": t.column("hi"), "d_lo": t.column("d")}
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = _drop_empty_blocks(
+        with_lo.join(deg, "inner", nparts, on=("hi",), right_on=("curie",)),
+        pa.schema(
+            [("lo", pa.string()), ("hi", pa.string()),
+             ("d_lo", pa.int64()), ("d", pa.int64())]
+        ),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        if "lo" not in t.column_names or len(t) == 0:
+            return _DIRECTED_SCHEMA.empty_table()
+        lo, hi = t.column("lo"), t.column("hi")
+        d_lo, d_hi = t.column("d_lo"), t.column("d")
+        # lo wins (becomes src) when (d, name) is smaller; lo < hi
+        # always, so ties on degree keep lo as src
+        lo_first = pc.less_equal(d_lo, d_hi)
+        return pa.table(
+            {
+                "src": pc.if_else(lo_first, lo, hi),
+                "dst": pc.if_else(lo_first, hi, lo),
+            }
+        )
+
+    directed = _drop_empty_blocks(
+        with_both.map_batches(orient, batch_format="pyarrow"), _DIRECTED_SCHEMA
+    ).materialize()
+
+    # wedges: two out-edges sharing an apex, canonicalized lo < hi
+    wedged = directed.join(
+        directed, "inner", nparts, on=("src",), right_suffix="_r"
+    )
+
+    def wedge(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        if "src" not in names or len(t) == 0:
+            return _WEDGE_SCHEMA.empty_table()
+        other = "dst_r" if "dst_r" in names else "dst_1"
+        a, b = t.column("dst"), t.column(other)
+        keep = pc.less(a, b)
+        tt = pa.table(
+            {"lo": a, "hi": b, "apex": t.column("src")}
+        ).filter(keep)
+        return tt
+
+    wedges = _drop_empty_blocks(
+        wedged.map_batches(wedge, batch_format="pyarrow"), _WEDGE_SCHEMA
+    ).materialize()
+    # a side that is empty (triangle-free graph) would hand the
+    # closing join a partition with no shards — short-circuit instead
+    if wedges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_counts.empty_table())
+
+    # closing edge: the wedge's (lo, hi) must be a canonical pair
+    closed = _drop_empty_blocks(
+        wedges.join(pairs, "inner", nparts, on=("lo", "hi")), _WEDGE_SCHEMA
+    )
+
+    def vertices(t: pa.Table) -> pa.Table:
+        if "lo" not in t.column_names or len(t) == 0:
+            return pa.table({"curie": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "curie": pa.concat_arrays(
+                    [c for col in (t.column("lo"), t.column("hi"),
+                                   t.column("apex")) for c in col.chunks]
+                )
+            }
+        )
+
+    return (
+        closed.map_batches(vertices, batch_format="pyarrow")
+        .groupby("curie")
+        .aggregate(Count(alias_name="n_triangles"))
     )

@@ -719,3 +719,41 @@ def events_sliding_window(sf_dir: str):
         )
 
     return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+def cumulative_order_revenue(sf_dir: str):
+    """Ordered window analytics: per customer, orders sorted by
+    (o_orderdate, o_orderkey) with a 1-based sequence number and a
+    running revenue total — the classic ROW_NUMBER / SUM OVER pair.
+
+    Distributed shape: ONE hash shuffle by ``o_custkey`` (group size
+    bounded by a single customer's history), then a vectorized sort +
+    cumsum per group — no per-row Python.  The running sum is left at
+    full float precision except the final 2-dp money rounding; both
+    engines accumulate in the same (o_orderdate, o_orderkey) order, so
+    the cumsum is bit-stable across the oracle comparison.
+    """
+    import pandas as pd
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderdate": g["o_orderdate"].to_numpy(),
+                "order_seq": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_revenue": np_round_half_away(
+                    np.cumsum(g["o_totalprice"].to_numpy()), 2
+                ),
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(
+        running, batch_format="pandas"
+    )

@@ -87,3 +87,58 @@ def test_pagerank_on_corpus(ray_session, sf_dir):
     assert len(df) > 0
     assert abs(df["rank"].sum() - 1.0) < 1e-3
     assert (df["rank"] > 0).all()
+
+
+def _raw_edges(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "start_id": pa.array([a for a, b in pairs], pa.string()),
+                "end_id": pa.array([b for a, b in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def test_triangle_counts_handmade(ray_session):
+    # triangles abc and bcd share edge bc; square wxyz has none
+    tri_pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"),
+        ("w", "x"), ("x", "y"), ("y", "z"), ("w", "z"),
+    ]
+    df = graph.triangle_counts_edges(_raw_edges(tri_pairs)).to_pandas()
+    got = dict(zip(df["curie"], df["n_triangles"]))
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_counts_duplicate_and_reversed_edges(ray_session):
+    # duplicates and reversed orientation collapse to one canonical pair
+    tri_pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "a")]
+    df = graph.triangle_counts_edges(_raw_edges(tri_pairs)).to_pandas()
+    got = dict(zip(df["curie"], df["n_triangles"]))
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_corpus_matches_reference(ray_session, sf_dir):
+    from itertools import combinations
+    from outbreak_kg_ray.pipelines import kg
+
+    edges = kg.cooccurrence_edges(sf_dir).to_pandas()
+    adj = {}
+    for a, b in zip(edges["start_id"], edges["end_id"]):
+        lo, hi = min(a, b), max(a, b)
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    expected = {}
+    for v, nbrs in adj.items():
+        c = sum(
+            1 for x, y in combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        if c:
+            expected[v] = c
+    df = graph.triangle_counts(sf_dir).to_pandas()
+    got = dict(zip(df["curie"], df["n_triangles"]))
+    assert got == expected

@@ -301,3 +301,28 @@ def test_stratified_sample_determinism(sf_dir):
     key = lambda df: sorted(zip(df["lang"], df["doc_id"]))
     assert key(a) == key(b)
     assert (a.groupby("lang").size() == 3).all()
+
+
+def test_cumulative_order_revenue_window(sf_dir):
+    out = (
+        relational.cumulative_order_revenue(sf_dir)
+        .to_pandas()
+        .sort_values(["o_custkey", "order_seq"])
+        .reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """SELECT o_custkey, o_orderkey,
+                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+                  ROUND(SUM(o_totalprice) OVER w, 2) AS cum_revenue
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+           ORDER BY o_custkey, order_seq"""
+    ).fetchdf()
+    assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert out["order_seq"].tolist() == exp["order_seq"].tolist()
+    assert np.allclose(out["cum_revenue"], exp["cum_revenue"], atol=0.011)
+    # running total is non-decreasing within a customer (prices > 0)
+    g = out.groupby("o_custkey")["cum_revenue"]
+    assert (g.diff().dropna() > 0).all()
