@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         temporal,
     )
     from outbreak_kg_ray.stages import multimodal as mm
+    from outbreak_kg_ray.stages import sketch
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
@@ -282,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup / text analysis / similarity ---
         "dedup_exact": docops.dedup_exact,
         "token_stats": docops.token_stats,
+        "heavy_hitter_terms": sketch.heavy_hitter_terms,
+        "hll_distinct_tokens": sketch.hll_distinct_tokens,
         "quality_scores": docops.quality_scores,
         "lang_id": docops.lang_id,
         "fingerprints": docops.fingerprints,
@@ -1464,6 +1467,23 @@ FROM (SELECT a AS v FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY v"""
     )
+
+    # heavy hitters: exact top-20 tokens; the engine's candidate-bounded
+    # two-pass sketch provably equals this exact query (stages/sketch.py)
+    sql["heavy_hitter_terms"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences
+  FROM toks WHERE token != '' GROUP BY token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+         AS rank,
+       token, n_occurrences
+FROM counts
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
 
     sql["cumulative_order_revenue"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,

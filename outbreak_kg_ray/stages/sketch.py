@@ -1,0 +1,242 @@
+"""Distributed cardinality / frequency sketches over the token stream.
+
+The reference computes term statistics with exact pandas groupbys
+(ner_stats.py); at 10^12-document scale the interesting aggregates —
+"how many distinct tokens" and "what are the most frequent terms" —
+should not require a full-vocabulary shuffle.  This module adds the
+two standard sketch shapes, both expressed Ray-Data-first:
+
+* HyperLogLog distinct-count: each ``map_batches`` call folds its
+  batch into a 2^p-register array (one partial ROW per block), a
+  block-local combine collapses partials, and a single-row final
+  merge applies the HLL estimator.  Nothing corpus-sized ever leaves
+  the workers; the exchange volume is (#blocks × 2^p) bytes.
+
+* Heavy hitters, two-pass and *exactly* SQL-checkable: pass 1 emits
+  per-batch candidate terms above the Misra-Gries threshold
+  (count ≥ batch_tokens/k — by pigeonhole a superset of every term
+  with global frequency ≥ N/k); pass 2 broadcasts the deduplicated
+  candidate set and exact-counts ONLY those terms, so the groupby
+  shuffle carries a candidate-bounded stream instead of the full
+  vocabulary.  A runtime guarantee check falls back to a full exact
+  groupby when the top-m is not provably inside the candidate set,
+  so results always equal the exact oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from outbreak_kg_ray.sources.io import read_parquet_clean
+from outbreak_kg_ray.stages.dedup import _token_hashes
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_fold_tokens(tokens: list[str], registers: np.ndarray) -> None:
+    """Fold a token list into a 2^p uint8 register array in place."""
+    if not tokens:
+        return
+    h = _token_hashes(tokens)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rem = (h << np.uint64(_HLL_P)).astype(np.uint64)
+    # rank = leading zeros of the remaining 64-p bits + 1; log2-based
+    # (exact for every representable power), clipped at the edges
+    with np.errstate(divide="ignore"):
+        lg = np.floor(np.log2(rem.astype(np.float64))).astype(np.int64)
+    rank = np.clip(64 - lg, 1, 64 - _HLL_P + 1)
+    rank = np.where(rem == 0, 64 - _HLL_P + 1, rank).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def _hll_partial_batch(t: pa.Table) -> pa.Table:
+    """documents batch → one partial row holding the register array."""
+    registers = np.zeros(_HLL_M, dtype=np.uint8)
+    for text in t.column("text").to_pylist():
+        _hll_fold_tokens(text.split(), registers)
+    return pa.table(
+        {"registers": pa.array([registers], pa.list_(pa.uint8(), _HLL_M))}
+    )
+
+
+def _hll_combine_batch(t: pa.Table) -> pa.Table:
+    if "registers" not in t.column_names or len(t) == 0:
+        return pa.table(
+            {"registers": pa.array([], pa.list_(pa.uint8(), _HLL_M))}
+        )
+    regs = np.asarray(t.column("registers").combine_chunks().flatten()).reshape(
+        len(t), _HLL_M
+    )
+    merged = regs.max(axis=0)
+    return pa.table(
+        {"registers": pa.array([merged], pa.list_(pa.uint8(), _HLL_M))}
+    )
+
+
+def _hll_estimate(registers: np.ndarray) -> int:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard constant for m ≥ 128
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """Approximate distinct whitespace-token count over documents.
+
+    Single pass + two-level combine; the answer is one row
+    ``(n_distinct_est,)``.  2^12 registers → ~1.6 % typical error
+    (tests bound it at 5 % against the exact count)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = docs.map_batches(_hll_partial_batch, batch_format="pyarrow")
+    combined = (
+        partials.map_batches(
+            _hll_combine_batch, batch_format="pyarrow", batch_size=None
+        )
+        .repartition(1)
+        .map_batches(_hll_combine_batch, batch_format="pyarrow", batch_size=None)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n_distinct_est": pa.array([0], pa.int64())})
+        regs = np.asarray(t.column("registers").combine_chunks().flatten())
+        return pa.table(
+            {"n_distinct_est": pa.array([_hll_estimate(regs)], pa.int64())}
+        )
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+_MG_K = 256  # candidate threshold 1/k of each batch's token mass
+
+
+def _candidate_batch(t: pa.Table) -> pa.Table:
+    """Per-batch Misra-Gries candidates: exact batch counts via
+    np.unique, keep terms with count ≥ batch_tokens/k."""
+    toks: list[str] = []
+    for text in t.column("text").to_pylist():
+        toks.extend(text.split())
+    if not toks:
+        return pa.table({"token": pa.array([], pa.string())})
+    arr = np.asarray(toks, dtype=object)
+    uniq, counts = np.unique(arr, return_counts=True)
+    thresh = max(1.0, len(toks) / _MG_K)
+    keep = counts >= thresh
+    return pa.table({"token": pa.array(list(uniq[keep]), pa.string())})
+
+
+def heavy_hitter_terms(sf_dir: str, *, m: int = 20):
+    """Exact global top-``m`` whitespace tokens by frequency
+    (ties broken by token asc), computed with a candidate-bounded
+    second pass instead of a full-vocabulary shuffle.
+
+    Guarantee check: with N total tokens, every term of count ≥
+    N/_MG_K is in the candidate set.  If the observed m-th candidate
+    count clears that bar the result provably equals the exact top-m;
+    otherwise (flat distributions — exactly when heavy hitters are
+    cheap anyway) fall back to the full exact groupby."""
+    import ray
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    cands = (
+        docs.map_batches(_candidate_batch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    cand_set = frozenset(
+        x for b in cands.iter_batches(batch_format="pyarrow")
+        for x in b["token"].to_pylist()
+    )
+    cand_ref = ray.put(cand_set)
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        tokens: list[str] = []
+        total = 0
+        for text in t.column("text").to_pylist():
+            ts = text.split()
+            total += len(ts)
+            tokens.extend(x for x in ts if x in wanted)
+        if not tokens:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        arr = np.asarray(tokens, dtype=object)
+        uniq, counts = np.unique(arr, return_counts=True)
+        out = pa.table(
+            {
+                "token": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "total": pa.array(
+                    [total] + [0] * (len(uniq) - 1), pa.int64()
+                ),
+            }
+        )
+        return out
+
+    counted = (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="t"))
+        .to_pandas()
+    )
+    n_total = int(counted["t"].sum())
+    top = counted.sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).head(m)
+
+    if len(top) < m or (n_total and top["n"].iloc[-1] < n_total / _MG_K):
+        # guarantee not met — exact fallback over the full vocabulary
+        def all_counts(t: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            for text in t.column("text").to_pylist():
+                toks.extend(text.split())
+            if not toks:
+                return pa.table(
+                    {"token": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            return pa.table(
+                {"token": pa.array(list(uniq), pa.string()),
+                 "n": pa.array(counts, pa.int64())}
+            )
+
+        counted = (
+            docs.map_batches(all_counts, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        top = counted.sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(m)
+
+    import ray.data as rd
+
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "token": top["token"].to_numpy(),
+            "n_occurrences": top["n"].to_numpy().astype(np.int64),
+        }
+    )
+    return rd.from_pandas(out)
