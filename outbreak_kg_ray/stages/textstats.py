@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from outbreak_kg_ray.functions.rounding import round_half_away
@@ -128,13 +129,54 @@ class LangIdStage:
         )
 
 
+_FP_M41 = np.uint64((1 << 41) - 1)
+_FP_M20 = np.uint64((1 << 20) - 1)
+_FP_P = np.uint64(_FP_MOD)
+
+
+def fingerprint_vector(texts: list[str]) -> np.ndarray:
+    """Vectorized polynomial rolling hash, identical to
+    ``fingerprint`` (property-tested in tests/test_stats.py).
+
+    Vectorizes ACROSS the batch: one numpy step per byte position
+    updates every document's state at once using Mersenne-prime
+    (p = 2^61-1) modular arithmetic that never leaves uint64:
+    h·B splits h into 41+20 bits so each partial product stays below
+    2^61, and ·2^41 reduces via 2^61 ≡ 1 (mod p).  ~10× the scalar
+    per-byte loop, which profiled at only ~4 MB/s/core."""
+    bufs = [x.encode("utf-8") for x in texts]
+    n = len(bufs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    for i, b in enumerate(bufs):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(_FP_BASE)
+    c41, c20, c61 = np.uint64(41), np.uint64(20), np.uint64(61)
+    for j in range(maxlen):
+        y = (h >> c41) * B  # < 2^40
+        z = (
+            (y >> c20) + ((y & _FP_M20) << c41)  # (h_hi·B·2^41) mod-partial
+            + (h & _FP_M41) * B                  # h_lo·B < 2^61
+            + mat[:, j]
+        )  # < 2^63
+        z = (z & _FP_P) + (z >> c61)
+        z = (z & _FP_P) + (z >> c61)
+        z = np.where(z >= _FP_P, z - _FP_P, z)
+        h = np.where(j < lens, z, h)
+    return h
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
-    fps = [fingerprint(x) for x in t.column("text").to_pylist()]
+    fps = fingerprint_vector(t.column("text").to_pylist())
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
             "fingerprint": pa.array(
-                [f - (1 << 60) for f in fps], pa.int64()
+                fps.astype(np.int64) - (1 << 60), pa.int64()
             ),  # shifted into signed range
         }
     )

@@ -103,3 +103,27 @@ def test_round_half_away_matches_duckdb():
 
     got_pa = pa_round_half_away(pa.array(cases, pa.float64()), 6)
     assert got_pa.to_pylist() == want
+
+
+def test_fingerprint_vector_matches_scalar():
+    """The Mersenne-mod vectorized rolling hash is byte-for-byte the
+    scalar definition (and the recursive-CTE SQL oracle)."""
+    import random
+
+    import numpy as np
+
+    from outbreak_kg_ray.stages.textstats import (
+        fingerprint,
+        fingerprint_vector,
+    )
+
+    rng = random.Random(11)
+    cases = ["", "a", "\x00", "\xff" * 7, "z" * 4096] + [
+        "".join(chr(rng.randrange(1, 0x2FFF))
+                for _ in range(rng.randrange(0, 400)))
+        for _ in range(300)
+    ]
+    vec = fingerprint_vector(cases)
+    ref = np.array([fingerprint(x) for x in cases], dtype=np.uint64)
+    assert (vec == ref).all()
+    assert (vec < np.uint64((1 << 61) - 1)).all()
