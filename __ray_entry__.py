@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": docops.embedding_near_dups,
         "near_dup_keep": docops.near_dup_keep,
         "quality_filter_sample": docops.quality_filter_sample,
+        "decontaminate": docops.decontaminate,
+        "unigram_logprob": docops.unigram_logprob,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1079,6 +1081,43 @@ SELECT n AS vec_id, min(m) AS keep_id FROM reach GROUP BY n
 SELECT doc_id, quality FROM ({sql["quality_scores"]})
 WHERE quality >= 0.5
   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+"""
+
+    # word-4-gram overlap vs the deterministic benchmark subset
+    # (doc_id % 50 == 0); mirrors pipelines/docops.py:decontaminate
+    sql["decontaminate"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, len(ws) - 2),
+      i -> array_to_string(list_slice(ws, i, i + 3), ' '))) AS g
+  FROM toks WHERE len(ws) >= 4
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), overlap AS (
+  SELECT g2.doc_id, count(DISTINCT g2.g) AS n_overlap_grams
+  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0) g2
+  JOIN bench USING (g)
+  GROUP BY g2.doc_id
+)
+SELECT d.doc_id,
+       coalesce(o.n_overlap_grams, 0) AS n_overlap_grams,
+       coalesce(o.n_overlap_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN overlap o USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+"""
+
+    sql["unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM cnt)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(c / t)), 6) AS nll_mean
+FROM toks JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY doc_id
 """
 
     sql["pricing_summary"] = """

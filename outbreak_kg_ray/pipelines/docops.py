@@ -305,3 +305,130 @@ def quality_filter_sample(sf_dir: str, *, min_quality: float = 0.5,
         )
 
     return quality_scores(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, *, n: int = 4, modulus: int = 50):
+    """Benchmark decontamination (GPT-3 appendix-C shape): flag every
+    training-candidate document sharing a word ``n``-gram with the
+    held-out benchmark subset (``doc_id % modulus == 0`` — the
+    deterministic stand-in for an eval set).
+
+    Scale shape: the benchmark gram set is collected driver-side and
+    broadcast — BOUNDED BY THE EVAL SET, not the corpus (eval sets
+    are ~10^3-10^5 docs against a 100 TB corpus).  The corpus side
+    streams through an actor pool holding the sorted gram array from
+    ``__init__``; per-doc work is a vectorized rolling hash +
+    ``searchsorted``."""
+    import numpy as np
+    import ray
+
+    from ..stages import decontam as dc
+
+    bench_parts = [
+        b.column("g").to_numpy()
+        for b in _documents(sf_dir)
+        .map_batches(
+            dc.bench_grams_batch(n, modulus), batch_format="pyarrow"
+        )
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench = (
+        np.unique(np.concatenate(bench_parts))
+        if bench_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+    return _documents(sf_dir).map_batches(
+        dc.DecontaminateStage,
+        fn_constructor_args=(bench_ref, n, modulus),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def unigram_logprob(sf_dir: str):
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram distribution — the cheap "perplexity-ish"
+    quality signal of webtext pipelines (CCNet uses a real LM; the
+    unigram variant needs no model artifact).
+
+    Two passes: (1) vocabulary counts via per-batch ``np.unique``
+    pre-aggregation + a vocabulary-bounded ``groupby().sum()`` —
+    only (token, count) pairs enter the shuffle, never token
+    streams; (2) a broadcast of the (bounded) log-prob table and a
+    single vectorized scoring pass.  At real webtext scale the
+    vocabulary is capped (top-V + OOV bucket) which keeps the
+    broadcast bounded by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            if x.strip():
+                toks.extend(tokenize(x))
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    vocab = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # vocabulary-bounded
+    total = float(sum(r["c"] for r in vocab))
+    nll = {r["w"]: -float(np.log(r["c"] / total)) for r in vocab}
+    nll_ref = ray.put(nll)
+
+    class NLLStage:
+        def __init__(self, ref) -> None:
+            self._nll: dict[str, float] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            table = self._nll
+            ids, n_toks, means = [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                if not x.strip():
+                    continue  # oracle excludes empty docs
+                toks = tokenize(x)
+                ids.append(doc_id)
+                n_toks.append(len(toks))
+                means.append(
+                    round_half_away(
+                        float(np.mean([table[w] for w in toks])), 6
+                    )
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "nll_mean": pa.array(means, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        NLLStage,
+        fn_constructor_args=(nll_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

@@ -238,3 +238,51 @@ def test_short_exact_duplicates_survive_multiplicity_filter(ray_session):
                    (3, "completely different text here entirely")])
     pairs = dd.ngram_candidate_pairs(ds).to_pandas()
     assert {(1, 2)} == set(zip(pairs["a"], pairs["b"]))
+
+
+def test_gram_hashes_match_naive_windows():
+    from outbreak_kg_ray.stages import decontam as dc
+
+    hasher = dc.TokenHasher()
+    toks = "a b c d e f g".split(" ")
+    th = hasher.hash_tokens(toks)
+    got = dc.gram_hashes(th, 3)
+    assert len(got) == 5
+    for i in range(5):
+        # recompute each window independently (scalar reference)
+        h = np.uint64(0)
+        for k in range(3):
+            h = h * dc._GRAM_BASE + th[i + k]
+        assert got[i] == h
+    # identical token sequences hash identically across hasher instances
+    th2 = dc.TokenHasher().hash_tokens(toks)
+    assert (dc.gram_hashes(th2, 3) == got).all()
+    # too-short input -> no grams
+    assert len(dc.gram_hashes(th[:2], 3)) == 0
+
+
+def test_decontaminate_stage_flags_planted_overlap(ray_session):
+    import ray
+
+    from outbreak_kg_ray.stages import decontam as dc
+
+    # benchmark doc 0 (id % 10 == 0); doc 13 copies a 4-gram from it,
+    # doc 21 shares nothing, doc 30 is itself benchmark (dropped).
+    bench_text = "w1 w2 w3 w4 w5 w6"
+    hasher = dc.TokenHasher()
+    bench = np.sort(
+        np.unique(dc.gram_hashes(hasher.hash_tokens(dc.tokenize(bench_text)), 4))
+    )
+    stage = dc.DecontaminateStage(ray.put(bench), 4, 10)
+    t = pa.table(
+        {
+            "doc_id": pa.array([13, 21, 30], pa.int64()),
+            "text": pa.array(
+                ["x w2 w3 w4 w5 y", "p q r s t u", bench_text], pa.string()
+            ),
+        }
+    )
+    out = stage(t)
+    assert out.column("doc_id").to_pylist() == [13, 21]
+    assert out.column("n_overlap_grams").to_pylist() == [1, 0]
+    assert out.column("contaminated").to_pylist() == [True, False]
