@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_sample": docops.quality_filter_sample,
         "decontaminate": docops.decontaminate,
         "unigram_logprob": docops.unigram_logprob,
+        "boilerplate_ratio": docops.boilerplate_ratio,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1106,6 +1107,30 @@ SELECT d.doc_id,
        coalesce(o.n_overlap_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN overlap o USING (doc_id)
 WHERE d.doc_id % 50 <> 0
+"""
+
+    # word-3-grams with document frequency >= 5 are "boilerplate";
+    # per-doc fraction of distinct grams that are hot.  Mirrors
+    # pipelines/docops.py:boilerplate_ratio
+    sql["boilerplate_ratio"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      range(1, len(ws) - 1),
+      i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS g
+  FROM toks WHERE len(ws) >= 3
+), df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), hot AS (
+  SELECT g FROM df WHERE df >= 5
+)
+SELECT gr.doc_id, count(*) AS n_grams,
+       count(h.g) AS n_hot_grams,
+       round(count(h.g) / CAST(count(*) AS DOUBLE), 6)
+         AS boilerplate_ratio
+FROM grams gr LEFT JOIN hot h USING (g)
+GROUP BY gr.doc_id
 """
 
     sql["unigram_logprob"] = """

@@ -432,3 +432,116 @@ def unigram_logprob(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
+    """Corpus-level boilerplate detection — the single-line-dedup
+    analog of CCNet/RefinedWeb over whitespace corpora: find word
+    ``n``-grams whose document frequency is ≥ ``min_df`` (navigation
+    chrome, legal footers, template shrapnel), then score every doc
+    by the fraction of its distinct grams that are boilerplate.
+
+    Scale shape: pass 1 is the honest corpus-wide shuffle — per-doc
+    DISTINCT gram hashes pre-aggregate to (gram, partial_df) inside
+    each batch, then one ``groupby(g).sum()`` whose input is already
+    collapsed per block.  Only the HOT survivors (df ≥ min_df — at
+    real scale a high threshold keeps this ≲ corpus/min_df, the
+    standard boilerplate assumption) come back for the bounded
+    broadcast; pass 2 streams."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages import decontam as dc
+
+    docs = _documents(sf_dir)
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        hasher = dc.TokenHasher()
+        per_doc: list[np.ndarray] = []
+        for x in t.column("text").to_pylist():
+            toks = dc.tokenize(x)
+            if len(toks) >= n:
+                per_doc.append(
+                    np.unique(dc.gram_hashes(hasher.hash_tokens(toks), n))
+                )
+        if not per_doc:
+            return pa.table(
+                {"g": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.concatenate(per_doc), return_counts=True)
+        # int64 bit-view: Ray's groupby key path rejects uint64 above
+        # the signed range; ordering is irrelevant (set membership)
+        return pa.table(
+            {"g": pa.array(uniq.view(np.int64), pa.int64()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("df"), min_df))
+
+    hot_parts = [
+        b.column("g").to_numpy()
+        for b in docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="df"))
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]  # only hot survivors reach the driver — bounded by the threshold
+    hot = np.sort(
+        np.concatenate(hot_parts)
+        if hot_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    class BoilerplateStage:
+        def __init__(self, ref) -> None:
+            self._hot: np.ndarray = ray.get(ref)
+            self._hasher = dc.TokenHasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hot = self._hot
+            ids, n_grams, n_hot, ratios = [], [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                toks = dc.tokenize(x)
+                if len(toks) < n:
+                    continue  # no grams: dropped on both sides
+                g = np.unique(
+                    dc.gram_hashes(self._hasher.hash_tokens(toks), n)
+                ).view(np.int64)
+                if len(hot):
+                    idx = np.minimum(
+                        np.searchsorted(hot, g), len(hot) - 1
+                    )
+                    hits = int((hot[idx] == g).sum())
+                else:
+                    hits = 0
+                ids.append(doc_id)
+                n_grams.append(len(g))
+                n_hot.append(hits)
+                ratios.append(round_half_away(hits / len(g), 6))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_grams": pa.array(n_grams, pa.int64()),
+                    "n_hot_grams": pa.array(n_hot, pa.int64()),
+                    "boilerplate_ratio": pa.array(ratios, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        BoilerplateStage,
+        fn_constructor_args=(hot_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

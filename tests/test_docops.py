@@ -286,3 +286,37 @@ def test_decontaminate_stage_flags_planted_overlap(ray_session):
     assert out.column("doc_id").to_pylist() == [13, 21]
     assert out.column("n_overlap_grams").to_pylist() == [1, 0]
     assert out.column("contaminated").to_pylist() == [True, False]
+
+
+def test_boilerplate_ratio_tiny_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # the trigram "f1 f2 f3" (a footer) appears in docs 0,1,2; each
+    # doc also has unique grams.  min_df=3 → exactly that gram is hot.
+    texts = [
+        "a b c f1 f2 f3",
+        "d e f f1 f2 f3",
+        "g h i f1 f2 f3",
+        "j k l m n o",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.boilerplate_ratio(str(tmp_path), n=3, min_df=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: grams {abc, bcf1, cf1f2, f1f2f3} → 4 distinct, 1 hot
+    assert out.loc[0, "n_grams"] == 4
+    assert out.loc[0, "n_hot_grams"] == 1
+    assert out.loc[0, "boilerplate_ratio"] == 0.25
+    assert out.loc[3, "n_hot_grams"] == 0
+    assert out.loc[3, "boilerplate_ratio"] == 0.0
