@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": docops.token_stats,
         "heavy_hitter_terms": sketch.heavy_hitter_terms,
         "hll_distinct_tokens": sketch.hll_distinct_tokens,
+        "distinct_token_count": sketch.distinct_token_count,
         "quality_scores": docops.quality_scores,
         "lang_id": docops.lang_id,
         "fingerprints": docops.fingerprints,
@@ -1131,6 +1132,12 @@ SELECT gr.doc_id, count(*) AS n_grams,
          AS boilerplate_ratio
 FROM grams gr LEFT JOIN hot h USING (g)
 GROUP BY gr.doc_id
+"""
+
+    sql["distinct_token_count"] = """
+SELECT count(DISTINCT w) AS n_distinct_tokens
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE trim(text) <> '')
 """
 
     sql["unigram_logprob"] = """

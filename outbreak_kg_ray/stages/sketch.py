@@ -240,3 +240,54 @@ def heavy_hitter_terms(sf_dir: str, *, m: int = 20):
         }
     )
     return rd.from_pandas(out)
+
+
+def distinct_token_count(sf_dir: str):
+    """EXACT distinct whitespace-token count — the oracle-checked
+    anchor for ``hll_distinct_tokens`` (approximate by design, so
+    driver-checked rows-only; this member pins the family to SQL).
+
+    Shape: per-batch ``np.unique`` pre-aggregation collapses token
+    streams to (token,) partials, one distinct shuffle over the
+    ALREADY-DEDUPED per-block vocab, then a count.  The shuffle input
+    is bounded by blocks × per-block vocabulary, not corpus tokens."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            if x.strip():
+                toks.extend(x.strip().split(" "))
+        return pa.table(
+            {"w": pa.array(sorted(set(toks)), pa.string())}
+        )
+
+    from ray.data.aggregate import Count
+
+    distinct_w = (
+        docs.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    return (
+        distinct_w.map_batches(one, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_distinct_tokens": pa.array(
+                        [int(np.sum(t.column("n").to_numpy()))]
+                        if len(t)
+                        else [0],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
