@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": docops.decontaminate,
         "unigram_logprob": docops.unigram_logprob,
         "boilerplate_ratio": docops.boilerplate_ratio,
+        "parts_with_large_orders": relational.parts_with_large_orders,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1132,6 +1133,12 @@ SELECT gr.doc_id, count(*) AS n_grams,
          AS boilerplate_ratio
 FROM grams gr LEFT JOIN hot h USING (g)
 GROUP BY gr.doc_id
+"""
+
+    sql["parts_with_large_orders"] = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
 """
 
     sql["distinct_token_count"] = """

@@ -139,6 +139,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir),
         "prefix_block_jaccard": lambda: docops.prefix_block_jaccard(sf_dir),
         "pagerank": lambda: graph.pagerank(sf_dir),
+        "decontaminate": lambda: docops.decontaminate(sf_dir),
+        "boilerplate_ratio": lambda: docops.boilerplate_ratio(sf_dir),
+        "unigram_logprob": lambda: docops.unigram_logprob(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

@@ -757,3 +757,47 @@ def cumulative_order_revenue(sf_dir: str):
     return orders.groupby("o_custkey").map_groups(
         running, batch_format="pandas"
     )
+
+
+def parts_with_large_orders(sf_dir: str, *, min_qty: int = 45):
+    """Semi-join (the EXISTS complement of
+    ``customers_without_orders``): parts having at least one lineitem
+    with quantity ≥ ``min_qty``.  Shape: the probe side is
+    row-filtered AT THE SCAN and collapses to its distinct keys
+    (bounded by |part|) BEFORE the single inner hash join — the
+    filter+distinct runs where the data is, and only keys enter the
+    exchange; no corpus-scale broadcast, no row multiplication."""
+    from ray.data.aggregate import Count
+
+    num_partitions = _adaptive_join_partitions(
+        f"{sf_dir}/part.parquet", f"{sf_dir}/lineitem.parquet"
+    )
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def big(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t.column("l_quantity"), min_qty)
+        return t.filter(mask).select(["l_partkey"])
+
+    keys = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity"],
+        )
+        .map_batches(big, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    joined = part.join(
+        keys,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["p_partkey", "p_name"])
+
+    return joined.map_batches(project, batch_format="pyarrow")
