@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": docops.unigram_logprob,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
+        "top_terms_per_doc": docops.top_terms_per_doc,
+        "lang_median_filter": docops.lang_median_filter,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1145,6 +1147,41 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 SELECT count(DISTINCT w) AS n_distinct_tokens
 FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
       FROM documents WHERE trim(text) <> '')
+"""
+
+    # TF-IDF shape with a pure-integer rank key (tf DESC, df ASC,
+    # term ASC) — mirrors pipelines/docops.py:top_terms_per_doc
+    sql["top_terms_per_doc"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w
+), ranked AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.w ASC)
+           AS rnk
+  FROM tf JOIN df USING (w)
+)
+SELECT doc_id, rnk AS rank, w AS term, tf, df
+FROM ranked WHERE rnk <= 3
+"""
+
+    sql["lang_median_filter"] = """
+WITH counted AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+  FROM documents
+), med AS (
+  SELECT lang, median(n_tokens) AS med FROM counted GROUP BY lang
+)
+SELECT c.doc_id, c.lang, c.n_tokens
+FROM counted c JOIN med USING (lang)
+WHERE c.n_tokens >= med.med
 """
 
     sql["unigram_logprob"] = """

@@ -545,3 +545,184 @@ def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+def top_terms_per_doc(sf_dir: str, *, k: int = 3):
+    """Per-document top-``k`` characteristic terms — the TF-IDF shape
+    (corpus document frequency + per-doc term frequency + per-group
+    top-k) with a PURE-INTEGER rank key ``(tf DESC, df ASC, term
+    ASC)``: rare-in-corpus, frequent-in-doc terms win, and no
+    float log ever enters an ordering (libm differences between
+    engines cannot flip a rank).
+
+    Scale shape: the df table is the vocabulary — per-batch per-doc
+    distinct terms pre-aggregate to (term, partial_df), one
+    vocab-bounded groupby, then a broadcast dict; per-doc ranking
+    streams with no further shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir)
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        per_doc = [
+            sorted(set(tokenize(x)))
+            for x in t.column("text").to_pylist()
+            if x.strip()
+        ]
+        all_terms = [w for terms in per_doc for w in terms]
+        if not all_terms:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.asarray(all_terms, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    df_rows = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="df"))
+        .take_all()
+    )  # vocabulary-bounded
+    df_map = {r["w"]: int(r["df"]) for r in df_rows}
+    df_ref = ray.put(df_map)
+
+    class TopTerms:
+        def __init__(self, ref) -> None:
+            self._df: dict[str, int] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dfm = self._df
+            ids, ranks, terms, tfs, dfs = [], [], [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                if not x.strip():
+                    continue
+                toks = tokenize(x)
+                uniq, cnt = np.unique(
+                    np.asarray(toks, dtype=object), return_counts=True
+                )
+                order = sorted(
+                    range(len(uniq)),
+                    key=lambda i: (-cnt[i], dfm[uniq[i]], uniq[i]),
+                )[:k]
+                for r, i in enumerate(order, 1):
+                    ids.append(doc_id)
+                    ranks.append(r)
+                    terms.append(uniq[i])
+                    tfs.append(int(cnt[i]))
+                    dfs.append(dfm[uniq[i]])
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "rank": pa.array(ranks, pa.int64()),
+                    "term": pa.array(terms, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                    "df": pa.array(dfs, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        TopTerms,
+        fn_constructor_args=(df_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def lang_median_filter(sf_dir: str):
+    """Per-language median token cut — the stratified quality gate of
+    training-data curation: keep each doc at or above ITS LANGUAGE'S
+    median token count (a fixed global cut would silently starve
+    short-form languages).
+
+    Scale shape: the stats pass collapses to (lang, n_tokens,
+    count) — bounded by languages × distinct doc lengths, same
+    value-histogram assumption as ``token_count_quantiles`` — the
+    driver interpolates one median per language (languages are
+    ~10^2), and the filter pass streams against the broadcast
+    thresholds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir, ("doc_id", "text", "lang"))
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        n = [
+            len(tokenize(x)) if x.strip() else 0
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = docs.map_batches(with_counts, batch_format="pyarrow")
+    hist = (
+        counted.groupby(["lang", "n_tokens"])
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )  # languages × distinct lengths — value-bounded
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append(
+            (int(r["n_tokens"]), int(r["c"]))
+        )
+    medians: dict[str, float] = {}
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        total = sum(c for _, c in pairs)
+        # DuckDB median(): lower-interpolated midpoint average for
+        # even counts, middle element for odd
+        lo_rank, hi_rank = (total - 1) // 2, total // 2
+        vals, seen = [], 0
+        for v, c in pairs:
+            if seen <= lo_rank < seen + c:
+                vals.append(v)
+            if seen <= hi_rank < seen + c:
+                vals.append(v)
+                if len(vals) == 2:
+                    break
+            seen += c
+        medians[lang] = (vals[0] + vals[-1]) / 2.0
+    med_ref = ray.put(medians)
+
+    class Gate:
+        def __init__(self, ref) -> None:
+            self._med: dict[str, float] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            med = self._med
+            thresholds = np.array(
+                [med[lang] for lang in t.column("lang").to_pylist()]
+            )
+            keep = t.column("n_tokens").to_numpy() >= thresholds
+            return t.filter(pa.array(keep, pa.bool_()))
+
+    return counted.map_batches(
+        Gate,
+        fn_constructor_args=(med_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

@@ -320,3 +320,53 @@ def test_boilerplate_ratio_tiny_corpus(ray_session, tmp_path):
     assert out.loc[0, "boilerplate_ratio"] == 0.25
     assert out.loc[3, "n_hot_grams"] == 0
     assert out.loc[3, "boilerplate_ratio"] == 0.0
+
+
+def test_lang_median_filter_even_odd_interpolation(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # lang "aa": lengths 2,3,5,6 (even) → median 4.0, keeps 5,6
+    # lang "bb": lengths 1,4,9 (odd)    → median 4,   keeps 4,9
+    texts = {
+        0: ("aa", "x y"), 1: ("aa", "x y z"),
+        2: ("aa", "a b c d e"), 3: ("aa", "a b c d e f"),
+        4: ("bb", "q"), 5: ("bb", "q r s t"),
+        6: ("bb", "a b c d e f g h i"),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "lang": pa.array([v[0] for v in texts.values()], pa.string()),
+            "text": pa.array([v[1] for v in texts.values()], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = docops.lang_median_filter(str(tmp_path)).to_pandas()
+    assert sorted(out.doc_id) == [2, 3, 5, 6]
+
+
+def test_top_terms_rank_key_integer_ordering(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # doc 0: "z z q q a" → tf: z=2,q=2,a=1. df: z=2 (docs 0,1), q=1,
+    # a=2.  rank key (tf DESC, df ASC, term ASC) → q, z, a.
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["z z q q a", "z a"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.top_terms_per_doc(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+    )
+    d0 = out[out.doc_id == 0]
+    assert d0.term.tolist() == ["q", "z", "a"]
+    assert d0.tf.tolist() == [2, 2, 1]
+    assert d0.df.tolist() == [1, 2, 2]
