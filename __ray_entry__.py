@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         temporal,
     )
     from outbreak_kg_ray.stages import multimodal as mm
+    from outbreak_kg_ray.stages import kmeans
     from outbreak_kg_ray.stages import sketch
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
@@ -304,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
         "lang_median_filter": docops.lang_median_filter,
+        "label_centroids": kmeans.label_centroids,
+        "kmeans_clusters": kmeans.kmeans_clusters,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1168,6 +1171,17 @@ WITH toks AS (
 )
 SELECT doc_id, rnk AS rank, w AS term, tf, df
 FROM ranked WHERE rnk <= 3
+"""
+
+    # grouped vector aggregate; kmeans_clusters itself is rows-only
+    # (float-order-sensitive iterative assignment has no stable
+    # cross-engine oracle; invariants pinned in tests/test_kmeans.py)
+    sql["label_centroids"] = """
+SELECT label, i - 1 AS dim, round(avg(v), 6) AS mean_value
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
 """
 
     sql["lang_median_filter"] = """

@@ -1,0 +1,184 @@
+"""Distributed vector aggregation and k-means over the embeddings
+table.
+
+``label_centroids`` is the grouped VECTOR aggregate (per-key mean
+embedding): per-batch float64 partial sums in long format
+``(key, dim, s, c)`` so the shuffle input is keys × dims — bounded —
+regardless of corpus size.
+
+``kmeans_clusters`` is fixed-round distributed Lloyd's — the
+canonical iterative-ML shape on Ray Data: each round is ONE streamed
+pass (``map_batches`` computes assignments + per-cluster partial
+sums; a k×dim-bounded grouped aggregate re-centers on the driver),
+centroids ride in the object store between rounds.  Deterministic:
+init = first-k vectors by vec_id, float64 arithmetic, argmin ties
+break to the lowest cluster id.  Approximate-by-construction
+cross-engine (float summation order), so the driver checks it
+rows-only; tests pin invariants (monotone inertia, determinism,
+agreement with a single-process numpy reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from outbreak_kg_ray.functions.rounding import round_half_away
+from outbreak_kg_ray.sources.io import read_parquet_clean
+
+
+def _embeddings(sf_dir: str, columns=("vec_id", "embedding")):
+    return read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=list(columns)
+    )
+
+
+def _batch_matrix(t: pa.Table) -> np.ndarray:
+    """Zero-ish-copy (one cast) batch → (n, dim) float64 matrix."""
+    col = t.column("embedding").combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(t), -1)
+
+
+def label_centroids(sf_dir: str):
+    """→ (label, dim, mean_value) — mean embedding per label in long
+    format (SQL-comparable).  Shuffle input is labels × dims × blocks
+    partial rows, never vectors."""
+    from ray.data.aggregate import Sum
+
+    ds = _embeddings(sf_dir, ("label", "embedding"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t)
+        dim = mat.shape[1]
+        labels = t.column("label").to_numpy()
+        uniq = np.unique(labels)
+        out_l, out_d, out_s, out_c = [], [], [], []
+        for lab in uniq:
+            sub = mat[labels == lab]
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(sub.sum(axis=0).tolist())
+            out_c.extend([len(sub)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        means = [
+            round_half_away(s / c, 6)
+            for s, c in zip(
+                t.column("s").to_pylist(), t.column("c").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "mean_value": pa.array(means, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """First ``k`` vectors by vec_id — a bounded, deterministic read
+    (k rows), the distributed stand-in for seeded init."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],  # row-group-pruned: k rows, not the corpus
+    )
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+    mat = _batch_matrix(t)
+    return mat[order].copy()
+
+
+def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
+    """Fixed-round distributed Lloyd's → (vec_id, cluster).
+
+    Per round: one streaming pass emits per-batch per-cluster partial
+    sums (cluster, dim, s, c) — k × dim × blocks rows into a grouped
+    aggregate, so the exchange never scales with the corpus — then
+    the driver re-centers the k×dim matrix and re-broadcasts it.
+    Empty clusters keep their previous centroid (standard Lloyd's
+    fallback).  The final pass emits assignments only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = _init_centroids(sf_dir, k)
+    ds = _embeddings(sf_dir)
+
+    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # squared euclidean argmin via the expanded form; ties go to
+        # the lowest cluster id (np.argmin)
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2.0 * mat @ cent.T
+            + (cent * cent).sum(axis=1)
+        )
+        return np.argmin(d2, axis=1)
+
+    for _ in range(rounds):
+        cent_ref = ray.put(cent)
+
+        def partials(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            mat = _batch_matrix(t)
+            a = assign(mat, c)
+            dim = mat.shape[1]
+            out_k, out_d, out_s, out_c = [], [], [], []
+            for ci in np.unique(a):
+                sub = mat[a == ci]
+                out_k.extend([int(ci)] * dim)
+                out_d.extend(range(dim))
+                out_s.extend(sub.sum(axis=0).tolist())
+                out_c.extend([len(sub)] * dim)
+            return pa.table(
+                {
+                    "cluster": pa.array(out_k, pa.int64()),
+                    "dim": pa.array(out_d, pa.int64()),
+                    "s": pa.array(out_s, pa.float64()),
+                    "c": pa.array(out_c, pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+            .take_all()
+        )  # k × dim rows
+        new = cent.copy()
+        for r in rows:
+            ci, di = int(r["cluster"]), int(r["dim"])
+            new[ci, di] = r["s"] / r["c"]
+        cent = new
+
+    final_ref = ray.put(cent)
+
+    def assignments(t: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        mat = _batch_matrix(t)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(assign(mat, c), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assignments, batch_format="pyarrow")
