@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from outbreak_kg_ray.stages import multimodal as mm
     from outbreak_kg_ray.stages import kmeans
+    from outbreak_kg_ray.stages import pack
+    from outbreak_kg_ray.stages import bloom
     from outbreak_kg_ray.stages import sketch
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
@@ -307,6 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_median_filter": docops.lang_median_filter,
         "label_centroids": kmeans.label_centroids,
         "kmeans_clusters": kmeans.kmeans_clusters,
+        "pack_sequences": pack.pack_sequences,
+        "repetition_scores": docops.repetition_scores,
+        "snapshot_delta": bloom.snapshot_delta,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1182,6 +1187,72 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # global ordered prefix sum -> fixed-size training-window packing
+    sql["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // 2048 AS window_id
+FROM c
+"""
+
+    # Gopher-style repetition hygiene (top-token + duplicate-bigram)
+    sql["repetition_scores"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+  GROUP BY doc_id, w
+), top AS (
+  SELECT doc_id,
+         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+           AS top_token_frac
+  FROM tf GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, len(ws) - 1 AS nb,
+         len(list_distinct(list_transform(
+             range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1]))) AS nd
+  FROM toks
+)
+SELECT top.doc_id, top.top_token_frac,
+       CASE WHEN bg.nb <= 0 THEN 0.0
+            ELSE round(CAST(bg.nb - bg.nd AS DOUBLE) / bg.nb, 6)
+       END AS dup_bigram_frac
+FROM top JOIN bg USING (doc_id)
+"""
+
+    # cross-snapshot content-signature dedup (bloom prefilter is an
+    # implementation detail; the result is exact, hence SQL-checkable)
+    sql["snapshot_delta"] = """
+WITH sig AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))),
+             ' ')) AS sig
+  FROM documents
+), b AS (SELECT max(doc_id) // 2 AS half FROM documents)
+SELECT s.doc_id, s.sig
+FROM sig s, b
+WHERE s.doc_id >= b.half
+  AND NOT EXISTS (SELECT 1 FROM sig o, b b2
+                  WHERE o.doc_id < b2.half AND o.sig = s.sig)
 """
 
     sql["lang_median_filter"] = """

@@ -726,3 +726,44 @@ def lang_median_filter(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+def repetition_scores(sf_dir: str):
+    """Gopher-style per-document repetition hygiene (Rae et al. 2021
+    §A1.1 repetition rules, adapted to whitespace corpora): the
+    most-frequent-token fraction and the duplicate-bigram fraction —
+    high values mark degenerate/templated pages a training pipeline
+    drops.
+
+    Scale shape: pure per-doc arithmetic — one streamed `map_batches`
+    pass, no shuffle, nothing leaves the block but the two scores.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.rounding import round_half_away
+
+    def score(t: pa.Table) -> pa.Table:
+        top, dup = [], []
+        for x in t.column("text").to_pylist():
+            toks = x.split()
+            n = len(toks)
+            if n == 0:
+                top.append(0.0)
+                dup.append(0.0)
+                continue
+            _, counts = np.unique(toks, return_counts=True)
+            top.append(round_half_away(counts.max() / n, 6))
+            nb = n - 1
+            if nb <= 0:
+                dup.append(0.0)
+            else:
+                nd = len({(a, b) for a, b in zip(toks, toks[1:])})
+                dup.append(round_half_away((nb - nd) / nb, 6))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "top_token_frac": pa.array(top, pa.float64()),
+            "dup_bigram_frac": pa.array(dup, pa.float64()),
+        })
+
+    return _documents(sf_dir).map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,107 @@
+"""Sequence packing (stages/pack.py), snapshot bloom dedup
+(stages/bloom.py) and repetition scores (pipelines/docops.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from outbreak_kg_ray.pipelines import docops
+from outbreak_kg_ray.stages import bloom, pack
+
+
+def _texts(sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
+    ids = t.column("doc_id").to_numpy()[order]
+    texts = [t.column("text").to_pylist()[i] for i in order]
+    return ids, texts
+
+
+def test_pack_matches_serial_scan(ray_session, sf_dir):
+    ids, texts = _texts(sf_dir)
+    toks = np.array([len(x.split()) for x in texts], dtype=np.int64)
+    cum_before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    got = pack.pack_sequences(sf_dir).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == ids).all()
+    assert (got["n_tokens"].to_numpy() == toks).all()
+    assert (got["cum_before"].to_numpy() == cum_before).all()
+    assert (got["window_id"].to_numpy() == cum_before // 2048).all()
+
+
+def test_pack_bucket_size_invariant(ray_session, sf_dir):
+    # the two-level scan result must not depend on the bucket split
+    a = pack.pack_sequences(sf_dir, bucket_size=16).to_pandas()
+    b = pack.pack_sequences(sf_dir, bucket_size=4096).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["cum_before"] == b["cum_before"]).all()
+    assert (a["window_id"] == b["window_id"]).all()
+
+
+def test_pack_windows_contiguous(ray_session, sf_dir):
+    got = pack.pack_sequences(sf_dir).to_pandas().sort_values("doc_id")
+    w = got["window_id"].to_numpy()
+    assert (np.diff(w) >= 0).all()  # monotone in doc order
+    assert w[0] == 0
+    assert (np.diff(np.unique(w)) == 1).all()  # no window skipped
+
+
+def test_snapshot_delta_matches_naive(ray_session, sf_dir):
+    ids, texts = _texts(sf_dir)
+    half = int(ids.max()) // 2
+    sig = {
+        i: hashlib.md5(
+            " ".join(sorted(set(x.split()))).encode()
+        ).hexdigest()
+        for i, x in zip(ids.tolist(), texts)
+    }
+    old = {sig[i] for i in sig if i < half}
+    expect = {i for i in sig if i >= half and sig[i] not in old}
+    got = bloom.snapshot_delta(sf_dir).to_pandas()
+    assert set(got["doc_id"]) == expect
+    for _, r in got.iterrows():
+        assert r["sig"] == sig[r["doc_id"]]
+
+
+def test_bloom_no_false_negatives():
+    # any signature inserted must probe positive
+    sigs = [
+        hashlib.md5(f"doc {i}".encode()).hexdigest() for i in range(500)
+    ]
+    bits = np.zeros(bloom.M_BITS // 8, dtype=np.uint8)
+    for s in sigs:
+        idx = bloom._bloom_indices(s)
+        bits[idx >> 3] |= (1 << (idx & 7)).astype(np.uint8)
+    for s in sigs:
+        idx = bloom._bloom_indices(s)
+        assert np.all(bits[idx >> 3] & (1 << (idx & 7)))
+
+
+def test_repetition_scores_reference(ray_session, sf_dir):
+    ids, texts = _texts(sf_dir)
+    got = docops.repetition_scores(sf_dir).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    from collections import Counter
+
+    for i in [0, len(ids) // 2, len(ids) - 1]:
+        toks = texts[i].split()
+        c = Counter(toks)
+        top = max(c.values()) / len(toks)
+        nb = len(toks) - 1
+        nd = len(set(zip(toks, toks[1:])))
+        assert abs(got["top_token_frac"][i] - top) < 1e-6
+        assert abs(got["dup_bigram_frac"][i] - (nb - nd) / nb) < 1e-6
+
+
+def test_snapshot_delta_drops_true_cross_half_dups(ray_session, sf_dir):
+    # the suppressed set must be exactly the new docs whose signature
+    # collides across the boundary (non-empty on the synth corpus)
+    ids, texts = _texts(sf_dir)
+    half = int(ids.max()) // 2
+    n_new = int((ids >= half).sum())
+    got = bloom.snapshot_delta(sf_dir).to_pandas()
+    assert 0 < len(got) < n_new
