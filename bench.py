@@ -118,6 +118,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-pipeline timings (each consumed via count())."""
     from outbreak_kg_ray.pipelines import docops, realism, relational
     from outbreak_kg_ray.pipelines import graph, temporal
+    from outbreak_kg_ray.stages import bloom, kmeans, pack
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -142,6 +143,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate": lambda: docops.decontaminate(sf_dir),
         "boilerplate_ratio": lambda: docops.boilerplate_ratio(sf_dir),
         "unigram_logprob": lambda: docops.unigram_logprob(sf_dir),
+        "pack_sequences": lambda: pack.pack_sequences(sf_dir),
+        "snapshot_delta": lambda: bloom.snapshot_delta(sf_dir),
+        "kmeans_clusters": lambda: kmeans.kmeans_clusters(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
