@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from outbreak_kg_ray.stages import kmeans
     from outbreak_kg_ray.stages import pack
     from outbreak_kg_ray.stages import bloom
+    from outbreak_kg_ray.stages import invindex
     from outbreak_kg_ray.stages import sketch
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
@@ -312,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack.pack_sequences,
         "repetition_scores": docops.repetition_scores,
         "snapshot_delta": bloom.snapshot_delta,
+        "shuffle_positions": pack.shuffle_positions,
+        "inverted_index": invindex.inverted_index,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
         "top_customers": relational.top_customers,
@@ -1253,6 +1256,30 @@ FROM sig s, b
 WHERE s.doc_id >= b.half
   AND NOT EXISTS (SELECT 1 FROM sig o, b b2
                   WHERE o.doc_id < b2.half AND o.sig = s.sig)
+"""
+
+    # seeded global permutation rank (pre-shard training shuffle)
+    sql["shuffle_positions"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS pos
+FROM documents
+"""
+
+    # inverted index with combiner-bounded posting lists (cap 64)
+    sql["inverted_index"] = """
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split(text, ' '), x -> x <> ''))) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+           list_slice(list_sort(list(doc_id)), 1, 64), ',') AS postings,
+       count(*) > 64 AS truncated
+FROM pairs GROUP BY term
 """
 
     sql["lang_median_filter"] = """

@@ -110,3 +110,63 @@ def pack_sequences(sf_dir: str, *, cap: int = 2048,
         .groupby("bucket")
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def shuffle_positions(sf_dir: str, *, prefix_hex: int = 2):
+    """Deterministic global shuffle order for training-data sharding:
+    every doc gets its rank under ``ORDER BY md5(doc_id)`` — a seeded
+    full-corpus permutation computed WITHOUT a single-node sort.
+
+    Same two-level scan as :func:`pack_sequences`, but keyed by the
+    hash itself: the first ``prefix_hex`` hex chars of the key are the
+    range bucket (16^prefix_hex buckets — raise for bigger corpora),
+    bucket counts become exclusive rank offsets (one int per bucket on
+    the driver), and one keyed shuffle sorts within buckets.  Ranks
+    are 1-based to match SQL ROW_NUMBER."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "bucket": pa.array(
+                [k[:prefix_hex] for k in keys], pa.string()
+            ),
+        })
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    counts = (
+        keyed_ds.groupby("bucket").aggregate(Count(alias_name="n"))
+        .take_all()
+    )  # 16^prefix_hex rows
+    counts.sort(key=lambda r: r["bucket"])
+    offs, acc = {}, 0
+    for r in counts:
+        offs[r["bucket"]] = acc
+        acc += r["n"]
+    off_ref = ray.put(offs)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offs = _ray.get(off_ref)
+        g = g.sort_values(["key", "doc_id"])
+        base = offs[g["bucket"].iloc[0]]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return keyed_ds.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )

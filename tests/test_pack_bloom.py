@@ -105,3 +105,43 @@ def test_snapshot_delta_drops_true_cross_half_dups(ray_session, sf_dir):
     n_new = int((ids >= half).sum())
     got = bloom.snapshot_delta(sf_dir).to_pandas()
     assert 0 < len(got) < n_new
+
+
+def test_shuffle_positions_is_permutation(ray_session, sf_dir):
+    got = pack.shuffle_positions(sf_dir).to_pandas()
+    n = len(got)
+    assert sorted(got["pos"]) == list(range(1, n + 1))
+    # deterministic across runs and bucket granularities
+    again = pack.shuffle_positions(sf_dir, prefix_hex=1).to_pandas()
+    a = got.sort_values("doc_id")["pos"].to_numpy()
+    b = again.sort_values("doc_id")["pos"].to_numpy()
+    assert (a == b).all()
+
+
+def test_shuffle_positions_matches_serial(ray_session, sf_dir):
+    ids, _ = _texts(sf_dir)
+    keys = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+    )
+    expect = {i: r + 1 for r, (_, i) in enumerate(keys)}
+    got = pack.shuffle_positions(sf_dir).to_pandas()
+    for _, row in got.iterrows():
+        assert expect[row["doc_id"]] == row["pos"]
+
+
+def test_inverted_index_exact_and_capped(ray_session, sf_dir):
+    from outbreak_kg_ray.stages import invindex
+
+    ids, texts = _texts(sf_dir)
+    ref: dict[str, list[int]] = {}
+    for i, x in zip(ids.tolist(), texts):
+        for w in set(x.split()):
+            ref.setdefault(w, []).append(i)
+    got = invindex.inverted_index(sf_dir).to_pandas()
+    assert set(got["term"]) == set(ref)
+    for _, r in got.iterrows():
+        ids_ref = sorted(ref[r["term"]])
+        assert r["df"] == len(ids_ref)
+        assert r["truncated"] == (len(ids_ref) > invindex.POSTINGS_CAP)
+        want = ",".join(str(i) for i in ids_ref[: invindex.POSTINGS_CAP])
+        assert r["postings"] == want
