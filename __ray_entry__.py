@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": kmeans.kmeans_clusters,
         "pack_sequences": pack.pack_sequences,
         "repetition_scores": docops.repetition_scores,
+        "dedup_spans": docops.dedup_spans,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
         "inverted_index": invindex.inverted_index,
@@ -1239,6 +1240,44 @@ SELECT top.doc_id, top.top_token_frac,
             ELSE round(CAST(bg.nb - bg.nd AS DOUBLE) / bg.nb, 6)
        END AS dup_bigram_frac
 FROM top JOIN bg USING (doc_id)
+"""
+
+    # C4-style duplicate-span removal: complete 8-word spans with
+    # document frequency >= 2 are deleted; the doc text is REBUILT
+    # from the surviving spans + trailing partial span.  Mirrors
+    # pipelines/docops.py:dedup_spans
+    sql["dedup_spans"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), chunklists AS (
+  SELECT doc_id, ws, len(ws) // 8 AS n_chunks,
+         list_transform(range(0, len(ws) // 8),
+           i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' '))
+           AS cl
+  FROM toks
+), chunks AS (
+  SELECT doc_id, unnest(cl) AS chunk, generate_subscripts(cl, 1) AS ci
+  FROM chunklists
+), df AS (
+  SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+), hot AS (
+  SELECT chunk FROM df WHERE df >= 2
+), kept AS (
+  SELECT c.doc_id, c.ci, c.chunk
+  FROM chunks c LEFT JOIN hot h USING (chunk)
+  WHERE h.chunk IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS kept_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT cl.doc_id, cl.n_chunks,
+       cl.n_chunks - coalesce(r.n_kept, 0) AS n_removed_chunks,
+       trim(concat_ws(' ', coalesce(r.kept_text, ''),
+            array_to_string(
+              list_slice(cl.ws, cl.n_chunks*8 + 1, len(cl.ws)), ' ')))
+         AS clean_text
+FROM chunklists cl LEFT JOIN rebuilt r USING (doc_id)
 """
 
     # cross-snapshot content-signature dedup (bloom prefilter is an

@@ -767,3 +767,125 @@ def repetition_scores(sf_dir: str):
         })
 
     return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def dedup_spans(sf_dir: str, *, chunk: int = 8, min_df: int = 2):
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 —
+    "we discarded all but one of any three-sentence span occurring
+    more than once", adapted to whitespace corpora): split every doc
+    into consecutive complete ``chunk``-word spans, find spans whose
+    document frequency is ≥ ``min_df``, and REWRITE each doc with
+    those spans deleted (trailing partial span always kept).  Unlike
+    the scoring ops this one reconstructs the text — the actual
+    hygiene transform a training pipeline ships.
+
+    Scale shape: pass 1 is the one honest corpus-wide exchange —
+    per-doc DISTINCT span hashes pre-collapse to (hash, partial_df)
+    inside each block before a single ``groupby(g).sum()``; only the
+    duplicated survivors (df ≥ min_df — at web scale a tiny fraction,
+    the span-dedup assumption) come back for the bounded broadcast.
+    Pass 2 streams: membership is a searchsorted probe against the
+    sorted hot array fetched once per actor, and the rewrite is a
+    per-doc word-mask join — nothing corpus-sized ever leaves the
+    blocks.  Span identity is the same 64-bit polynomial gram hash
+    the decontamination op uses (non-overlapping stride over the
+    windowed hash array); the driver gate's string-equality DuckDB
+    oracle would surface any collision."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages import decontam as dc
+
+    docs = _documents(sf_dir)
+
+    def chunk_hashes(hasher, toks: list[str]) -> np.ndarray:
+        # windows at every position, strided to starts 0, chunk, 2*chunk…
+        return dc.gram_hashes(hasher.hash_tokens(toks), chunk)[::chunk]
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        hasher = dc.TokenHasher()
+        per_doc: list[np.ndarray] = []
+        for x in t.column("text").to_pylist():
+            h = chunk_hashes(hasher, dc.tokenize(x))
+            if len(h):
+                per_doc.append(np.unique(h))
+        if not per_doc:
+            return pa.table(
+                {"g": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.concatenate(per_doc), return_counts=True)
+        return pa.table(
+            {"g": pa.array(uniq.view(np.int64), pa.int64()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("df"), min_df))
+
+    hot_parts = [
+        b.column("g").to_numpy()
+        for b in docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="df"))
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]  # bounded: only df ≥ min_df survivors reach the driver
+    hot = np.sort(
+        np.concatenate(hot_parts)
+        if hot_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    class SpanRewriteStage:
+        def __init__(self, ref) -> None:
+            self._hot: np.ndarray = ray.get(ref)
+            self._hasher = dc.TokenHasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hot = self._hot
+            n_chunks_col, n_removed_col, clean_col = [], [], []
+            for x in t.column("text").to_pylist():
+                toks = dc.tokenize(x)
+                h = chunk_hashes(self._hasher, toks).view(np.int64)
+                n_chunks = len(h)
+                if n_chunks and len(hot):
+                    idx = np.minimum(np.searchsorted(hot, h), len(hot) - 1)
+                    is_hot = hot[idx] == h
+                else:
+                    is_hot = np.zeros(n_chunks, dtype=bool)
+                n_removed = int(is_hot.sum())
+                if n_removed:
+                    kept_words: list[str] = []
+                    for ci in np.nonzero(~is_hot)[0]:
+                        kept_words.extend(
+                            toks[ci * chunk:(ci + 1) * chunk]
+                        )
+                    kept_words.extend(toks[n_chunks * chunk:])
+                    clean = " ".join(kept_words)
+                else:
+                    clean = " ".join(toks)
+                n_chunks_col.append(n_chunks)
+                n_removed_col.append(n_removed)
+                clean_col.append(clean)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_chunks": pa.array(n_chunks_col, pa.int64()),
+                    "n_removed_chunks": pa.array(n_removed_col, pa.int64()),
+                    "clean_text": pa.array(clean_col, pa.string()),
+                }
+            )
+
+    return docs.map_batches(
+        SpanRewriteStage,
+        fn_constructor_args=(hot_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

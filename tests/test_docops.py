@@ -370,3 +370,64 @@ def test_top_terms_rank_key_integer_ordering(ray_session, tmp_path):
     assert d0.term.tolist() == ["q", "z", "a"]
     assert d0.tf.tolist() == [2, 2, 1]
     assert d0.df.tolist() == [1, 2, 2]
+
+
+def test_dedup_spans_rewrites_hot_chunks(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    dup = "w1 w2 w3 w4"  # the shared 4-word span (chunk size 4)
+    texts = [
+        f"{dup} a b c d tail1 tail2",   # chunk0 hot, chunk1 unique, remainder
+        f"e f g h {dup}",               # chunk1 hot
+        f"{dup} {dup} x",               # both chunks hot (within-doc repeat)
+        "p q r",                        # no complete chunk → untouched
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.dedup_spans(str(tmp_path), chunk=4, min_df=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: span removed, unique chunk + remainder kept in order
+    assert out.loc[0, "n_chunks"] == 2
+    assert out.loc[0, "n_removed_chunks"] == 1
+    assert out.loc[0, "clean_text"] == "a b c d tail1 tail2"
+    # doc 1: leading unique chunk kept
+    assert out.loc[1, "clean_text"] == "e f g h"
+    # doc 2: EVERY instance of the hot span removed; remainder kept
+    assert out.loc[2, "n_removed_chunks"] == 2
+    assert out.loc[2, "clean_text"] == "x"
+    # doc 3: shorter than one chunk → text unchanged
+    assert out.loc[3, "n_chunks"] == 0
+    assert out.loc[3, "clean_text"] == "p q r"
+
+
+def test_dedup_spans_noop_below_min_df(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    texts = ["a b c d e f g h", "i j k l m n o p"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.dedup_spans(str(tmp_path), chunk=4, min_df=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out["n_removed_chunks"] == 0).all()
+    assert list(out["clean_text"]) == texts
