@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_doc": docops.top_terms_per_doc,
         "lang_median_filter": docops.lang_median_filter,
         "label_centroids": kmeans.label_centroids,
+        "embedding_outliers": kmeans.embedding_outliers,
         "kmeans_clusters": kmeans.kmeans_clusters,
         "pack_sequences": pack.pack_sequences,
         "repetition_scores": docops.repetition_scores,
@@ -1191,6 +1192,27 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # per-vector cosine to its own label's mean embedding + outlier
+    # flag (compared on the 6-dp rounded value both sides).  Mirrors
+    # stages/kmeans.py:embedding_outliers
+    sql["embedding_outliers"] = """
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, d, avg(v) AS c FROM dims GROUP BY label, d
+), agg AS (
+  SELECT vec_id, any_value(dims.label) AS label,
+         sum(v*c) AS dot, sum(v*v) AS nv, sum(c*c) AS nc
+  FROM dims JOIN cent USING (label, d)
+  GROUP BY vec_id
+)
+SELECT vec_id, label, round(dot / sqrt(nv*nc), 6) AS centroid_cos,
+       round(dot / sqrt(nv*nc), 6) < 0.0 AS is_outlier
+FROM agg
 """
 
     # global ordered prefix sum -> fixed-size training-window packing

@@ -182,3 +182,101 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
         )
 
     return ds.map_batches(assignments, batch_format="pyarrow")
+
+
+def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):
+    """Per-vector cosine similarity to its OWN label's mean embedding,
+    with an outlier flag — the embedding-space quality gate a training
+    pipeline uses to drop mislabeled / off-distribution examples
+    (contrastive-filtering shape: CLIP-score-style pruning against a
+    class prototype).
+
+    Scale shape: pass 1 is the label_centroids exchange — per-batch
+    float64 partial sums in (label, dim) long format, so the shuffle
+    is labels × dims × blocks regardless of corpus size; the finished
+    centroid matrix (labels × dims — vocabulary-bounded) is the ONLY
+    thing the driver holds, broadcast once via ``ray.put``.  Pass 2
+    streams: one matmul per batch against the resident centroid
+    matrix inside an actor pool.  The flag compares the 6-dp ROUNDED
+    cosine so the cross-engine boundary decision is identical to the
+    DuckDB oracle's."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _embeddings(sf_dir, ("vec_id", "label", "embedding"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t)
+        dim = mat.shape[1]
+        labels = t.column("label").to_numpy()
+        uniq = np.unique(labels)
+        out_l, out_d, out_s, out_c = [], [], [], []
+        for lab in uniq:
+            sub = mat[labels == lab]
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(sub.sum(axis=0).tolist())
+            out_c.extend([len(sub)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    # labels × dims rows — bounded; full precision (no rounding) so
+    # the scoring pass divides exactly where the oracle's avg() does
+    cent_rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    labels = np.sort(cent_rows["label"].unique())
+    dim = int(cent_rows["dim"].max()) + 1
+    cent = np.zeros((len(labels), dim), dtype=np.float64)
+    label_pos = {int(l): i for i, l in enumerate(labels)}
+    for _, r in cent_rows.iterrows():
+        cent[label_pos[int(r["label"])], int(r["dim"])] = r["s"] / r["c"]
+    cent_ref = ray.put((label_pos, cent))
+
+    class OutlierStage:
+        def __init__(self, ref) -> None:
+            self._label_pos, self._cent = ray.get(ref)
+            self._cnorm2 = (self._cent * self._cent).sum(axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _batch_matrix(t)
+            labs = t.column("label").to_numpy()
+            rows = np.array(
+                [self._label_pos[int(l)] for l in labs], dtype=np.int64
+            )
+            c = self._cent[rows]
+            dots = (mat * c).sum(axis=1)
+            nv2 = (mat * mat).sum(axis=1)
+            nc2 = self._cnorm2[rows]
+            # same float expression as the oracle: dot / sqrt(nv*nc)
+            cos = dots / np.sqrt(nv2 * nc2)
+            cos_r = np.array(
+                [round_half_away(x, 6) for x in cos], dtype=np.float64
+            )
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "label": t.column("label"),
+                    "centroid_cos": pa.array(cos_r, pa.float64()),
+                    "is_outlier": pa.array(
+                        cos_r < threshold, pa.bool_()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        OutlierStage,
+        fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )

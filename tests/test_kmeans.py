@@ -88,3 +88,35 @@ def test_label_centroids_matches_numpy(ray_session, sf_dir):
         np.testing.assert_allclose(
             sub["mean_value"].to_numpy(), ref, atol=5e-7
         )
+
+
+def test_embedding_outliers_matches_numpy(ray_session, sf_dir):
+    got = (
+        kmeans.embedding_outliers(sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # numpy reference: cosine of each vector to its own-label mean
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+    labs = t.column("label").to_numpy()[order]
+    col = t.column("embedding").combine_chunks()
+    m = np.asarray(col.flatten(), dtype=np.float64).reshape(len(t), -1)[order]
+    ref = np.empty(len(m))
+    for lab in np.unique(labs):
+        c = m[labs == lab].mean(axis=0)
+        sel = labs == lab
+        ref[sel] = (m[sel] @ c) / np.sqrt(
+            (m[sel] ** 2).sum(axis=1) * (c @ c)
+        )
+    np.testing.assert_allclose(
+        got["centroid_cos"].to_numpy(), ref, atol=5e-7
+    )
+    assert (got["is_outlier"].to_numpy() == (
+        got["centroid_cos"].to_numpy() < 0.0
+    )).all()
+    assert 0 < got["is_outlier"].sum() < len(got)  # non-trivial flag
