@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack.pack_sequences,
         "repetition_scores": docops.repetition_scores,
         "dedup_spans": docops.dedup_spans,
+        "redact_pii": docops.redact_pii,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
         "inverted_index": invindex.inverted_index,
@@ -1192,6 +1193,35 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # PII redaction over deterministically planted contact strings
+    # (both sides synthesize the same suffix, then redact with RE2 —
+    # the regex engine DuckDB and pyarrow share).  Mirrors
+    # pipelines/docops.py:redact_pii
+    sql["redact_pii"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || repeat(' user' || doc_id || '@example.com',
+                        doc_id % 3)
+              || repeat(' from 10.' || (doc_id % 200) || '.0.'
+                        || (doc_id % 250), doc_id % 2)
+              || ' call +1-555-' || (1000 + doc_id % 1000) AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(full_text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS n_emails,
+       len(regexp_extract_all(full_text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(full_text, '\+1-555-\d{4}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(full_text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+1-555-\d{4}', '<PHONE>', 'g') AS redacted_text
+FROM aug
 """
 
     # per-vector cosine to its own label's mean embedding + outlier

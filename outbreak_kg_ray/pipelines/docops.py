@@ -889,3 +889,93 @@ def dedup_spans(sf_dir: str, *, chunk: int = 8, min_df: int = 2):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+# PII patterns (RE2 syntax — the SAME engine DuckDB and pyarrow both
+# embed, so the oracle's regexp_* and our kernels agree exactly)
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<PHONE>", r"\+1-555-\d{4}"),
+)
+
+
+def redact_pii(sf_dir: str):
+    """PII scrubbing — the compliance pass every web-scale training
+    pipeline ships (emails, IPv4 addresses, phone numbers → typed
+    placeholder tokens, with per-doc match counts for audit).
+
+    The synthetic corpus contains no organic PII, so the op plants it
+    deterministically (a doc_id-derived contact suffix, mirrored
+    exactly in the DuckDB oracle) and then runs the REAL redaction
+    machinery over the result.
+
+    Scale shape: pure streaming — one ``map_batches`` pass, zero
+    shuffle, zero driver state.  Every count and rewrite is a
+    vectorized Arrow RE2 kernel (``count_substring_regex`` /
+    ``replace_substring_regex``) over the whole batch — no Python
+    loop touches a row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _documents(sf_dir)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id")
+        # deterministic PII injection (matches the oracle's suffix);
+        # numpy for the modular arithmetic (pyarrow.compute lacks a
+        # mod kernel), Arrow element-wise kernels for the strings
+        idv = ids.to_numpy()
+        id_str = pc.cast(ids, pa.string())
+        emails = pc.binary_repeat(
+            pc.binary_join_element_wise(
+                " user", id_str, "@example.com", ""
+            ),
+            pa.array((idv % 3).astype("int32")),
+        )
+        ips = pc.binary_repeat(
+            pc.binary_join_element_wise(
+                " from 10.",
+                pa.array((idv % 200).astype(str)),
+                ".0.",
+                pa.array((idv % 250).astype(str)),
+                "",
+            ),
+            pa.array((idv % 2).astype("int32")),
+        )
+        phones = pc.binary_join_element_wise(
+            " call +1-555-",
+            pa.array((1000 + idv % 1000).astype(str)),
+            "",
+        )
+        full = pc.binary_join_element_wise(
+            t.column("text"), emails, ips, phones, ""
+        )
+        counts = {
+            name: pc.cast(
+                pc.count_substring_regex(full, pattern=pat), pa.int64()
+            )
+            for name, pat in (
+                ("n_emails", PII_PATTERNS[0][1]),
+                ("n_ips", PII_PATTERNS[1][1]),
+                ("n_phones", PII_PATTERNS[2][1]),
+            )
+        }
+        red = full
+        for token, pat in PII_PATTERNS:
+            red = pc.replace_substring_regex(
+                red, pattern=pat, replacement=token
+            )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_emails": counts["n_emails"],
+                "n_ips": counts["n_ips"],
+                "n_phones": counts["n_phones"],
+                "redacted_text": red,
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

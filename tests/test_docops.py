@@ -431,3 +431,42 @@ def test_dedup_spans_noop_below_min_df(ray_session, tmp_path):
     )
     assert (out["n_removed_chunks"] == 0).all()
     assert list(out["clean_text"]) == texts
+
+
+def test_redact_pii_patterns(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # organic PII in the text body is scrubbed too, not only the
+    # deterministic planted suffix
+    texts = [
+        "reach me at jane.doe+spam@mail.example.org today",
+        "server 192.168.1.254 responded",
+        "plain words only",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 4, 6], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.redact_pii(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 3: 1 organic email, no planted email (3 % 3 == 0)
+    assert out.loc[3, "n_emails"] == 1
+    assert "<EMAIL>" in out.loc[3, "redacted_text"]
+    assert "jane.doe" not in out.loc[3, "redacted_text"]
+    # doc 4: organic IP + no planted IP (4 % 2 == 0) → 1
+    assert out.loc[4, "n_ips"] == 1
+    assert "192.168.1.254" not in out.loc[4, "redacted_text"]
+    # every doc gets exactly one planted phone
+    assert (out["n_phones"] == 1).all()
+    assert all("<PHONE>" in s for s in out["redacted_text"])
+    # doc 6: planted suffix is the only PII (6%3==0 emails, 6%2==0 ips)
+    assert out.loc[6, "n_emails"] == 0 and out.loc[6, "n_ips"] == 0
