@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": docops.redact_pii,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
+        "shard_manifest": pack.shard_manifest,
         "inverted_index": invindex.inverted_index,
         # --- generic relational surface ---
         "pricing_summary": relational.pricing_summary,
@@ -1356,6 +1357,25 @@ SELECT doc_id,
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
          AS BIGINT) AS pos
 FROM documents
+"""
+
+    # per-shard manifest of the md5-shuffle training permutation
+    # (shard = 128-rank range).  Mirrors stages/pack.py:shard_manifest
+    sql["shard_manifest"] = """
+WITH r AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n_tokens,
+         CAST(ROW_NUMBER() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS pos
+  FROM documents
+)
+SELECT (pos - 1) // 128 AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(pos) AS min_pos, max(pos) AS max_pos
+FROM r GROUP BY 1
 """
 
     # inverted index with combiner-bounded posting lists (cap 64)

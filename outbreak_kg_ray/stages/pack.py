@@ -170,3 +170,157 @@ def shuffle_positions(sf_dir: str, *, prefix_hex: int = 2):
     return keyed_ds.groupby("bucket").map_groups(
         rank_bucket, batch_format="pandas"
     )
+
+
+def _ranked_docs(
+    sf_dir: str,
+    *,
+    prefix_hex: int = 2,
+    shard_size: int = 128,
+    with_text: bool = False,
+):
+    """Docs annotated with their md5-shuffle rank and shard id —
+    shared core of :func:`shard_manifest` and
+    :func:`write_training_shards`.  Same two-level scan as
+    :func:`shuffle_positions` (bucket counts → exclusive offsets →
+    one keyed shuffle); carries ``n_tokens`` (and optionally the
+    text) through the permutation shuffle, which IS the training
+    shuffle — the one place the data genuinely has to move."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    cols = ["doc_id", "text"]
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=cols
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        out = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "bucket": pa.array([k[:prefix_hex] for k in keys], pa.string()),
+            "n_tokens": pa.array(
+                [sum(1 for w in x.split(" ") if w) for x in texts],
+                pa.int64(),
+            ),
+        }
+        if with_text:
+            out["text"] = pa.array(texts, pa.string())
+        return pa.table(out)
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    counts = (
+        keyed_ds.groupby("bucket").aggregate(Count(alias_name="n"))
+        .take_all()
+    )  # 16^prefix_hex rows — bounded
+    counts.sort(key=lambda r: r["bucket"])
+    offs, acc = {}, 0
+    for r in counts:
+        offs[r["bucket"]] = acc
+        acc += r["n"]
+    off_ref = ray.put(offs)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offs = _ray.get(off_ref)
+        g = g.sort_values(["key", "doc_id"])
+        base = offs[g["bucket"].iloc[0]]
+        pos = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        out = {
+            "doc_id": g["doc_id"].to_numpy(),
+            "pos": pos,
+            "shard_id": (pos - 1) // shard_size,
+            "n_tokens": g["n_tokens"].to_numpy(),
+        }
+        if with_text:
+            out["text"] = g["text"].to_numpy()
+        return pd.DataFrame(out)
+
+    return keyed_ds.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
+
+
+def shard_manifest(sf_dir: str, *, shard_size: int = 128):
+    """Per-shard manifest of the deterministic training permutation:
+    shard id → doc count, token count, rank range.  The audit table a
+    training job reads to know what each shard holds before loading
+    it — and the SQL-checkable face of the shard writer."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ranked = _ranked_docs(sf_dir, shard_size=shard_size)
+    return (
+        ranked.groupby("shard_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Min("pos", alias_name="min_pos"),
+            Max("pos", alias_name="max_pos"),
+        )
+    )
+
+
+def write_training_shards(
+    sf_dir: str, out_dir: str, *, shard_size: int = 128
+):
+    """Materialize the shuffled corpus as SIZED, RESUMABLE training
+    shards: one Parquet file per ``shard_size``-doc rank range, rows
+    ordered by shuffle rank inside each shard, written atomically
+    (tmp + rename) with a ``_DONE`` marker per shard so an
+    interrupted run re-executes ONLY the missing shards (north_rule
+    resumability at the output layer; complements the per-partition
+    input checkpoints in state/checkpoint.py).
+
+    The write happens INSIDE the per-shard group task — workers
+    stream their shard to disk; the driver only ever sees the
+    returned manifest rows (shard_id, n_docs, n_tokens, path,
+    skipped)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ranked = _ranked_docs(sf_dir, shard_size=shard_size, with_text=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard={sid:06d}")
+        done = os.path.join(path, "_DONE")
+        row = {
+            "shard_id": [sid],
+            "n_docs": [len(g)],
+            "n_tokens": [int(g["n_tokens"].sum())],
+            "path": [path],
+            "skipped": [False],
+        }
+        if os.path.exists(done):
+            row["skipped"] = [True]
+            return pd.DataFrame(row)
+        os.makedirs(path, exist_ok=True)
+        g = g.sort_values("pos")
+        t = pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "pos": pa.array(g["pos"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(
+                    g["n_tokens"].to_numpy(), pa.int64()
+                ),
+                "text": pa.array(g["text"].tolist(), pa.string()),
+            }
+        )
+        tmp = os.path.join(path, ".part.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(path, "part.parquet"))
+        with open(done, "w", encoding="utf-8") as f:
+            f.write(f"{len(g)}\n")
+        return pd.DataFrame(row)
+
+    return ranked.groupby("shard_id").map_groups(
+        write_shard, batch_format="pandas"
+    )

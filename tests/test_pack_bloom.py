@@ -145,3 +145,49 @@ def test_inverted_index_exact_and_capped(ray_session, sf_dir):
         assert r["truncated"] == (len(ids_ref) > invindex.POSTINGS_CAP)
         want = ",".join(str(i) for i in ids_ref[: invindex.POSTINGS_CAP])
         assert r["postings"] == want
+
+
+def test_write_training_shards_resumable(ray_session, sf_dir, tmp_path):
+    import os
+
+    out = str(tmp_path / "shards")
+    man = (
+        pack.write_training_shards(sf_dir, out, shard_size=128)
+        .to_pandas()
+        .sort_values("shard_id")
+        .reset_index(drop=True)
+    )
+    # 500 docs / 128 → 4 shards; all freshly written
+    assert len(man) == 4
+    assert not man["skipped"].any()
+    assert man["n_docs"].sum() == 500
+    # shard files exist, rows ordered by shuffle rank, ranges disjoint
+    seen_pos = []
+    for sid in man["shard_id"]:
+        p = os.path.join(out, f"shard={sid:06d}", "part.parquet")
+        t = pq.read_table(p)
+        pos = t.column("pos").to_numpy()
+        assert (np.diff(pos) > 0).all()
+        assert ((pos - 1) // 128 == sid).all()
+        seen_pos.extend(pos.tolist())
+    assert sorted(seen_pos) == list(range(1, 501))
+
+    # resume: delete ONE shard, re-run → only that shard rewritten
+    victim = int(man["shard_id"].iloc[1])
+    vdir = os.path.join(out, f"shard={victim:06d}")
+    other = os.path.join(
+        out, f"shard={int(man['shard_id'].iloc[0]):06d}", "part.parquet"
+    )
+    mtime_before = os.path.getmtime(other)
+    import shutil
+
+    shutil.rmtree(vdir)
+    man2 = (
+        pack.write_training_shards(sf_dir, out, shard_size=128)
+        .to_pandas()
+        .set_index("shard_id")
+    )
+    assert man2.loc[victim, "skipped"] == False  # noqa: E712
+    assert man2.drop(index=victim)["skipped"].all()
+    assert os.path.getmtime(other) == mtime_before  # untouched
+    assert os.path.exists(os.path.join(vdir, "part.parquet"))
