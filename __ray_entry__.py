@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": docops.repetition_scores,
         "dedup_spans": docops.dedup_spans,
         "redact_pii": docops.redact_pii,
+        "mixture_downsample": docops.mixture_downsample,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
         "shard_manifest": pack.shard_manifest,
@@ -1194,6 +1195,23 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # declared-mixture downsampling: per-source keep rate (md5 digit
+    # % 4 → 25/50/75/100 %), per-doc md5-prefix Bernoulli.  Mirrors
+    # pipelines/docops.py:mixture_downsample
+    sql["mixture_downsample"] = """
+WITH rates AS (
+  SELECT source,
+         (CAST('0x' || substr(md5(source), 1, 1) AS INT) % 4 + 1)
+           / 4.0 AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+           AS INT)
+      < CAST(floor(r.rate * 65536) AS INT)
 """
 
     # PII redaction over deterministically planted contact strings

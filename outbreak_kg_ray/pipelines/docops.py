@@ -979,3 +979,67 @@ def redact_pii(sf_dir: str):
         )
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def mixture_downsample(sf_dir: str):
+    """Declared-mixture downsampling — the "rebalance the corpus to
+    configured per-domain weights" step of a training-data pipeline
+    (e.g. The Pile / Dolma mixture tables): every source gets a keep
+    rate (here derived deterministically from the source name so the
+    oracle can replay it: first md5 hex digit % 4 → 25/50/75/100 %),
+    and docs survive a per-row seedless hash Bernoulli at that rate.
+
+    Scale shape: pass 1 is a DISTINCT-source groupby — bounded by the
+    domain vocabulary, never the corpus — whose result is the rates
+    dict the driver broadcasts; pass 2 streams, filtering each batch
+    with vectorized md5-prefix comparisons.  No corpus-sized state
+    anywhere."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    docs = _documents(sf_dir, columns=("doc_id", "source"))
+
+    def rate_of(source: str) -> float:
+        digit = int(hashlib.md5(source.encode()).hexdigest()[0], 16)
+        return (digit % 4 + 1) / 4.0
+
+    # bounded: one row per distinct source
+    sources = [
+        r["source"]
+        for r in docs.groupby("source").count().take_all()
+    ]
+    rates = {s: rate_of(s) for s in sources}
+    rates_ref = ray.put(rates)
+
+    class MixtureGate:
+        def __init__(self, ref) -> None:
+            self._rates: dict[str, float] = ray.get(ref)
+            # integer thresholds once per actor: floor(rate * 16^4)
+            self._thresh = {
+                s: int(r * 65536) for s, r in self._rates.items()
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            srcs = t.column("source").to_pylist()
+            keep, rate_col = [], []
+            for d, s in zip(ids, srcs):
+                h4 = int(
+                    hashlib.md5(str(d).encode()).hexdigest()[:4], 16
+                )
+                keep.append(h4 < self._thresh[s])
+                rate_col.append(self._rates[s])
+            out = t.append_column(
+                "rate", pa.array(rate_col, pa.float64())
+            )
+            return out.filter(pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(
+        MixtureGate,
+        fn_constructor_args=(rates_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

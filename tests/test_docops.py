@@ -470,3 +470,25 @@ def test_redact_pii_patterns(ray_session, tmp_path):
     assert all("<PHONE>" in s for s in out["redacted_text"])
     # doc 6: planted suffix is the only PII (6%3==0 emails, 6%2==0 ips)
     assert out.loc[6, "n_emails"] == 0 and out.loc[6, "n_ips"] == 0
+
+
+def test_mixture_downsample_rates(ray_session, sf_dir):
+    import hashlib
+
+    from outbreak_kg_ray.pipelines import docops
+
+    out = docops.mixture_downsample(sf_dir).to_pandas()
+    # every surviving doc's hash prefix is under its source's threshold
+    for _, r in out.iterrows():
+        digit = int(hashlib.md5(r["source"].encode()).hexdigest()[0], 16)
+        rate = (digit % 4 + 1) / 4.0
+        assert r["rate"] == rate
+        h4 = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16
+        )
+        assert h4 < int(rate * 65536)
+    # deterministic: a second run returns the identical set
+    out2 = docops.mixture_downsample(sf_dir).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # rate-1.0 sources are kept in full, so the result is non-trivial
+    assert 0 < len(out) < 500
