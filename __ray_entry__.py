@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": docops.ann_topk,
         "ann_topk_ivf": docops.ann_topk_ivf,
         "ann_topk_lsh": docops.ann_topk_lsh,
+        "ann_topk_pq": docops.ann_topk_pq,
         "embedding_near_dups": docops.embedding_near_dups,
         "near_dup_keep": docops.near_dup_keep,
         "quality_filter_sample": docops.quality_filter_sample,

@@ -247,6 +247,30 @@ def ann_topk_lsh(sf_dir: str, *, k: int = 10):
     return ss.ann_topk_lsh(_embeddings(sf_dir), qids, qmat, k=k)
 
 
+def ann_topk_pq(sf_dir: str, *, k: int = 10, n_train: int = 256,
+                m: int = 32, ks: int = 16):
+    """Product-quantization ADC ANN (approximate; rows-only checked —
+    recall vs the brute-force baseline is asserted in tests).  The
+    codebook trains on a bounded deterministic sample (first
+    ``n_train`` file rows — at scale, the first row group of one
+    shard), so training cost never depends on corpus size."""
+    import numpy as np
+
+    qids, qmat = _query_vectors(sf_dir)
+    sample = np.array(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .slice(0, n_train)
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    return ss.ann_topk_pq(
+        _embeddings(sf_dir), qids, qmat, sample, k=k, m=m, ks=ks
+    )
+
+
 def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
     """Cosine ≥ threshold pairs (a < b) between every vector and the
     label==0 subset, centroid-bucketed: no O(corpus) broadcast — the

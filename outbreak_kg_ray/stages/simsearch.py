@@ -369,3 +369,125 @@ def embedding_near_dup_pairs_bucketed(embeddings_ds, *,
         )
 
     return deduped.map_batches(round_final, batch_format="pyarrow")
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, ks: int = 16,
+             rounds: int = 8) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (normalized) vector into ``m`` subspaces and run a small Lloyd's
+    per subspace over a TRAINING SAMPLE.  Deterministic: init = first
+    ``ks`` sample rows, argmin ties to the lowest centroid index.
+    Returns (m, ks, dim/m).
+
+    Sample-trained by design — at 10^9+ vectors the codebook comes
+    from a bounded deterministic sample (standard PQ practice), so
+    training cost is independent of corpus size."""
+    n, dim = sample.shape
+    sd = dim // m
+    assert sd * m == dim, "dim must divide evenly into m subspaces"
+    books = np.empty((m, ks, sd), dtype=np.float64)
+    for mi in range(m):
+        sub = sample[:, mi * sd:(mi + 1) * sd]
+        cent = sub[:ks].copy()
+        for _ in range(rounds):
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cent.T
+                + (cent * cent).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)
+            for ci in range(ks):
+                s = sub[a == ci]
+                if len(s):
+                    cent[ci] = s.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, m) uint8 codes: per-subspace nearest centroid
+    (squared L2, argmin ties to the lowest index)."""
+    m, ks, sd = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for mi in range(m):
+        sub = mat[:, mi * sd:(mi + 1) * sd]
+        cent = books[mi]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ cent.T
+            + (cent * cent).sum(axis=1)
+        )
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return codes
+
+
+class PQTopK:
+    """ADC (asymmetric distance) probe: vectors are scored through
+    their uint8 PQ codes — per query one (m, ks) inner-product table
+    against the codebooks, per batch a fancy-indexed table-lookup sum
+    instead of a matmul.  The memory-bound scale path: 8 bytes per
+    vector instead of 512, so a 10^10-vector index fits a cluster's
+    RAM.  Approximate by construction (quantization error) → driver
+    checks rows-only; tests pin recall against the exact baseline."""
+
+    def __init__(self, queries_ref, books_ref, k: int = 10):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.books = ray.get(books_ref)  # (m, ks, sd)
+        self.k = k
+        m, ks, sd = self.books.shape
+        # (Q, m, ks) lookup tables: q_sub · centroid
+        self.tables = np.einsum(
+            "qmd,mkd->qmk",
+            self.q.reshape(len(self.qids), m, sd),
+            self.books,
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        codes = pq_encode_matrix(emb, self.books)  # (n, m)
+        m = codes.shape[1]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            # sum of per-subspace table lookups — no float matmul
+            scores = self.tables[qi, np.arange(m), codes].sum(axis=1)
+            order = np.lexsort((vec_ids, -scores))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vec_ids[order].tolist())
+            out_s.extend(scores[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_topk_pq(embeddings_ds, query_ids, query_matrix, train_sample,
+                *, k: int = 10, m: int = 8, ks: int = 16):
+    """PQ-ADC approximate top-k: train codebooks on the bounded
+    sample, broadcast them once, stream the corpus through code +
+    table-lookup scoring, merge bounded partials."""
+    import ray
+
+    books = pq_train(
+        _normalize(np.asarray(train_sample, dtype=np.float64)),
+        m=m, ks=ks,
+    )
+    qref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    bref = ray.put(books)
+    partials = embeddings_ds.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "books_ref": bref, "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return topk_merge(partials, k)
