@@ -146,6 +146,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pack_sequences": lambda: pack.pack_sequences(sf_dir),
         "snapshot_delta": lambda: bloom.snapshot_delta(sf_dir),
         "kmeans_clusters": lambda: kmeans.kmeans_clusters(sf_dir),
+        "dedup_spans": lambda: docops.dedup_spans(sf_dir),
+        "redact_pii": lambda: docops.redact_pii(sf_dir),
+        "mixture_downsample": lambda: docops.mixture_downsample(sf_dir),
+        "embedding_outliers": lambda: kmeans.embedding_outliers(sf_dir),
+        "ann_topk_pq": lambda: docops.ann_topk_pq(sf_dir),
+        "shard_manifest": lambda: pack.shard_manifest(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
