@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": docops.dedup_spans,
         "redact_pii": docops.redact_pii,
         "mixture_downsample": docops.mixture_downsample,
+        "domain_quality_filter": docops.domain_quality_filter,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
         "shard_manifest": pack.shard_manifest,
@@ -1196,6 +1197,21 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # domain-level quality gate: drop whole sources whose 6-dp mean
+    # quality is below the median source mean.  Mirrors
+    # pipelines/docops.py:domain_quality_filter
+    sql["domain_quality_filter"] = f"""
+WITH q AS ({sql["quality_scores"]}),
+d AS (SELECT doc_id, source FROM documents),
+sm AS (
+  SELECT source, round(avg(quality), 6) AS mq
+  FROM q JOIN d USING (doc_id) GROUP BY source
+), med AS (SELECT median(mq) AS m FROM sm)
+SELECT d.doc_id, d.source, sm.mq AS source_mean_quality, q.quality
+FROM d JOIN q USING (doc_id) JOIN sm USING (source), med
+WHERE sm.mq >= med.m
 """
 
     # declared-mixture downsampling: per-source keep rate (md5 digit

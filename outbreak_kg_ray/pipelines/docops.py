@@ -1067,3 +1067,69 @@ def mixture_downsample(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def domain_quality_filter(sf_dir: str):
+    """Domain-level quality gating (RefinedWeb/CCNet practice: score
+    documents, then drop WHOLE sources whose mean quality falls below
+    the corpus median — a domain blocklist derived from content, not
+    curated by hand).
+
+    Scale shape: one streamed scoring pass feeds a per-source mean —
+    a groupby bounded by the domain vocabulary, never the corpus —
+    whose result (source → 6-dp mean) is the only driver state; the
+    keep-set broadcast gates a second streamed pass.  The median
+    split is computed on the ROUNDED means so the boundary decision
+    is reproducible against the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Mean
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir, ("doc_id", "text", "source"))
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ts.quality_batch(t)
+        return q.append_column("source", t.column("source"))
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    rows = (
+        scored.groupby("source")
+        .aggregate(Mean("quality", alias_name="mq"))
+        .take_all()
+    )  # bounded: one row per source
+    means = {r["source"]: round_half_away(r["mq"], 6) for r in rows}
+    med = float(np.median(list(means.values())))
+    keep = {s for s, m in means.items() if m >= med}
+    keep_ref = ray.put((keep, means))
+
+    class DomainGate:
+        def __init__(self, ref) -> None:
+            self._keep, self._means = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            srcs = t.column("source").to_pylist()
+            mask = pa.array([s in self._keep for s in srcs], pa.bool_())
+            sub = t.filter(mask)
+            mq = [
+                self._means[s]
+                for s in sub.column("source").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": sub.column("doc_id"),
+                    "source": sub.column("source"),
+                    "source_mean_quality": pa.array(mq, pa.float64()),
+                    "quality": sub.column("quality"),
+                }
+            )
+
+    return scored.map_batches(
+        DomainGate,
+        fn_constructor_args=(keep_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

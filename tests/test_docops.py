@@ -492,3 +492,24 @@ def test_mixture_downsample_rates(ray_session, sf_dir):
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
     # rate-1.0 sources are kept in full, so the result is non-trivial
     assert 0 < len(out) < 500
+
+
+def test_domain_quality_filter_median_split(ray_session, sf_dir):
+    import numpy as np
+
+    from outbreak_kg_ray.pipelines import docops
+
+    out = docops.domain_quality_filter(sf_dir).to_pandas()
+    kept_sources = set(out["source"].unique())
+    # surviving sources' means are all >= every dropped source's mean
+    all_q = docops.quality_scores(sf_dir).to_pandas()
+    docs = docops._documents(sf_dir, ("doc_id", "source")).to_pandas()
+    merged = all_q.merge(docs, on="doc_id")
+    means = merged.groupby("source")["quality"].mean().round(6)
+    med = float(np.median(means.to_numpy()))
+    assert kept_sources == set(means[means >= med].index)
+    # per-row annotation matches its source's mean
+    for s in kept_sources:
+        sub = out[out["source"] == s]
+        assert (sub["source_mean_quality"] == means[s]).all()
+    assert 0 < len(out) < len(docs)
