@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": docops.redact_pii,
         "mixture_downsample": docops.mixture_downsample,
         "domain_quality_filter": docops.domain_quality_filter,
+        "normalize_text": docops.normalize_text,
+        "token_freq_spectrum": sketch.token_freq_spectrum,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
         "shard_manifest": pack.shard_manifest,
@@ -1197,6 +1199,29 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+    # canonical text normalization rewrite (lower → collapse ws →
+    # trim → NFC).  Mirrors pipelines/docops.py:normalize_text
+    sql["normalize_text"] = r"""
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS norm_text
+FROM documents
+"""
+
+    # token frequency spectrum (counts-of-counts / Zipf table).
+    # Mirrors stages/sketch.py:token_freq_spectrum
+    sql["token_freq_spectrum"] = """
+WITH tf AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_terms
+FROM tf GROUP BY freq
 """
 
     # domain-level quality gate: drop whole sources whose 6-dp mean

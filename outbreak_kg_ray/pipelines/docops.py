@@ -1133,3 +1133,46 @@ def domain_quality_filter(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+# RE2's \s class is [\t\n\f\r ] — narrower than Python's (\v, unicode
+# spaces).  The engine mirrors RE2 exactly so the DuckDB oracle's
+# regexp_replace agrees byte-for-byte on any input.
+_WS_RUN = None
+
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization rewrite: lowercase → collapse
+    whitespace runs to single spaces → trim → Unicode NFC.  The
+    precursor pass that makes every downstream hash/dedup/grounding
+    operator see one canonical form.
+
+    Pure streaming, zero shuffle; the regex is compiled once per
+    actor process (module-level memo), and the whitespace class is
+    pinned to RE2's ``\\s`` so the engine and the DuckDB oracle
+    normalize identically."""
+    import re
+    import unicodedata
+
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+
+    def norm(t: pa.Table) -> pa.Table:
+        global _WS_RUN
+        if _WS_RUN is None:
+            _WS_RUN = re.compile(r"[\t\n\f\r ]+")
+        out = [
+            unicodedata.normalize(
+                "NFC", _WS_RUN.sub(" ", x.lower()).strip(" ")
+            )
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": pa.array(out, pa.string()),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")

@@ -291,3 +291,57 @@ def distinct_token_count(sf_dir: str):
             batch_size=None,
         )
     )
+
+
+def token_freq_spectrum(sf_dir: str):
+    """Token frequency SPECTRUM (counts-of-counts): how many distinct
+    terms occur exactly ``freq`` times — the Zipf-curve / Good-Turing
+    table a corpus audit reads to spot degenerate vocabularies.
+
+    Shape: two chained grouped aggregates with combiners on both
+    levels — per-batch ``np.unique(counts)`` collapses the token
+    stream to (term, partial_tf) before the vocab-bounded term
+    groupby, and the second exchange is (freq, partial_n) — bounded
+    by the number of DISTINCT frequencies, a few hundred rows even at
+    web scale."""
+    from ray.data.aggregate import Sum
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks.extend(w for w in x.split(" ") if w)
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="freq"))
+    )
+
+    def spectrum_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            t.column("freq").to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {"freq": pa.array(uniq, pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    return (
+        tf.map_batches(spectrum_partial, batch_format="pyarrow")
+        .groupby("freq")
+        .aggregate(Sum("n", alias_name="n_terms"))
+    )

@@ -513,3 +513,54 @@ def test_domain_quality_filter_median_split(ray_session, sf_dir):
         sub = out[out["source"] == s]
         assert (sub["source_mean_quality"] == means[s]).all()
     assert 0 < len(out) < len(docs)
+
+
+def test_normalize_text_rules(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    texts = [
+        "  MiXeD   Case\t\ttabs\nand newlines  ",
+        "already normal",
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.normalize_text(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "norm_text"] == "mixed case tabs and newlines"
+    assert out.loc[1, "norm_text"] == "already normal"
+    assert out.loc[2, "norm_text"] == ""
+
+
+def test_token_freq_spectrum_tiny(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.stages import sketch
+
+    # a:3, b:2, c:1, d:1  → spectrum {1: 2 terms, 2: 1, 3: 1}
+    texts = ["a a b", "a b c", "d"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        sketch.token_freq_spectrum(str(tmp_path))
+        .to_pandas()
+        .set_index("freq")
+        .sort_index()
+    )
+    assert out["n_terms"].to_dict() == {1: 2, 2: 1, 3: 1}
