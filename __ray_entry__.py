@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_downsample": docops.mixture_downsample,
         "domain_quality_filter": docops.domain_quality_filter,
         "normalize_text": docops.normalize_text,
+        "curated_docs": docops.curate_corpus,
+        "curation_funnel": docops.curation_funnel,
         "token_freq_spectrum": sketch.token_freq_spectrum,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
@@ -1254,6 +1256,37 @@ FROM documents d JOIN rates r USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
            AS INT)
       < CAST(floor(r.rate * 65536) AS INT)
+"""
+
+    # composed webtext curation DAG: normalize → exact dedup →
+    # quality ≥ 0.5 → decontaminate → mixture downsample.  Mirrors
+    # pipelines/docops.py:curate_corpus / curation_funnel
+    _curation_ctes = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ',
+                                           'g'))) AS nt
+  FROM documents
+), d1 AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY nt),
+q AS ({sql["quality_scores"]}),
+dec AS ({sql["decontaminate"]}),
+mix AS ({sql["mixture_downsample"]}),
+s1 AS (SELECT d.doc_id, d.source FROM documents d JOIN d1 USING (doc_id)),
+s2 AS (SELECT s1.* FROM s1 JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+s3 AS (SELECT s2.* FROM s2 JOIN dec USING (doc_id)
+       WHERE NOT dec.contaminated),
+s4 AS (SELECT s3.* FROM s3 JOIN mix USING (doc_id))
+"""
+    sql["curated_docs"] = _curation_ctes + """
+SELECT doc_id, source FROM s4
+"""
+    sql["curation_funnel"] = _curation_ctes + """
+SELECT 0 AS stage_idx, 'input' AS stage,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+UNION ALL SELECT 2, 'quality_gate', count(*) FROM s2
+UNION ALL SELECT 3, 'decontaminate', count(*) FROM s3
+UNION ALL SELECT 4, 'mixture_downsample', count(*) FROM s4
 """
 
     # PII redaction over deterministically planted contact strings

@@ -152,6 +152,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "embedding_outliers": lambda: kmeans.embedding_outliers(sf_dir),
         "ann_topk_pq": lambda: docops.ann_topk_pq(sf_dir),
         "shard_manifest": lambda: pack.shard_manifest(sf_dir),
+        "curated_docs": lambda: docops.curate_corpus(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

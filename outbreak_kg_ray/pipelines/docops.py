@@ -1176,3 +1176,86 @@ def normalize_text(sf_dir: str):
         )
 
     return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def _curation_chain(sf_dir: str):
+    """Cumulative survivor sets of the webtext curation DAG — the
+    composed pipeline a real training-data run ships, built entirely
+    from this engine's own operators:
+
+      input → canonical normalize → exact dedup (on normalized text)
+            → quality gate (≥ 0.5) → benchmark decontamination
+            → declared-mixture downsample
+
+    Returns ``[(stage_name, dataset)]`` where each dataset is the
+    docs surviving through that stage (``doc_id`` + ``source``).
+
+    Scale shape: every stage is one of the already-scale-shaped
+    operators; composition is a chain of distributed semi-joins on
+    ``doc_id`` (each join ships only id projections — the text never
+    re-shuffles after its stage)."""
+    import pyarrow.compute as pc
+
+    from ..stages import dedup as ddm
+
+    base = _documents(sf_dir, ("doc_id", "source"))
+    stages = [("input", base)]
+
+    # 1. exact dedup over the CANONICAL text: min doc_id per distinct
+    #    normalized form (ships (hash, id) pairs only)
+    norm = normalize_text(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    kept1 = ddm.exact_dedup_keep(norm).select_columns(["doc_id"])
+    cur = base.join(kept1, "inner", 8, on=("doc_id",))
+    stages.append(("exact_dedup", cur))
+
+    # 2. quality gate on the raw text
+    q_ids = (
+        quality_scores(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("quality"), 0.5)
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    cur = cur.join(q_ids, "inner", 8, on=("doc_id",))
+    stages.append(("quality_gate", cur))
+
+    # 3. decontamination (also removes the bench docs themselves)
+    clean_ids = decontaminate(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("contaminated"), False)
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    cur = cur.join(clean_ids, "inner", 8, on=("doc_id",))
+    stages.append(("decontaminate", cur))
+
+    # 4. declared-mixture downsample
+    mix_ids = mixture_downsample(sf_dir).select_columns(["doc_id"])
+    cur = cur.join(mix_ids, "inner", 8, on=("doc_id",))
+    stages.append(("mixture_downsample", cur))
+    return stages
+
+
+def curate_corpus(sf_dir: str):
+    """Final survivors of the composed curation DAG → (doc_id,
+    source).  See :func:`_curation_chain`."""
+    return _curation_chain(sf_dir)[-1][1]
+
+
+def curation_funnel(sf_dir: str):
+    """Funnel report of the curation DAG: docs surviving after each
+    stage — the audit table that catches a stage silently eating the
+    corpus.  Counts are exact (each a streamed count of the cumulative
+    semi-join chain); only the 5-row funnel reaches the driver."""
+    import pandas as pd
+
+    rows = [
+        {"stage_idx": i, "stage": name, "n_docs": ds.count()}
+        for i, (name, ds) in enumerate(_curation_chain(sf_dir))
+    ]
+    return pd.DataFrame(rows)

@@ -564,3 +564,27 @@ def test_token_freq_spectrum_tiny(ray_session, tmp_path):
         .sort_index()
     )
     assert out["n_terms"].to_dict() == {1: 2, 2: 1, 3: 1}
+
+
+def test_curation_funnel_monotone_and_consistent(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines import docops
+
+    funnel = (
+        docops.curation_funnel(sf_dir)
+        .sort_values("stage_idx")
+        .reset_index(drop=True)
+    )
+    assert list(funnel["stage"]) == [
+        "input", "exact_dedup", "quality_gate", "decontaminate",
+        "mixture_downsample",
+    ]
+    counts = funnel["n_docs"].tolist()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone
+    assert counts[0] == 500 and counts[-1] > 0
+    # the final stage's count equals the curated output row count
+    final = docops.curate_corpus(sf_dir).to_pandas()
+    assert len(final) == counts[-1]
+    # survivors pass every individual gate
+    q = docops.quality_scores(sf_dir).to_pandas().set_index("doc_id")
+    assert (q.loc[final["doc_id"], "quality"] >= 0.5).all()
+    assert (final["doc_id"] % 50 != 0).all()  # bench docs removed
