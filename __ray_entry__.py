@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": docops.normalize_text,
         "curated_docs": docops.curate_corpus,
         "curation_funnel": docops.curation_funnel,
+        "bigram_pmi": docops.bigram_pmi,
         "token_freq_spectrum": sketch.token_freq_spectrum,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
@@ -1256,6 +1257,33 @@ FROM documents d JOIN rates r USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
            AS INT)
       < CAST(floor(r.rate * 65536) AS INT)
+"""
+
+    # adjacent-pair PMI collocations (count >= 5).  Mirrors
+    # pipelines/docops.py:bigram_pmi
+    sql["bigram_pmi"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+bigs AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM toks WHERE len(ws) >= 2
+), bc AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bigs GROUP BY g HAVING count(*) >= 5
+), btot AS (
+  SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS b FROM toks
+)
+SELECT g AS bigram, c_ab,
+       round(ln((c_ab / b) / ((ua.c / n) * (ub.c / n))), 6) AS pmi
+FROM bc, tot, btot
+JOIN uni ua ON ua.w = string_split(bc.g, ' ')[1]
+JOIN uni ub ON ub.w = string_split(bc.g, ' ')[2]
 """
 
     # composed webtext curation DAG: normalize → exact dedup →

@@ -1259,3 +1259,136 @@ def curation_funnel(sf_dir: str):
         for i, (name, ds) in enumerate(_curation_chain(sf_dir))
     ]
     return pd.DataFrame(rows)
+
+
+# sentinel key folding the corpus bigram-slot total into the unigram
+# exchange (tokens are space-split, so no real token can equal it)
+_BIGRAM_SLOTS_KEY = "\x00bigram_slots\x00"
+
+
+def bigram_pmi(sf_dir: str, *, min_count: int = 5):
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs occurring ≥ ``min_count`` times — the statistical
+    phrase detector (word2vec-phrases / NLTK collocation shape) a
+    corpus pipeline runs to find multi-word units worth preserving as
+    single tokens.
+
+    Scale shape: the unigram pass is vocab-bounded (per-batch
+    ``np.unique`` combiner, one groupby; the corpus bigram-slot total
+    rides the same exchange as a sentinel row, so no extra pass); its
+    result broadcasts once.  The bigram pass is the honest exchange —
+    per-batch combiner again, and only pairs with corpus count ≥
+    min_count survive into the scoring map.  PMI uses the exact float
+    expression the DuckDB oracle evaluates."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir, ("text",))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        slots = 0
+        for x in t.column("text").to_pylist():
+            ws = [w for w in x.split(" ") if w]
+            toks.extend(ws)
+            slots += max(len(ws) - 1, 0)
+        if toks:
+            uniq, cnt = np.unique(
+                np.array(toks, dtype=object), return_counts=True
+            )
+            words = uniq.tolist() + [_BIGRAM_SLOTS_KEY]
+            counts = cnt.tolist() + [slots]
+        else:
+            words, counts = [_BIGRAM_SLOTS_KEY], [slots]
+        return pa.table(
+            {"w": pa.array(words, pa.string()),
+             "c": pa.array(counts, pa.int64())}
+        )
+
+    uni_rows = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # vocab-bounded (+1 sentinel row)
+    uni = dict(zip(uni_rows["w"], uni_rows["c"].astype(int)))
+    b_total = float(uni.pop(_BIGRAM_SLOTS_KEY))
+    n_total = float(sum(uni.values()))
+    uni_ref = ray.put((uni, n_total, b_total))
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for x in t.column("text").to_pylist():
+            ws = [w for w in x.split(" ") if w]
+            grams.extend(
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            )
+        if not grams:
+            return pa.table(
+                {"g": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.array(grams, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"g": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    counted = (
+        docs.map_batches(big_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("c", alias_name="c_ab"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("c_ab"), min_count)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    class PmiStage:
+        def __init__(self, ref) -> None:
+            self._uni, self._n, self._b = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uni, n, b = self._uni, self._n, self._b
+            pmis = []
+            for g, c_ab in zip(
+                t.column("g").to_pylist(),
+                t.column("c_ab").to_pylist(),
+            ):
+                wa, wb = g.split(" ")
+                # same float expression as the oracle's ln(...)
+                pmis.append(
+                    round_half_away(
+                        math.log(
+                            (c_ab / b)
+                            / ((uni[wa] / n) * (uni[wb] / n))
+                        ),
+                        6,
+                    )
+                )
+            return pa.table(
+                {
+                    "bigram": t.column("g"),
+                    "c_ab": t.column("c_ab"),
+                    "pmi": pa.array(pmis, pa.float64()),
+                }
+            )
+
+    return counted.map_batches(
+        PmiStage,
+        fn_constructor_args=(uni_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )

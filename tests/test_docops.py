@@ -588,3 +588,30 @@ def test_curation_funnel_monotone_and_consistent(ray_session, sf_dir):
     q = docops.quality_scores(sf_dir).to_pandas().set_index("doc_id")
     assert (q.loc[final["doc_id"], "quality"] >= 0.5).all()
     assert (final["doc_id"] % 50 != 0).all()  # bench docs removed
+
+
+def test_bigram_pmi_tiny_corpus(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # "x y" appears 6 times; unigrams: x=6, y=6, z=3  (N=15, B=12)
+    texts = ["x y x y x y z", "x y x y x y z z"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.bigram_pmi(str(tmp_path), min_count=5)
+        .to_pandas()
+        .set_index("bigram")
+    )
+    assert list(out.index) == ["x y"]
+    assert out.loc["x y", "c_ab"] == 6
+    want = math.log((6 / 12.0) / ((6 / 15.0) * (6 / 15.0)))
+    assert abs(out.loc["x y", "pmi"] - round(want, 6)) < 1e-9
