@@ -597,7 +597,8 @@ def test_bigram_pmi_tiny_corpus(ray_session, tmp_path):
 
     from outbreak_kg_ray.pipelines import docops
 
-    # "x y" appears 6 times; unigrams: x=6, y=6, z=3  (N=15, B=12)
+    # "x y" appears 6 times; unigrams: x=6, y=6, z=3
+    # N = 15 tokens; B = 6 + 7 = 13 bigram slots
     texts = ["x y x y x y z", "x y x y x y z z"]
     t = pa.table(
         {
@@ -613,5 +614,5 @@ def test_bigram_pmi_tiny_corpus(ray_session, tmp_path):
     )
     assert list(out.index) == ["x y"]
     assert out.loc["x y", "c_ab"] == 6
-    want = math.log((6 / 12.0) / ((6 / 15.0) * (6 / 15.0)))
+    want = math.log((6 / 13.0) / ((6 / 15.0) * (6 / 15.0)))
     assert abs(out.loc["x y", "pmi"] - round(want, 6)) < 1e-9
