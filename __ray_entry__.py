@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": docops.curate_corpus,
         "curation_funnel": docops.curation_funnel,
         "bigram_pmi": docops.bigram_pmi,
+        "char_entropy": docops.char_entropy,
         "token_freq_spectrum": sketch.token_freq_spectrum,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
@@ -1257,6 +1258,21 @@ FROM documents d JOIN rates r USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
            AS INT)
       < CAST(floor(r.rate * 65536) AS INT)
+"""
+
+    # per-doc character Shannon entropy (degenerate-text detector).
+    # Mirrors pipelines/docops.py:char_entropy
+    sql["char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE len(text) > 0
+), cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, ch
+), n AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY doc_id)
+SELECT cc.doc_id,
+       round(-sum((c / n.n) * ln(c / n.n)), 6) AS char_entropy
+FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id
 """
 
     # adjacent-pair PMI collocations (count >= 5).  Mirrors

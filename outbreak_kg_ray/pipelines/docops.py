@@ -1392,3 +1392,41 @@ def bigram_pmi(sf_dir: str, *, min_count: int = 5):
         batch_size=4096,
         concurrency=(1, 4),
     )
+
+
+def char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy — the cheap
+    degenerate-text detector (Gopher filter family): near-zero
+    entropy marks single-character floods / binary-ish junk, far
+    below any natural-language band.  Empty docs are dropped (no
+    distribution to measure).
+
+    Pure streaming: one map_batches pass, per-doc numpy
+    unique-with-counts, zero shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir)
+
+    def ent(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            if not x:
+                continue
+            _, cnt = np.unique(list(x), return_counts=True)
+            p = cnt / cnt.sum()
+            ids.append(doc_id)
+            hs.append(round_half_away(float(-(p * np.log(p)).sum()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "char_entropy": pa.array(hs, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(ent, batch_format="pyarrow")

@@ -616,3 +616,29 @@ def test_bigram_pmi_tiny_corpus(ray_session, tmp_path):
     assert out.loc["x y", "c_ab"] == 6
     want = math.log((6 / 13.0) / ((6 / 15.0) * (6 / 15.0)))
     assert abs(out.loc["x y", "pmi"] - round(want, 6)) < 1e-9
+
+
+def test_char_entropy_known_values(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    texts = ["aaaa", "abab", ""]  # H=0, H=ln 2, dropped
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.char_entropy(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1]  # empty doc dropped
+    assert out.loc[0, "char_entropy"] == 0.0
+    assert abs(out.loc[1, "char_entropy"] - round(math.log(2), 6)) < 1e-9
