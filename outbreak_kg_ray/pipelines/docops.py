@@ -1178,7 +1178,7 @@ def normalize_text(sf_dir: str):
     return docs.map_batches(norm, batch_format="pyarrow")
 
 
-def _curation_chain(sf_dir: str):
+def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     """Cumulative survivor sets of the webtext curation DAG — the
     composed pipeline a real training-data run ships, built entirely
     from this engine's own operators:
@@ -1193,7 +1193,11 @@ def _curation_chain(sf_dir: str):
     Scale shape: every stage is one of the already-scale-shaped
     operators; composition is a chain of distributed semi-joins on
     ``doc_id`` (each join ships only id projections — the text never
-    re-shuffles after its stage)."""
+    re-shuffles after its stage).  ``pin_stages`` materializes each
+    cumulative survivor set (doc_id + source only — a thin slice of
+    the corpus, spillable) so a consumer that executes EVERY stage
+    (the funnel's five counts) does linear work instead of
+    re-running each join prefix per count."""
     import pyarrow.compute as pc
 
     from ..stages import dedup as ddm
@@ -1209,6 +1213,8 @@ def _curation_chain(sf_dir: str):
     )
     kept1 = ddm.exact_dedup_keep(norm).select_columns(["doc_id"])
     cur = base.join(kept1, "inner", 8, on=("doc_id",))
+    if pin_stages:
+        cur = cur.materialize()
     stages.append(("exact_dedup", cur))
 
     # 2. quality gate on the raw text
@@ -1222,6 +1228,8 @@ def _curation_chain(sf_dir: str):
         )
     )
     cur = cur.join(q_ids, "inner", 8, on=("doc_id",))
+    if pin_stages:
+        cur = cur.materialize()
     stages.append(("quality_gate", cur))
 
     # 3. decontamination (also removes the bench docs themselves)
@@ -1232,11 +1240,15 @@ def _curation_chain(sf_dir: str):
         batch_format="pyarrow",
     )
     cur = cur.join(clean_ids, "inner", 8, on=("doc_id",))
+    if pin_stages:
+        cur = cur.materialize()
     stages.append(("decontaminate", cur))
 
     # 4. declared-mixture downsample
     mix_ids = mixture_downsample(sf_dir).select_columns(["doc_id"])
     cur = cur.join(mix_ids, "inner", 8, on=("doc_id",))
+    if pin_stages:
+        cur = cur.materialize()
     stages.append(("mixture_downsample", cur))
     return stages
 
@@ -1256,7 +1268,7 @@ def curation_funnel(sf_dir: str):
 
     rows = [
         {"stage_idx": i, "stage": name, "n_docs": ds.count()}
-        for i, (name, ds) in enumerate(_curation_chain(sf_dir))
+        for i, (name, ds) in enumerate(_curation_chain(sf_dir, pin_stages=True))
     ]
     return pd.DataFrame(rows)
 
