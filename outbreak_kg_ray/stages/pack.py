@@ -280,7 +280,10 @@ def write_training_shards(
     The write happens INSIDE the per-shard group task — workers
     stream their shard to disk; the driver only ever sees the
     returned manifest rows (shard_id, n_docs, n_tokens, path,
-    skipped)."""
+    skipped).  On a multi-node cluster ``out_dir`` must be shared
+    storage (NFS / FUSE-mounted object store) — the same assumption
+    ``Dataset.write_parquet`` makes for a path sink; the atomic
+    tmp+rename publish keeps per-shard exactly-once either way."""
     import os
 
     import pyarrow.parquet as pq
