@@ -1203,6 +1203,19 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     from ..stages import dedup as ddm
 
     base = _documents(sf_dir, ("doc_id", "source"))
+    stage_names = (
+        "exact_dedup", "quality_gate", "decontaminate",
+        "mixture_downsample",
+    )
+    # Ray's hash-shuffle join crashes on fully-empty inputs (its
+    # internal empty partitions carry no schema); an empty corpus
+    # short-circuits to empty survivor sets.  Parquet metadata count
+    # — no data read.
+    n_docs = pq.read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    if n_docs == 0:
+        return [("input", base)] + [(n, base) for n in stage_names]
     stages = [("input", base)]
 
     # 1. exact dedup over the CANONICAL text: min doc_id per distinct
@@ -1211,8 +1224,34 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         lambda t: t.rename_columns(["doc_id", "text"]),
         batch_format="pyarrow",
     )
-    kept1 = ddm.exact_dedup_keep(norm).select_columns(["doc_id"])
+    def _pin_ids(t: "pa.Table"):
+        import pyarrow as pa
+
+        if "doc_id" in t.column_names:
+            return pa.table({"doc_id": t.column("doc_id")})
+        # empty-aggregate batches arrive columnless; pin the schema
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+
+    def _pin_cur(t: "pa.Table"):
+        # join outputs also lose their schema on empty partitions —
+        # re-pin (doc_id, source) so the NEXT join keeps planning
+        import pyarrow as pa
+
+        if "doc_id" in t.column_names:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+            })
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+        })
+
+    kept1 = ddm.exact_dedup_keep(norm).map_batches(
+        _pin_ids, batch_format="pyarrow"
+    )
     cur = base.join(kept1, "inner", 8, on=("doc_id",))
+    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("exact_dedup", cur))
@@ -1228,6 +1267,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         )
     )
     cur = cur.join(q_ids, "inner", 8, on=("doc_id",))
+    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("quality_gate", cur))
@@ -1240,6 +1280,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         batch_format="pyarrow",
     )
     cur = cur.join(clean_ids, "inner", 8, on=("doc_id",))
+    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("decontaminate", cur))
@@ -1247,6 +1288,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     # 4. declared-mixture downsample
     mix_ids = mixture_downsample(sf_dir).select_columns(["doc_id"])
     cur = cur.join(mix_ids, "inner", 8, on=("doc_id",))
+    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("mixture_downsample", cur))
@@ -1330,6 +1372,15 @@ def bigram_pmi(sf_dir: str, *, min_count: int = 5):
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
     )  # vocab-bounded (+1 sentinel row)
+    if uni_rows.empty or "w" not in uni_rows.columns:
+        # empty corpus: Ray's empty aggregate loses the schema
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "bigram": pa.array([], pa.string()),
+            "c_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }))
     uni = dict(zip(uni_rows["w"], uni_rows["c"].astype(int)))
     b_total = float(uni.pop(_BIGRAM_SLOTS_KEY))
     n_total = float(sum(uni.values()))

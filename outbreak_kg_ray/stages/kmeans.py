@@ -234,6 +234,16 @@ def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):
         .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
         .to_pandas()
     )
+    if cent_rows.empty or "label" not in cent_rows.columns:
+        # empty corpus: Ray's empty aggregate loses the schema
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "centroid_cos": pa.array([], pa.float64()),
+            "is_outlier": pa.array([], pa.bool_()),
+        }))
     labels = np.sort(cent_rows["label"].unique())
     dim = int(cent_rows["dim"].max()) + 1
     cent = np.zeros((len(labels), dim), dtype=np.float64)

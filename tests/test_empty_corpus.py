@@ -1,0 +1,64 @@
+"""Empty-input robustness: every operator added for the webtext
+pipeline must stream an EMPTY corpus to an empty (or trivially
+degenerate) result, never crash — Ray's hash aggregate emits
+columnless batches on empty input, the classic schema-loss trap."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+            "label": pa.array([], pa.int64()),
+        }),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _rows(r):
+    import ray.data
+
+    return r.count() if isinstance(r, ray.data.Dataset) else len(r)
+
+
+def test_docops_on_empty_corpus(ray_session, empty_sf):
+    from outbreak_kg_ray.pipelines import docops
+    from outbreak_kg_ray.stages import kmeans, pack, sketch
+
+    for fn in (
+        docops.dedup_spans, docops.redact_pii,
+        docops.mixture_downsample, docops.domain_quality_filter,
+        docops.normalize_text, docops.bigram_pmi, docops.char_entropy,
+        sketch.token_freq_spectrum, pack.shard_manifest,
+        kmeans.embedding_outliers,
+    ):
+        assert _rows(fn(empty_sf)) == 0, fn.__name__
+
+
+def test_curation_funnel_on_empty_corpus(ray_session, empty_sf):
+    from outbreak_kg_ray.pipelines import docops
+
+    funnel = docops.curation_funnel(empty_sf)
+    assert (funnel["n_docs"] == 0).all()
+    assert len(funnel) == 5
