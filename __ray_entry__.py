@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": docops.curation_funnel,
         "bigram_pmi": docops.bigram_pmi,
         "char_entropy": docops.char_entropy,
+        "value_quantiles_exact": sketch.value_quantiles_exact,
+        "kll_value_quantiles": sketch.kll_value_quantiles,
         "token_freq_spectrum": sketch.token_freq_spectrum,
         "snapshot_delta": bloom.snapshot_delta,
         "shuffle_positions": pack.shuffle_positions,
@@ -1258,6 +1260,18 @@ FROM documents d JOIN rates r USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
            AS INT)
       < CAST(floor(r.rate * 65536) AS INT)
+"""
+
+    # exact float quantiles of events.value (global-sort path; the
+    # SQL anchor for the KLL sketch member, which is rows-only).
+    # Mirrors stages/sketch.py:value_quantiles_exact
+    sql["value_quantiles_exact"] = """
+SELECT 0.5 AS p, round(quantile_cont(value, 0.5), 6)
+         AS value_quantile FROM events
+UNION ALL
+SELECT 0.9, round(quantile_cont(value, 0.9), 6) FROM events
+UNION ALL
+SELECT 0.99, round(quantile_cont(value, 0.99), 6) FROM events
 """
 
     # per-doc character Shannon entropy (degenerate-text detector).

@@ -345,3 +345,144 @@ def token_freq_spectrum(sf_dir: str):
         .groupby("freq")
         .aggregate(Sum("n", alias_name="n_terms"))
     )
+
+
+def value_quantiles_exact(sf_dir: str, ps=(0.5, 0.9, 0.99)):
+    """EXACT linear-interpolated quantiles of ``events.value`` — a
+    FLOAT domain, where the value-bounded histogram trick behind
+    ``token_count_quantiles`` cannot apply.  The distributed shape is
+    the honest one for exact float quantiles: ONE global range sort
+    (Ray's sample-partitioned exchange), a metadata-only global index
+    (``zip_with_index`` touches per-block row counts, not rows), and
+    a filter that ships exactly the 2×|ps| boundary rows to the
+    driver for interpolation.  The SQL-checkable anchor for
+    :func:`kll_value_quantiles`."""
+    import pandas as pd
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.stages.shuffle import zip_with_index
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    n = ev.count()  # parquet metadata count
+    ranked = zip_with_index(ev.sort("value"))
+    ranks: dict[float, tuple[int, int, float]] = {}
+    wanted: set[int] = set()
+    for p in ps:
+        r = p * (n - 1)
+        lo, hi = int(np.floor(r)), int(np.ceil(r))
+        ranks[p] = (lo, hi, r)
+        wanted.update((lo, hi))
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("rank"), value_set=wanted_arr))
+
+    picked = (
+        ranked.map_batches(keep, batch_format="pyarrow").to_pandas()
+        .set_index("rank")["value"]
+    )  # ≤ 2×|ps| rows
+    out = []
+    for p in ps:
+        lo, hi, r = ranks[p]
+        vlo, vhi = float(picked[lo]), float(picked[hi])
+        est = vlo + (r - lo) * (vhi - vlo)
+        out.append({"p": p, "value_quantile": round_half_away(est, 6)})
+    return pd.DataFrame(out)
+
+
+class KllSketch:
+    """Deterministic KLL-style compactor sketch for streaming
+    quantiles (Karnin-Lang-Liberty 2016, simplified): level ``i``
+    holds items of weight ``2^i``; a level over capacity sorts and
+    keeps alternating items (offset flips per compaction — the
+    deterministic stand-in for KLL's random coin, reproducible across
+    runs).  Mergeable: concatenate levels, recompact."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self._flip: list[bool] = [False]
+
+    def _ensure(self, lvl: int) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append([])
+            self._flip.append(False)
+
+    def insert_many(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self._compact()
+
+    def _compact(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) > self.k:
+                items = sorted(self.levels[lvl])
+                off = 1 if self._flip[lvl] else 0
+                self._flip[lvl] = not self._flip[lvl]
+                self._ensure(lvl + 1)
+                self.levels[lvl + 1].extend(items[off::2])
+                self.levels[lvl] = []
+            lvl += 1
+
+    def merge_rows(self, levels, values) -> None:
+        for lvl, v in zip(levels, values):
+            self._ensure(int(lvl))
+            self.levels[int(lvl)].append(float(v))
+        self._compact()
+
+    def weighted_items(self):
+        out = []
+        for lvl, items in enumerate(self.levels):
+            w = 1 << lvl
+            out.extend((v, w) for v in items)
+        return out
+
+    def quantile(self, p: float) -> float:
+        items = sorted(self.weighted_items())
+        total = sum(w for _, w in items)
+        target = p * total
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+
+def kll_value_quantiles(sf_dir: str, ps=(0.5, 0.9, 0.99), *, k: int = 256):
+    """APPROXIMATE quantiles of ``events.value`` via per-block KLL
+    sketches — the one-pass, no-sort scale path (the global sort in
+    the exact anchor is the expensive exchange this avoids).
+
+    Shape: each block folds into a ≤ k·log(n/k)-item sketch (that
+    compression is the sketch's whole point — it bounds what leaves
+    the block); the driver merges #blocks bounded partials and
+    answers rank queries.  Approximate by construction → rows-only
+    at the driver gate; tests bound the RANK error against the exact
+    anchor."""
+    import pandas as pd
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        sk.insert_many(t.column("value").to_numpy())
+        lvls, vals = [], []
+        for lvl, items in enumerate(sk.levels):
+            lvls.extend([lvl] * len(items))
+            vals.extend(items)
+        return pa.table(
+            {"level": pa.array(lvls, pa.int64()),
+             "value": pa.array(vals, pa.float64())}
+        )
+
+    parts = ev.map_batches(
+        sketch_block, batch_format="pyarrow", batch_size=None
+    ).to_pandas()  # #blocks × sketch-size rows — bounded
+    merged = KllSketch(k)
+    merged.merge_rows(parts["level"].to_numpy(), parts["value"].to_numpy())
+    return pd.DataFrame(
+        [{"p": p, "value_quantile_est": merged.quantile(p)} for p in ps]
+    )

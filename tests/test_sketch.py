@@ -60,3 +60,65 @@ def test_heavy_hitters_fallback_path(ray_session, sf_dir):
     assert len(df) == len(exact)
     expected = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(zip(df["token"], df["n_occurrences"])) == expected
+
+
+def test_value_quantiles_exact_matches_numpy(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.stages import sketch
+
+    vals = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).column("value").to_numpy()
+    got = sketch.value_quantiles_exact(sf_dir).set_index("p")
+    for p in (0.5, 0.9, 0.99):
+        want = float(np.quantile(vals, p))  # linear interpolation
+        assert abs(got.loc[p, "value_quantile"] - want) < 1e-5
+
+
+def test_kll_rank_error_bounded(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.stages import sketch
+
+    vals = np.sort(
+        pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        ).column("value").to_numpy()
+    )
+    n = len(vals)
+    got = sketch.kll_value_quantiles(sf_dir).set_index("p")
+    for p in (0.5, 0.9, 0.99):
+        est = got.loc[p, "value_quantile_est"]
+        rank = np.searchsorted(vals, est)
+        assert abs(rank - p * n) <= 0.05 * n + 1  # ε-rank guarantee
+    # determinism: second run returns identical estimates
+    again = sketch.kll_value_quantiles(sf_dir).set_index("p")
+    assert (got["value_quantile_est"] == again["value_quantile_est"]).all()
+
+
+def test_kll_sketch_merge_and_compaction():
+    import numpy as np
+
+    from outbreak_kg_ray.stages.sketch import KllSketch
+
+    rng = np.random.RandomState(11)
+    data = rng.randn(20000)
+    sk = KllSketch(k=128)
+    sk.insert_many(data)
+    # bounded state: total retained items << n
+    retained = sum(len(l) for l in sk.levels)
+    assert retained < 128 * 10
+    # total weight is preserved exactly through compaction... KLL halves
+    # item COUNT per compaction but weight doubles — the weighted total
+    # stays within one level-capacity of n
+    total_w = sum(w for _, w in sk.weighted_items())
+    assert abs(total_w - len(data)) <= 128 * (1 << len(sk.levels))
+    # rank error vs exact on a well-behaved distribution
+    svals = np.sort(data)
+    for p in (0.25, 0.5, 0.75, 0.95):
+        est = sk.quantile(p)
+        rank = np.searchsorted(svals, est)
+        assert abs(rank - p * len(data)) <= 0.08 * len(data)
