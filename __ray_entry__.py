@@ -197,7 +197,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def mention_stats(sf_dir):
         import pyarrow as pa
 
+        from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
         from outbreak_kg_ray.stages.shuffle import salted_count
+
+        if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+            return empty_dataset({
+                "text": pa.string(), "term_db": pa.string(),
+                "term_id": pa.string(), "term_name": pa.string(),
+                "count": pa.int64(),
+            })
 
         raw = mentions_dataset(
             extract_docs(pages_dataset(sf_dir)), mode="mentions"

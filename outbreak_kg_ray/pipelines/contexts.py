@@ -95,12 +95,20 @@ def geoloc_contexts(sf_dir: str):
 def geoloc_stats(sf_dir: str):
     """A6: Counter((text, geoID)) frequency table
     (process_eidos.py:60-65,76-82)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({"text": pa.string(), "geo_id": pa.string(), "count": pa.int64()})
     return _counted(geoloc_contexts(sf_dir), ["text", "geo_id"])
 
 
 def timex_stats(sf_dir: str):
     """A6: Counter(timex text) frequency table
     (process_eidos.py:83-90)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({"text": pa.string(), "interval_start": pa.string(), "count": pa.int64()})
     return _counted(
         timex_contexts(sf_dir).select_columns(["text", "interval_start"]),
         ["text", "interval_start"],

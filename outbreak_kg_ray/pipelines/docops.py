@@ -9,7 +9,11 @@ import pyarrow.parquet as pq
 from ..stages import dedup as dd
 from ..stages import simsearch as ss
 from ..stages import textstats as ts
-from outbreak_kg_ray.sources.io import read_parquet_clean
+from outbreak_kg_ray.sources.io import (
+    empty_dataset,
+    parquet_rows,
+    read_parquet_clean,
+)
 
 
 def _documents(sf_dir: str, columns=("doc_id", "text")):
@@ -178,6 +182,12 @@ def minhash_near_dups(sf_dir: str, *, threshold: float = 0.6):
     Verification hash-joins candidate pairs back to the (derived)
     doc partitions — only candidate texts move; the driver never
     holds the corpus (attach_pair_payload)."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64(),
+        })
     variants = _variants_ds(sf_dir, materialized=True)
     pairs = dd.minhash_candidate_pairs(variants)
     joined = dd.attach_pair_payload(pairs, variants)
@@ -188,6 +198,12 @@ def ngram_jaccard_near_dups(sf_dir: str, *, threshold: float = 0.6):
     """n-gram Jaccard near-dup: exact-shingle inverted-index
     candidates (min-shingle sampled) verified by exact 3-gram
     Jaccard over join-attached texts."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64(),
+        })
     variants = _variants_ds(sf_dir, materialized=True)
     pairs = dd.ngram_candidate_pairs(variants)
     joined = dd.attach_pair_payload(pairs, variants)
@@ -209,6 +225,12 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 6):
     hamming is pair-intrinsic, so both orders emit identical rows."""
     from ray.data.aggregate import Min
 
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "a": pa.int64(), "b": pa.int64(), "hamming": pa.int64(),
+        })
     variants = _variants_ds(sf_dir, materialized=True)
     buckets = variants.map_batches(
         dd.SimHashStage, batch_format="pyarrow", batch_size=512,
@@ -231,11 +253,25 @@ def _query_vectors(sf_dir: str, n: int = 8):
 
 
 def ann_topk(sf_dir: str, *, k: int = 10):
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "score": pa.float64(),
+        })
     qids, qmat = _query_vectors(sf_dir)
     return ss.ann_topk(_embeddings(sf_dir), qids, qmat, k=k)
 
 
 def ann_topk_ivf(sf_dir: str, *, k: int = 10):
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "score": pa.float64(),
+        })
     qids, qmat = _query_vectors(sf_dir)
     return ss.ann_topk_ivf(_embeddings(sf_dir), qids, qmat, k=k)
 
@@ -243,6 +279,13 @@ def ann_topk_ivf(sf_dir: str, *, k: int = 10):
 def ann_topk_lsh(sf_dir: str, *, k: int = 10):
     """Random-hyperplane LSH ANN (approximate; rows-only checked —
     recall vs the brute-force baseline is asserted in tests)."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "score": pa.float64(),
+        })
     qids, qmat = _query_vectors(sf_dir)
     return ss.ann_topk_lsh(_embeddings(sf_dir), qids, qmat, k=k)
 
@@ -255,7 +298,13 @@ def ann_topk_pq(sf_dir: str, *, k: int = 10, n_train: int = 256,
     ``n_train`` file rows — at scale, the first row group of one
     shard), so training cost never depends on corpus size."""
     import numpy as np
+    import pyarrow as pa
 
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "score": pa.float64(),
+        })
     qids, qmat = _query_vectors(sf_dir)
     sample = np.array(
         pq.read_table(
@@ -281,6 +330,12 @@ def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
 
 
 def near_dup_keep(sf_dir: str, *, threshold: float = 0.35):
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "vec_id": pa.int64(), "keep_id": pa.int64(),
+        })
     """Near-dup dedup KEEP decision: cluster the cosine near-dup pair
     graph (embedding_near_dups) with distributed connected components
     and map every clustered vector to its component's minimum id —

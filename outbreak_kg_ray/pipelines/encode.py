@@ -81,6 +81,15 @@ def dict_encoded_triples(sf_dir: str, *, num_partitions: int = 8):
     (mesh_csr.py:51-77 with sorted-rank ids). mesh ids encode via the
     broadcast vocabulary dict; pmids via a distributed dense-rank
     join — nothing O(corpus) on the driver."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        import pyarrow as _pa
+
+        return empty_dataset({
+            "pmid_idx": _pa.int64(), "mesh_idx": _pa.int64(),
+            "value": _pa.int64(),
+        })
     triples = events_triples(sf_dir)
     mesh_rank = _mesh_rank_map(triples)
     ranks = pmid_rank_table(triples)
@@ -117,6 +126,10 @@ def _per_pmid_overlap(sf_dir: str, query_mesh_terms: list[str]):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
+    from outbreak_kg_ray.sources.io import parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return None, 0, 0
     triples = events_triples(sf_dir)
     mesh_rank = _mesh_rank_map(triples)
     query = set(query_mesh_terms) - MESH_ID_EXCLUDE

@@ -91,6 +91,17 @@ def realism_table(sf_dir: str):
     score = round(ln(count) − ln(num_alerts), 6). The alert count
     (realism_score.py:70, ``len(terms_by_alert)``) rides along as the
     ("", "") marker row — no second corpus pass. Small, final."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        import pandas as pd
+
+        return pd.DataFrame({
+            "mesh_a": pd.Series(dtype=object),
+            "mesh_b": pd.Series(dtype=object),
+            "count": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        })
     df = pair_counts(sf_dir).to_pandas()
     marker = df[(df["mesh_a"] == "") & (df["mesh_b"] == "")]
     num_alerts = int(marker["count"].iloc[0]) if len(marker) else 1

@@ -196,6 +196,14 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int | None = None):
     joined stream by order priority.
 
     → (o_orderpriority, n_items, revenue) rounded to 2 dp."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if (parquet_rows(f"{sf_dir}/orders.parquet") == 0
+            or parquet_rows(f"{sf_dir}/lineitem.parquet") == 0):
+        return empty_dataset({
+            "o_orderpriority": pa.string(), "n_items": pa.int64(),
+            "revenue": pa.float64(),
+        })
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -267,6 +275,16 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
     is re-shipped per batch and nothing corpus-scale is ever
     broadcast.
     """
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if any(
+        parquet_rows(f"{sf_dir}/{t}.parquet") == 0
+        for t in ("customer", "orders", "lineitem", "nation")
+    ):
+        return empty_dataset({
+            "n_name": pa.string(), "revenue": pa.float64(),
+            "n_items": pa.int64(),
+        })
     import pyarrow.parquet as pq
     import ray
 
@@ -417,6 +435,14 @@ def top_customers_by_nation(sf_dir: str, *, k: int = 3):
     over per-customer rows — the expensive exchange is the
     pre-aggregated table, never raw orders. Ties break by ascending
     custkey on both engines."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if (parquet_rows(f"{sf_dir}/customer.parquet") == 0
+            or parquet_rows(f"{sf_dir}/orders.parquet") == 0):
+        return empty_dataset({
+            "c_nationkey": pa.int32(), "c_custkey": pa.int64(),
+            "revenue": pa.float64(), "rank": pa.int64(),
+        })
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -626,6 +652,18 @@ def customers_without_orders(sf_dir: str, *, since: str = "2000-01-01"):
     distinct keys (bounded by |customers|) before one left-outer hash
     join and a null filter — the standard distributed anti-join; no
     corpus-scale broadcast."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/customer.parquet") == 0:
+        return empty_dataset({
+            "c_custkey": pa.int64(), "c_name": pa.string(),
+        })
+    if parquet_rows(f"{sf_dir}/orders.parquet") == 0:
+        # no orders at all: EVERY customer qualifies
+        return read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+        )
     import numpy as np
 
     from ray.data.aggregate import Count
@@ -767,6 +805,13 @@ def parts_with_large_orders(sf_dir: str, *, min_qty: int = 45):
     (bounded by |part|) BEFORE the single inner hash join — the
     filter+distinct runs where the data is, and only keys enter the
     exchange; no corpus-scale broadcast, no row multiplication."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if (parquet_rows(f"{sf_dir}/part.parquet") == 0
+            or parquet_rows(f"{sf_dir}/lineitem.parquet") == 0):
+        return empty_dataset({
+            "p_partkey": pa.int64(), "p_name": pa.string(),
+        })
     from ray.data.aggregate import Count
 
     num_partitions = _adaptive_join_partitions(

@@ -383,6 +383,15 @@ def alerts_by_facet(sf_dir: str, *, disease: str | None = None,
     ``:disease`` label check on the closure TARGET; phenotype IDs are
     not nodes in the fixture ontology, so the endpoint label check is
     dropped (the matched MENTION node is still type-checked)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        fields = {"alert_id": pa.string(), "timestamp": pa.string()}
+        for nm, v in (("disease", disease), ("geolocation", geolocation),
+                      ("pathogen", pathogen), ("symptom", symptom)):
+            if v is not None:
+                fields[f"{nm}_curie"] = pa.string()
+        return empty_dataset(fields)
     from .kg import alert_mention_edges, alert_nodes
 
     requested = [

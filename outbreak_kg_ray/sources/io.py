@@ -27,3 +27,23 @@ def read_parquet_clean(path: str, *, columns: list[str] | None = None,
     else:
         schema = full
     return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no data read.  Used
+    by operators to short-circuit a fully-empty input (Ray Data's
+    hash-shuffle join and empty aggregates lose block schemas on
+    zero-row inputs; a metadata probe is cheaper than guarding every
+    downstream stage)."""
+    return pq.read_metadata(path).num_rows
+
+
+def empty_dataset(schema: "pa.Schema | dict"):
+    """A zero-row Dataset with a pinned schema (dict of name→type or
+    a pyarrow.Schema) — the short-circuit return value for operators
+    fed a fully-empty input."""
+    import ray.data as rd
+
+    if isinstance(schema, dict):
+        schema = pa.schema(list(schema.items()))
+    return rd.from_arrow(schema.empty_table())

@@ -82,6 +82,12 @@ def snapshot_delta(sf_dir: str):
     """→ (doc_id, sig) of NEW-snapshot docs whose content signature
     never appears in the OLD snapshot.  Exact (the Bloom filter only
     prunes; positives are verified against OLD)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "doc_id": pa.int64(), "sig": pa.string(),
+        })
     import ray
 
     import pyarrow.compute as _pc

@@ -120,6 +120,13 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
     import ray
     from ray.data.aggregate import Sum
 
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "vec_id": pa.int64(), "cluster": pa.int64(),
+        })
+
     cent = _init_centroids(sf_dir, k)
     ds = _embeddings(sf_dir)
 

@@ -144,6 +144,13 @@ def heavy_hitter_terms(sf_dir: str, *, m: int = 20):
     count clears that bar the result provably equals the exact top-m;
     otherwise (flat distributions — exactly when heavy hitters are
     cheap anyway) fall back to the full exact groupby."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "rank": pa.int64(), "token": pa.string(),
+            "n_occurrences": pa.int64(),
+        })
     import ray
     import pandas as pd
     from ray.data.aggregate import Count, Sum
@@ -357,6 +364,15 @@ def value_quantiles_exact(sf_dir: str, ps=(0.5, 0.9, 0.99)):
     a filter that ships exactly the 2×|ps| boundary rows to the
     driver for interpolation.  The SQL-checkable anchor for
     :func:`kll_value_quantiles`."""
+    from outbreak_kg_ray.sources.io import parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        import pandas as pd
+
+        return pd.DataFrame({
+            "p": pd.Series(dtype="float64"),
+            "value_quantile": pd.Series(dtype="float64"),
+        })
     import pandas as pd
 
     from outbreak_kg_ray.functions.rounding import round_half_away
@@ -462,6 +478,15 @@ def kll_value_quantiles(sf_dir: str, ps=(0.5, 0.9, 0.99), *, k: int = 256):
     answers rank queries.  Approximate by construction → rows-only
     at the driver gate; tests bound the RANK error against the exact
     anchor."""
+    from outbreak_kg_ray.sources.io import parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        import pandas as pd
+
+        return pd.DataFrame({
+            "p": pd.Series(dtype="float64"),
+            "value_quantile_est": pd.Series(dtype="float64"),
+        })
     import pandas as pd
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])

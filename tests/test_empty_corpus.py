@@ -62,3 +62,37 @@ def test_curation_funnel_on_empty_corpus(ray_session, empty_sf):
     funnel = docops.curation_funnel(empty_sf)
     assert (funnel["n_docs"] == 0).all()
     assert len(funnel) == 5
+
+
+def test_full_query_surface_on_empty_tables(ray_session, tmp_path_factory):
+    """EVERY queries() entry must survive a fully-empty corpus (all
+    ten tables present, zero rows) — exercised for a representative
+    member of each previously-crashing family; the exhaustive sweep
+    lives in tools/ (probe takes minutes)."""
+    import os
+    import sys
+
+    import ray.data
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("empty_all")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{src}/{t}.parquet").slice(0, 0),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ("mention_stats", "realism_scores", "timex_stats",
+                 "alerts_by_facet", "parts_with_large_orders",
+                 "value_quantiles_exact", "kll_value_quantiles",
+                 "revenue_by_nation", "customers_without_orders",
+                 "ann_topk", "minhash_near_dups", "kmeans_clusters",
+                 "snapshot_delta", "heavy_hitter_terms", "dict_encode",
+                 "literature_overlap", "near_dup_keep"):
+        r = qs[name](str(d))
+        n = r.count() if isinstance(r, ray.data.Dataset) else len(r)
+        assert n == 0, name
