@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": docops.curation_funnel,
         "bigram_pmi": docops.bigram_pmi,
         "char_entropy": docops.char_entropy,
+        "phrase_blocklist": docops.phrase_blocklist,
         "value_quantiles_exact": sketch.value_quantiles_exact,
         "kll_value_quantiles": sketch.kll_value_quantiles,
         "token_freq_spectrum": sketch.token_freq_spectrum,
@@ -1268,6 +1269,30 @@ FROM documents d JOIN rates r USING (source)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
            AS INT)
       < CAST(floor(r.rate * 65536) AS INT)
+"""
+
+    # phrase blocklist via Aho-Corasick: distinct corpus-derived
+    # blocklist phrases (md5-gated bigrams) present per doc as raw
+    # substrings.  Mirrors pipelines/docops.py:phrase_blocklist
+    sql["phrase_blocklist"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), pats AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM toks WHERE len(ws) >= 2)
+  WHERE substr(md5(g), 1, 1) = '0'
+), hits AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_blocked_phrases
+  FROM documents d JOIN pats p ON position(p.g IN d.text) > 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_blocked_phrases, 0) AS n_blocked_phrases,
+       coalesce(h.n_blocked_phrases, 0) > 0 AS blocked
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
     # exact float quantiles of events.value (global-sort path; the

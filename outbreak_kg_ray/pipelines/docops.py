@@ -1548,3 +1548,83 @@ def char_entropy(sf_dir: str):
         )
 
     return docs.map_batches(ent, batch_format="pyarrow")
+
+
+def phrase_blocklist(sf_dir: str):
+    """Phrase-blocklist filtering via a real Aho-Corasick automaton —
+    the C4 "bad words" gate at corpus scale: a bounded phrase set is
+    broadcast, each document is scanned ONCE (one automaton step per
+    character, independent of pattern count), and docs report how
+    many DISTINCT blocklist phrases they contain.
+
+    The blocklist itself derives deterministically from the corpus so
+    the oracle can replay it (bigrams whose md5 starts with '0' —
+    1/16 of the bigram vocabulary); in production it would be a
+    curated list, same broadcast shape.  Matching is raw substring
+    (no word boundaries) — identical to the oracle's position()
+    probe.
+
+    Scale shape: pass 1 filters candidate phrases BEFORE its
+    exchange (per-batch distinct bigrams, md5 gate applied in the
+    combiner) so the groupby ships 1/16 of the vocab; the automaton
+    is built once per actor in ``__init__``; pass 2 streams with
+    zero shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.ahocorasick import AhoCorasick
+
+    docs = _documents(sf_dir)
+
+    def candidate_phrases(t: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for x in t.column("text").to_pylist():
+            ws = [w for w in x.split(" ") if w]
+            grams.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        keep = [
+            g for g in grams
+            if hashlib.md5(g.encode()).hexdigest()[0] == "0"
+        ]
+        return pa.table({"g": pa.array(sorted(keep), pa.string())})
+
+    patterns = sorted(
+        r["g"]
+        for r in docs.map_batches(
+            candidate_phrases, batch_format="pyarrow"
+        )
+        .groupby("g")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )  # bounded: 1/16 of the bigram vocabulary
+    pat_ref = ray.put(patterns)
+
+    class BlocklistStage:
+        def __init__(self, ref) -> None:
+            pats = ray.get(ref)
+            self._ac = AhoCorasick(pats)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            counts = [
+                len(self._ac.match_ids(x))
+                for x in t.column("text").to_pylist()
+            ]
+            arr = np.asarray(counts, dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_blocked_phrases": pa.array(arr, pa.int64()),
+                    "blocked": pa.array(arr > 0, pa.bool_()),
+                }
+            )
+
+    return docs.map_batches(
+        BlocklistStage,
+        fn_constructor_args=(pat_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )

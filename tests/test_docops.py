@@ -642,3 +642,45 @@ def test_char_entropy_known_values(ray_session, tmp_path):
     assert list(out.index) == [0, 1]  # empty doc dropped
     assert out.loc[0, "char_entropy"] == 0.0
     assert abs(out.loc[1, "char_entropy"] - round(math.log(2), 6)) < 1e-9
+
+
+def test_aho_corasick_automaton():
+    from outbreak_kg_ray.functions.ahocorasick import AhoCorasick
+
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    # classic example: "ushers" contains she, he, hers
+    assert ac.match_ids("ushers") == {0, 1, 3}
+    assert ac.match_ids("history") == {2}
+    assert ac.match_ids("xyz") == set()
+    assert ac.match_ids("") == set()
+    # overlapping occurrences of one pattern count once (distinct ids)
+    ac2 = AhoCorasick(["a a"])
+    assert ac2.match_ids("a a a") == {0}
+    # raw substring semantics: no word boundaries
+    ac3 = AhoCorasick(["cat dog"])
+    assert ac3.match_ids("concat dogma") == {0}
+
+
+def test_phrase_blocklist_pipeline(ray_session, sf_dir):
+    import hashlib
+
+    from outbreak_kg_ray.pipelines import docops
+
+    out = docops.phrase_blocklist(sf_dir).to_pandas()
+    assert len(out) == 500
+    assert (out["blocked"] == (out["n_blocked_phrases"] > 0)).all()
+    assert 0 < out["blocked"].sum() < 500
+    # spot-check one doc against a naive scan
+    docs = docops._documents(sf_dir).to_pandas().set_index("doc_id")
+    row = out[out["n_blocked_phrases"] > 0].iloc[0]
+    text = docs.loc[row["doc_id"], "text"]
+    all_texts = docs["text"].tolist()
+    pats = set()
+    for x in all_texts:
+        ws = [w for w in x.split(" ") if w]
+        pats.update(
+            f"{a} {b}" for a, b in zip(ws, ws[1:])
+            if hashlib.md5(f"{a} {b}".encode()).hexdigest()[0] == "0"
+        )
+    naive = sum(1 for p in pats if p in text)
+    assert naive == row["n_blocked_phrases"]
