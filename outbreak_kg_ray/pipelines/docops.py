@@ -1287,26 +1287,10 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         # empty-aggregate batches arrive columnless; pin the schema
         return pa.table({"doc_id": pa.array([], pa.int64())})
 
-    def _pin_cur(t: "pa.Table"):
-        # join outputs also lose their schema on empty partitions —
-        # re-pin (doc_id, source) so the NEXT join keeps planning
-        import pyarrow as pa
-
-        if "doc_id" in t.column_names:
-            return pa.table({
-                "doc_id": t.column("doc_id"),
-                "source": t.column("source"),
-            })
-        return pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "source": pa.array([], pa.string()),
-        })
-
     kept1 = ddm.exact_dedup_keep(norm).map_batches(
         _pin_ids, batch_format="pyarrow"
     )
     cur = base.join(kept1, "inner", 8, on=("doc_id",))
-    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("exact_dedup", cur))
@@ -1322,7 +1306,6 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         )
     )
     cur = cur.join(q_ids, "inner", 8, on=("doc_id",))
-    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("quality_gate", cur))
@@ -1335,7 +1318,6 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         batch_format="pyarrow",
     )
     cur = cur.join(clean_ids, "inner", 8, on=("doc_id",))
-    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("decontaminate", cur))
@@ -1343,7 +1325,6 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     # 4. declared-mixture downsample
     mix_ids = mixture_downsample(sf_dir).select_columns(["doc_id"])
     cur = cur.join(mix_ids, "inner", 8, on=("doc_id",))
-    cur = cur.map_batches(_pin_cur, batch_format="pyarrow")
     if pin_stages:
         cur = cur.materialize()
     stages.append(("mixture_downsample", cur))
