@@ -1271,6 +1271,11 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     ).num_rows
     if n_docs == 0:
         return [("input", base)] + [(n, base) for n in stage_names]
+    # joins carry id-only projections — size the exchange to the
+    # corpus, not a fixed fan-out (shared policy with relational.py)
+    from outbreak_kg_ray.functions.partitions import adaptive_partitions
+
+    nparts = adaptive_partitions(n_docs)
     stages = [("input", base)]
 
     # 1. exact dedup over the CANONICAL text: min doc_id per distinct
@@ -1290,7 +1295,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     kept1 = ddm.exact_dedup_keep(norm).map_batches(
         _pin_ids, batch_format="pyarrow"
     )
-    cur = base.join(kept1, "inner", 8, on=("doc_id",))
+    cur = base.join(kept1, "inner", nparts, on=("doc_id",))
     if pin_stages:
         cur = cur.materialize()
     stages.append(("exact_dedup", cur))
@@ -1305,7 +1310,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
             batch_format="pyarrow",
         )
     )
-    cur = cur.join(q_ids, "inner", 8, on=("doc_id",))
+    cur = cur.join(q_ids, "inner", nparts, on=("doc_id",))
     if pin_stages:
         cur = cur.materialize()
     stages.append(("quality_gate", cur))
@@ -1317,14 +1322,14 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
         ).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    cur = cur.join(clean_ids, "inner", 8, on=("doc_id",))
+    cur = cur.join(clean_ids, "inner", nparts, on=("doc_id",))
     if pin_stages:
         cur = cur.materialize()
     stages.append(("decontaminate", cur))
 
     # 4. declared-mixture downsample
     mix_ids = mixture_downsample(sf_dir).select_columns(["doc_id"])
-    cur = cur.join(mix_ids, "inner", 8, on=("doc_id",))
+    cur = cur.join(mix_ids, "inner", nparts, on=("doc_id",))
     if pin_stages:
         cur = cur.materialize()
     stages.append(("mixture_downsample", cur))
