@@ -363,6 +363,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["click", "error", "purchase"]
         ),
         "prefix_block_jaccard": docops.prefix_block_jaccard,
+        # --- round-2 continuation: webtext gates / retrieval / graph ---
+        "gopher_quality": docops.gopher_quality,
+        "chunk_documents": docops.chunk_documents,
+        "bm25_topk": docops.bm25_topk,
+        "bfs_distances": graph.bfs_distances,
+        "retention_cohorts": relational.retention_cohorts,
     }
 
 
@@ -2023,5 +2029,135 @@ l0 AS (SELECT v, v AS lbl FROM nd)"""
         + """
 SELECT v AS curie, lbl AS component FROM l8"""
     )
+
+    # bounded-round BFS from the min-curie seed; unrolled min-plus
+    # iterations mirror pipelines/graph.py:bfs_distances
+    bfs_iters = "".join(
+        f""",
+d{i} AS (
+  SELECT cur.v,
+         LEAST(cur.dist,
+               COALESCE(MIN(p.dist), 1000000000) + 1) AS dist
+  FROM d{i - 1} cur
+  LEFT JOIN e ON e.v = cur.v
+  LEFT JOIN d{i - 1} p ON p.v = e.u
+  GROUP BY cur.v, cur.dist
+)"""
+        for i in range(1, 5)
+    )
+    sql["bfs_distances"] = (
+        graph_edges
+        + """,
+d0 AS (SELECT v,
+              CASE WHEN v = (SELECT MIN(v) FROM nd)
+                   THEN 0 ELSE 1000000000 END AS dist
+       FROM nd)"""
+        + bfs_iters
+        + """
+SELECT v AS curie, CAST(dist AS BIGINT) AS dist
+FROM d4 WHERE dist < 1000000000"""
+    )
+
+    # Gopher-rule quality gate (word-count / word-length / alpha-frac
+    # / stopword rules).  Pass flag computed on UNROUNDED ratios, like
+    # the engine.  Mirrors pipelines/docops.py:gopher_quality
+    sql["gopher_quality"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(ws, s))) AS stop_hits
+  FROM toks WHERE len(ws) >= 1
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+       round(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words BETWEEN 50 AND 100000)
+         AND sum_len / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10
+         AND n_alpha / CAST(n_words AS DOUBLE) > 0.8
+         AND stop_hits >= 2 AS gopher_pass
+FROM base
+"""
+
+    # sliding-window char chunking: starts at every 160-char offset
+    # strictly below len(text).  Mirrors docops.py:chunk_documents
+    sql["chunk_documents"] = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(len(text) / 160.0) AS BIGINT))) AS i
+  FROM documents WHERE len(text) > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 160 AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * 160 + 1 AS BIGINT), 200) AS chunk_text
+FROM c
+"""
+
+    # BM25 top-10 for the fixed query {spark, join, window}; the three
+    # per-term scores are added in FIXED textual order so the float sum
+    # is bit-identical to the engine's fixed-order accumulation.
+    # Mirrors pipelines/docops.py:bm25_topk (k1=1.2, b=0.75)
+    sql["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM toks
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) / count(*)
+           AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         CAST(len(list_filter(ws, x -> x = 'join')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf2
+  FROM toks
+), df AS (
+  SELECT CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+         CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+         CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2
+  FROM tf
+), scored AS (
+  SELECT t.doc_id,
+      (CASE WHEN tf0 > 0 THEN ln((st.n - d.df0 + 0.5) / (d.df0 + 0.5) + 1.0)
+            * (tf0 * (1.2 + 1.0))
+            / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))
+            ELSE 0.0 END)
+    + (CASE WHEN tf1 > 0 THEN ln((st.n - d.df1 + 0.5) / (d.df1 + 0.5) + 1.0)
+            * (tf1 * (1.2 + 1.0))
+            / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))
+            ELSE 0.0 END)
+    + (CASE WHEN tf2 > 0 THEN ln((st.n - d.df2 + 0.5) / (d.df2 + 0.5) + 1.0)
+            * (tf2 * (1.2 + 1.0))
+            / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))
+            ELSE 0.0 END) AS score
+  FROM tf t JOIN dl l USING (doc_id), st, df d
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+    # weekly retention cohorts.  Mirrors relational.py:retention_cohorts
+    sql["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, u.week) / 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM uw u JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
 
     return sql

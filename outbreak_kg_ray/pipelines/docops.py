@@ -1614,3 +1614,273 @@ def phrase_blocklist(sf_dir: str):
         batch_size=1024,
         concurrency=(1, 8),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(sf_dir: str):
+    """Gopher-rule document quality gate (Rae et al. 2021, §A1.1):
+    word-count bounds [50, 100k], mean word length in [3, 10],
+    >80 % of words containing an alphabetic character, and at least
+    two of the eight canonical English stopwords present.  Docs with
+    zero words are dropped (no rule is defined on them).
+
+    Fully vectorized single pass: the batch's texts are split ONCE
+    with the Arrow ``split_pattern`` kernel, then every per-document
+    statistic is a ``np.bincount`` over the flattened word array
+    keyed by a repeat-expanded doc index — no Python loop over rows
+    or words.  The pass/fail flag is computed on the UNROUNDED
+    ratios (the oracle does the same) so rounding never flips a
+    verdict."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "mean_word_len": pa.array([], pa.float64()),
+                    "alpha_word_frac": pa.array([], pa.float64()),
+                    "stop_hits": pa.array([], pa.int64()),
+                    "gopher_pass": pa.array([], pa.bool_()),
+                }
+            )
+        split = pc.split_pattern(
+            t.column("text").combine_chunks(), " "
+        )
+        offsets = split.offsets.to_numpy()
+        flat = split.values
+        doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = lens > 0
+        n_words = np.bincount(doc_idx, weights=nonempty, minlength=n)
+        sum_len = np.bincount(doc_idx, weights=lens, minlength=n)
+        alpha = (
+            pc.match_substring_regex(flat, "[A-Za-z]")
+            .to_numpy(zero_copy_only=False)
+            & nonempty
+        )
+        n_alpha = np.bincount(doc_idx, weights=alpha, minlength=n)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            hit = pc.equal(flat, sw).to_numpy(zero_copy_only=False)
+            stop_hits += np.bincount(doc_idx, weights=hit, minlength=n) > 0
+        keep = n_words >= 1
+        nw = n_words[keep]
+        mean_len = sum_len[keep] / nw
+        alpha_frac = n_alpha[keep] / nw
+        hits = stop_hits[keep]
+        ok = (
+            (nw >= 50)
+            & (nw <= 100_000)
+            & (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (alpha_frac > 0.8)
+            & (hits >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(nw.astype(np.int64), pa.int64()),
+                "mean_word_len": pa.array(
+                    [round_half_away(float(x), 6) for x in mean_len],
+                    pa.float64(),
+                ),
+                "alpha_word_frac": pa.array(
+                    [round_half_away(float(x), 6) for x in alpha_frac],
+                    pa.float64(),
+                ),
+                "stop_hits": pa.array(hits, pa.int64()),
+                "gopher_pass": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, *, size: int = 200, stride: int = 160):
+    """Sliding-window character chunking — the "context window
+    preparation" op that fans each document out into fixed-size
+    overlapping chunks (size 200, stride 160 → 40-char overlap).
+    Chunk starts are every stride-th character offset strictly below
+    the text length, so every document with text yields ≥1 chunk and
+    the final chunk may be short; empty docs yield none.
+
+    Pure streaming flat-map: one map_batches pass, output fan-out
+    ≈ len/stride per doc, no shuffle — chunk rows inherit their
+    input block so downstream stages stay partitioned by doc range."""
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cidx, starts, texts = [], [], [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+        ):
+            for i in range(0, max(1, -(-len(x) // stride)) if x else 0):
+                s = i * stride
+                ids.append(doc_id)
+                cidx.append(i)
+                starts.append(s)
+                texts.append(x[s : s + size])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cidx, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+def bm25_topk(
+    sf_dir: str,
+    *,
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 keyword retrieval (Robertson/Spärck Jones, the classic
+    probabilistic ranking function): top-k documents for a fixed
+    query-term set, idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: pass 1 computes the three corpus scalars (N, Σdl,
+    per-term df) as per-batch PARTIAL sums — one tiny table crosses
+    the exchange, never token streams; pass 2 re-streams the corpus,
+    scores each batch vectorized against the broadcast scalars,
+    prunes to a LOCAL top-k per batch, and only those k·n_batches
+    candidate rows enter the final global sort.  Score terms are
+    summed in fixed query order so the float result is bit-identical
+    to the oracle's fixed-order ``+`` chain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir)
+    tlist = list(terms)
+
+    def _word_matrix(t: pa.Table):
+        """Per-doc word counts and per-term tf columns, vectorized."""
+        n = len(t)
+        split = pc.split_pattern(
+            t.column("text").combine_chunks(), " "
+        )
+        offsets = split.offsets.to_numpy()
+        flat = split.values
+        doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+        nonempty = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        )
+        dl = np.bincount(doc_idx, weights=nonempty, minlength=n)
+        tf = np.empty((len(tlist), n), dtype=np.float64)
+        for j, w in enumerate(tlist):
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            tf[j] = np.bincount(doc_idx, weights=hit, minlength=n)
+        return dl, tf
+
+    def partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"_k": pa.array([], pa.int32()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "sum_dl": pa.array([], pa.float64()),
+                 **{f"df_{j}": pa.array([], pa.int64())
+                    for j in range(len(tlist))}}
+            )
+        dl, tf = _word_matrix(t)
+        row = {"_k": pa.array([0], pa.int32()),
+               "n_docs": pa.array([len(t)], pa.int64()),
+               "sum_dl": pa.array([float(dl.sum())], pa.float64())}
+        for j in range(len(tlist)):
+            row[f"df_{j}"] = pa.array(
+                [int((tf[j] > 0).sum())], pa.int64()
+            )
+        return pa.table(row)
+
+    stats = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("_k")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_dl", alias_name="sum_dl"),
+            *[Sum(f"df_{j}", alias_name=f"df_{j}")
+              for j in range(len(tlist))],
+        )
+        .take_all()
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+    if not stats:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    st = stats[0]
+    n_total = float(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_total
+    idf = np.array(
+        [
+            np.log((n_total - float(st[f"df_{j}"]) + 0.5)
+                   / (float(st[f"df_{j}"]) + 0.5) + 1.0)
+            for j in range(len(tlist))
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        dl, tf = _word_matrix(t)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        total = np.zeros(len(t), dtype=np.float64)
+        for j in range(len(tlist)):  # fixed order == oracle's + chain
+            with np.errstate(invalid="ignore"):
+                part = idf[j] * (tf[j] * (k1 + 1.0)) / (tf[j] + norm)
+            total = total + np.where(tf[j] > 0, part, 0.0)
+        hit = total > 0
+        order = np.lexsort(
+            (t.column("doc_id").to_numpy()[hit], -total[hit])
+        )[:k]  # local top-k prune
+        ids = t.column("doc_id").to_numpy()[hit][order]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "score": pa.array(total[hit][order], pa.float64())}
+        )
+
+    cand = docs.map_batches(score, batch_format="pyarrow")
+    top = cand.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "score": pa.array(
+                    [
+                        round_half_away(float(x), 6)
+                        for x in t.column("score").to_pylist()
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return top.map_batches(final, batch_format="pyarrow")

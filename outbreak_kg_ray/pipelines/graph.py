@@ -372,6 +372,154 @@ def connected_components(sf_dir: str, *, rounds: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# BFS hop distances (bounded-round min-plus propagation)
+# ---------------------------------------------------------------------------
+
+_BFS_INF = np.int64(1_000_000_000)
+
+
+def bfs_distances_edges(edges_ds, *, rounds: int = 4,
+                        distributed: bool | None = None):
+    """Min hop distance from the lexicographically smallest node to
+    every node reachable in ≤ ``rounds`` hops — the bounded
+    neighborhood-expansion query ("everything within k hops of the
+    seed") over a directed (u, v) edge Dataset.
+
+    Same dual path as connected components: the seed choice (min
+    curie) and the fixed round count make the result a deterministic
+    function of the edge list, so it hash-matches an unrolled-CTE
+    oracle.  The distributed path is the cc join loop with min-plus
+    (``min(cur, min_neighbor + 1)``) in place of min-label."""
+    edges_ds = edges_ds.materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        nodes, u_c, v_c = _collect_codes(edges_ds)
+        n = len(nodes)
+        if n == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema(
+                    [("curie", pa.string()), ("dist", pa.int64())]
+                ).empty_table()
+            )
+        dist = np.full(n, _BFS_INF, dtype=np.int64)
+        dist[0] = 0  # code order == lexicographic; seed = min curie
+        for _ in range(rounds):
+            incoming = np.full(n, _BFS_INF, dtype=np.int64)
+            if len(u_c):
+                np.minimum.at(incoming, v_c, dist[u_c])
+            dist = np.minimum(dist, incoming + 1)
+        reached = dist < _BFS_INF
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "curie": pa.array(
+                        [str(s) for s in nodes[reached]], pa.string()
+                    ),
+                    "dist": pa.array(dist[reached], pa.int64()),
+                }
+            )
+        )
+    return _bfs_distributed(edges_ds, rounds=rounds)
+
+
+def _bfs_distributed(edges_ds, *, rounds: int):
+    from ray.data.aggregate import Count, Min
+
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("curie", pa.string()), ("dist", pa.int64())]
+            ).empty_table()
+        )
+    nparts = _join_partitions(n_edges)
+
+    nodes = (
+        edges_ds.map_batches(
+            lambda t: pa.table({"curie": t.column("u")}),
+            batch_format="pyarrow",
+        )
+        .groupby("curie")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+    seed = nodes.min("curie")  # scalar aggregate, not a driver collect
+
+    def init(t: pa.Table) -> pa.Table:
+        d = pc.if_else(
+            pc.equal(t.column("curie"), seed),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(int(_BFS_INF), pa.int64()),
+        )
+        return pa.table({"curie": t.column("curie"), "dist": d})
+
+    dists = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        joined = edges_ds.join(
+            dists, "inner", nparts, on=("u",), right_on=("curie",)
+        )
+
+        def neighbor(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "ndist": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"curie": t.column("v"), "ndist": t.column("dist")}
+            )
+
+        incoming = (
+            joined.map_batches(neighbor, batch_format="pyarrow")
+            .groupby("curie")
+            .aggregate(Min("ndist", alias_name="nmin"))
+        )
+        merged = dists.join(incoming, "inner", nparts, on=("curie",))
+
+        def update(t: pa.Table) -> pa.Table:
+            if "curie" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "dist": pa.array([], pa.int64())}
+                )
+            nd = pc.add_checked(
+                pc.coalesce(
+                    t.column("nmin"), pa.scalar(int(_BFS_INF), pa.int64())
+                ),
+                pa.scalar(1, pa.int64()),
+            )
+            return pa.table(
+                {
+                    "curie": t.column("curie"),
+                    "dist": pc.min_element_wise(t.column("dist"), nd),
+                }
+            )
+
+        dists = merged.map_batches(update, batch_format="pyarrow").materialize()
+    return dists.filter(
+        expr=f"dist < {int(_BFS_INF)}"
+    )
+
+
+def bfs_distances(sf_dir: str, *, rounds: int = 4,
+                  distributed: bool | None = None):
+    """≤4-hop BFS distances from the min-curie seed over the
+    co-occurrence graph."""
+    return bfs_distances_edges(
+        symmetric_cooccurrence_edges(sf_dir),
+        rounds=rounds, distributed=distributed,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (degree-oriented wedge join)
 # ---------------------------------------------------------------------------
 

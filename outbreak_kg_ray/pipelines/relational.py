@@ -846,3 +846,98 @@ def parts_with_large_orders(sf_dir: str, *, min_qty: int = 45):
         return t.select(["p_partkey", "p_name"])
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def retention_cohorts(sf_dir: str, *, num_partitions: int | None = None):
+    """Weekly retention cohorts over the events stream: users are
+    cohorted by the ISO week of their FIRST event; each later active
+    week contributes one user to (cohort_week, week_offset).  The
+    classic product-analytics rollup.
+
+    Scale shape: the raw stream first collapses to DISTINCT
+    (user_id, week) via a combining hash aggregate (per-block
+    pre-aggregation, so the exchange carries user-week pairs, not
+    events), the cohort table is a second user-keyed aggregate of
+    that already-collapsed set, and the join back is user-hash
+    partitioned — every structure is bounded by users × active
+    weeks, never by event count."""
+    from ray.data.aggregate import Count, Min
+
+    import pyarrow.parquet as pq_
+
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    n_rows = pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_rows == 0:
+        return empty_dataset(
+            {
+                "cohort_week": pa.timestamp("us"),
+                "week_offset": pa.int64(),
+                "n_users": pa.int64(),
+            }
+        )
+    if num_partitions is None:
+        # lo=1: a tiny corpus must not split the user-key join into a
+        # partition that receives no shards (Ray 2.49 zero-column
+        # finalize, see _adaptive_join_partitions docstring)
+        from outbreak_kg_ray.functions.partitions import adaptive_partitions
+
+        num_partitions = adaptive_partitions(n_rows, lo=1)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def week(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "week": pc.floor_temporal(
+                    t.column("ts"), unit="week", week_starts_monday=True
+                ),
+            }
+        )
+
+    user_weeks = (
+        ds.map_batches(week, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused twice: cohort derivation + join probe
+    )
+    cohorts = user_weeks.groupby("user_id").aggregate(
+        Min("week", alias_name="cohort_week")
+    )
+    joined = user_weeks.join(
+        cohorts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("user_id",),
+    )
+
+    def offset(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "week" not in t.column_names:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.timestamp("us")),
+                    "week_offset": pa.array([], pa.int64()),
+                }
+            )
+        # Ray's Min aggregate round-trips timestamps through numpy and
+        # can coarsen precision; normalize BOTH sides to us first.
+        wk = t.column("week").cast(pa.timestamp("us")).cast(pa.int64())
+        cw = t.column("cohort_week").cast(pa.timestamp("us"))
+        delta_us = pc.subtract(wk, cw.cast(pa.int64()))
+        return pa.table(
+            {
+                "cohort_week": cw,
+                "week_offset": pc.divide(
+                    delta_us, pa.scalar(7 * 86_400_000_000, pa.int64())
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )

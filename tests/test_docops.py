@@ -684,3 +684,81 @@ def test_phrase_blocklist_pipeline(ray_session, sf_dir):
         )
     naive = sum(1 for p in pats if p in text)
     assert naive == row["n_blocked_phrases"]
+
+
+def test_gopher_quality_rules(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    passing = " ".join(
+        ["the", "be", "to", "of"] + ["word"] * 60
+    )  # 64 words, all alpha, 4 stopword kinds
+    short = "the be only five words"
+    symbols = " ".join(["###", "!!!"] * 30 + ["the", "be"])  # alpha frac low
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([passing, short, symbols, ""], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.gopher_quality(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]  # empty doc dropped
+    assert bool(out.loc[0, "gopher_pass"])
+    assert out.loc[0, "n_words"] == 64
+    assert out.loc[0, "stop_hits"] == 4
+    assert not bool(out.loc[1, "gopher_pass"])  # word count < 50
+    assert not bool(out.loc[2, "gopher_pass"])  # alpha fraction <= 0.8
+    assert out.loc[2, "alpha_word_frac"] < 0.8
+
+
+def test_chunk_documents_windows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    text = "x" * 450  # starts 0,160,320 → lens 200,200,130
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([text, ""], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = docops.chunk_documents(str(tmp_path)).to_pandas()
+    assert list(out["doc_id"]) == [1, 1, 1]  # empty doc yields no chunks
+    assert list(out["chunk_start"]) == [0, 160, 320]
+    assert [len(c) for c in out["chunk_text"]] == [200, 200, 130]
+    # overlap: chunk i ends 40 chars into chunk i+1
+    assert out["chunk_text"][0][160:] == out["chunk_text"][1][:40]
+
+
+def test_bm25_ranking_prefers_tf_and_rarity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    docs = [
+        "spark spark spark pad pad pad",   # high tf for one term
+        "spark pad pad pad pad pad",       # low tf same term
+        "pad pad pad pad pad pad",         # no query terms → unscored
+        "join pad pad pad pad pad",        # rarer term (df=1)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = docops.bm25_topk(str(tmp_path), k=10).to_pandas()
+    assert 2 not in set(out["doc_id"])  # zero-score doc excluded
+    score = out.set_index("doc_id")["score"]
+    assert score[0] > score[1]  # higher tf, same term
+    assert score[3] > score[1]  # df=1 term beats df=2 term at tf=1

@@ -142,3 +142,42 @@ def test_triangle_counts_corpus_matches_reference(ray_session, sf_dir):
     df = graph.triangle_counts(sf_dir).to_pandas()
     got = dict(zip(df["curie"], df["n_triangles"]))
     assert got == expected
+
+
+def test_bfs_paths_agree(ray_session):
+    fast = graph.bfs_distances_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    dist = graph.bfs_distances_edges(
+        _edges_ds(PAIRS), distributed=True
+    ).to_pandas()
+    f = fast.sort_values("curie").reset_index(drop=True)
+    d = dist.sort_values("curie").reset_index(drop=True)
+    assert list(f["curie"]) == list(d["curie"])
+    assert list(f["dist"]) == list(d["dist"])
+
+
+def test_bfs_handmade_distances(ray_session):
+    # seed = min node "a"; x/y unreachable from a
+    out = (
+        graph.bfs_distances_edges(_edges_ds(PAIRS), distributed=False)
+        .to_pandas()
+        .set_index("curie")["dist"]
+        .to_dict()
+    )
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "f": 3}
+
+
+def test_bfs_rounds_bound(ray_session):
+    # a path graph longer than the round budget: nodes beyond 2 hops
+    # are unreached when rounds=2
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = (
+        graph.bfs_distances_edges(
+            _edges_ds(chain), rounds=2, distributed=False
+        )
+        .to_pandas()
+        .set_index("curie")["dist"]
+        .to_dict()
+    )
+    assert out == {"a": 0, "b": 1, "c": 2}

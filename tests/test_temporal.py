@@ -326,3 +326,42 @@ def test_cumulative_order_revenue_window(sf_dir):
     # running total is non-decreasing within a customer (prices > 0)
     g = out.groupby("o_custkey")["cum_revenue"]
     assert (g.diff().dropna() > 0).all()
+
+
+def test_retention_cohorts_two_cohorts(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    # user 1 starts week of Jan 6 2025 (Mon) and returns week 2;
+    # user 2 starts week 2 only
+    rows = [
+        (1, dt.datetime(2025, 1, 7)),
+        (1, dt.datetime(2025, 1, 9)),   # same week — collapses
+        (1, dt.datetime(2025, 1, 15)),
+        (2, dt.datetime(2025, 1, 14)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = relational.retention_cohorts(str(tmp_path)).to_pandas()
+    got = {
+        (str(r.cohort_week.date()), int(r.week_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2025-01-06", 0): 1,
+        ("2025-01-06", 1): 1,
+        ("2025-01-13", 0): 1,
+    }
