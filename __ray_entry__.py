@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docops.bm25_topk,
         "bfs_distances": graph.bfs_distances,
         "retention_cohorts": relational.retention_cohorts,
+        "kcore": graph.kcore,
+        "funnel_stages": temporal.funnel_stages,
     }
 
 
@@ -2143,6 +2145,51 @@ SELECT doc_id, round(score, 6) AS score
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
+"""
+
+    # fixed-round 2-core peeling; unrolled degree/keep/prune rounds
+    # mirror pipelines/graph.py:kcore
+    # each round references the previous edge set three times, so the
+    # CTEs are MATERIALIZED — inlining would expand 3^8 scans of the
+    # base table
+    kc_iters = "".join(
+        f""",
+dg{i} AS MATERIALIZED (SELECT u, count(*) AS d FROM ke{i - 1} GROUP BY u),
+kp{i} AS MATERIALIZED (SELECT u AS v FROM dg{i} WHERE d >= 2),
+ke{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ke{i - 1} e
+  JOIN kp{i} a ON a.v = e.u
+  JOIN kp{i} b ON b.v = e.v
+)"""
+        for i in range(1, 9)
+    )
+    sql["kcore"] = (
+        graph_edges
+        + """,
+ke0 AS MATERIALIZED (SELECT u, v FROM e)"""
+        + kc_iters
+        + """
+SELECT u AS curie, count(*) AS core_degree
+FROM ke8 GROUP BY u HAVING count(*) >= 2"""
+    )
+
+    # ordered conversion funnel with strict first-touch chaining.
+    # Mirrors pipelines/temporal.py:funnel_stages
+    sql["funnel_stages"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+       count(*) AS n_users FROM v
+UNION ALL SELECT 2, 'click', count(*) FROM c
+UNION ALL SELECT 3, 'purchase', count(*) FROM p
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -701,3 +701,116 @@ def triangle_counts_edges(edges):
         .groupby("curie")
         .aggregate(Count(alias_name="n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+def kcore_edges(edges_ds, *, k: int = 2, rounds: int = 8,
+                distributed: bool | None = None):
+    """Fixed-round k-core peeling over a symmetric (u, v) edge
+    Dataset: each round drops every node whose degree in the
+    surviving subgraph is < k, then prunes edges touching dropped
+    nodes.  With rounds ≥ the peel depth this is the exact k-core;
+    as a deterministic fixed-round function it hash-matches the
+    unrolled-CTE oracle either way.  Emits (curie, core_degree) for
+    surviving nodes with their degree inside the core.
+
+    Distributed path: per round one degree aggregate
+    (``groupby(u).count``) and a two-sided semi-join of the edge set
+    against the survivor table — both keyed on the node, no
+    driver-side graph."""
+    edges_ds = edges_ds.materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        nodes, u_c, v_c = _collect_codes(edges_ds)
+        n = len(nodes)
+        import ray.data as rd
+
+        schema = pa.schema(
+            [("curie", pa.string()), ("core_degree", pa.int64())]
+        )
+        if n == 0:
+            return rd.from_arrow(schema.empty_table())
+        alive_edge = np.ones(len(u_c), dtype=bool)
+        for _ in range(rounds):
+            deg = np.bincount(u_c[alive_edge], minlength=n)
+            keep = deg >= k
+            alive_edge = alive_edge & keep[u_c] & keep[v_c]
+        deg = np.bincount(u_c[alive_edge], minlength=n)
+        surv = deg >= k
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "curie": pa.array(
+                        [str(s) for s in nodes[surv]], pa.string()
+                    ),
+                    "core_degree": pa.array(deg[surv], pa.int64()),
+                }
+            )
+        )
+    return _kcore_distributed(edges_ds, k=k, rounds=rounds)
+
+
+def _kcore_distributed(edges_ds, *, k: int, rounds: int):
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    schema = pa.schema([("curie", pa.string()), ("core_degree", pa.int64())])
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return rd.from_arrow(schema.empty_table())
+    nparts = _join_partitions(n_edges)
+
+    edges = edges_ds
+    for _ in range(rounds):
+        keep = (
+            edges.groupby("u")
+            .aggregate(Count(alias_name="_d"))
+            .filter(expr=f"_d >= {k}")
+            .drop_columns(["_d"])
+            .materialize()
+        )
+        if keep.count() == 0:
+            return rd.from_arrow(schema.empty_table())
+        pruned = edges.join(
+            keep, "inner", nparts, on=("u",)
+        )
+        pruned = pruned.join(
+            keep.map_batches(
+                lambda t: t.rename_columns(["v"]), batch_format="pyarrow"
+            ),
+            "inner",
+            nparts,
+            on=("v",),
+        )
+        edges = pruned.select_columns(["u", "v"]).materialize()
+        if edges.count() == 0:
+            return rd.from_arrow(schema.empty_table())
+
+    out = (
+        edges.groupby("u")
+        .aggregate(Count(alias_name="core_degree"))
+        .filter(expr=f"core_degree >= {k}")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "curie": t.column("u"),
+                "core_degree": t.column("core_degree").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def kcore(sf_dir: str, *, k: int = 2, rounds: int = 8,
+          distributed: bool | None = None):
+    """2-core of the co-occurrence graph (8 fixed peeling rounds)."""
+    return kcore_edges(
+        symmetric_cooccurrence_edges(sf_dir),
+        k=k, rounds=rounds, distributed=distributed,
+    )

@@ -254,3 +254,72 @@ def order_ship_window(sf_dir: str, *, window_days: int = 30):
         )
 
     return orders.map_batches(window, batch_format="pyarrow")
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase: a user
+    converts at stage i+1 only with an event of that type STRICTLY
+    AFTER their stage-i conversion time (first-touch chaining, the
+    standard product-analytics funnel).
+
+    Shape: ONE hash shuffle by ``user_id`` (same key as sessionize /
+    as-of), then a vectorized per-group chain over the user's sorted
+    history — min-ts searchsorted per stage, group size bounded by
+    one user's events — and a final stage-bounded aggregate (3 rows).
+    """
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    if pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return empty_dataset(
+            {
+                "stage": pa.int64(),
+                "event_type": pa.string(),
+                "n_users": pa.int64(),
+            }
+        )
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        reached = np.zeros(len(_FUNNEL_STAGES), dtype=np.int64)
+        t_prev = None
+        for i, stage in enumerate(_FUNNEL_STAGES):
+            ts = g.loc[g["event_type"] == stage, "ts"].to_numpy()
+            if t_prev is not None:
+                ts = ts[ts > t_prev]
+            if len(ts) == 0:
+                break
+            reached[i] = 1
+            t_prev = ts.min()
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(_FUNNEL_STAGES) + 1),
+                "event_type": list(_FUNNEL_STAGES),
+                "reached": reached,
+            }
+        )
+
+    out = (
+        events.groupby("user_id")
+        .map_groups(chain, batch_format="pandas")
+        .groupby(["stage", "event_type"])
+        .aggregate(Sum("reached", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "stage": t.column("stage").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "n_users": t.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -181,3 +181,34 @@ def test_bfs_rounds_bound(ray_session):
         .to_dict()
     )
     assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_kcore_paths_agree(ray_session):
+    fast = graph.kcore_edges(_edges_ds(PAIRS), distributed=False).to_pandas()
+    dist = graph.kcore_edges(_edges_ds(PAIRS), distributed=True).to_pandas()
+    f = fast.sort_values("curie").reset_index(drop=True)
+    d = dist.sort_values("curie").reset_index(drop=True)
+    assert list(f["curie"]) == list(d["curie"])
+    assert list(f["core_degree"]) == list(d["core_degree"])
+
+
+def test_kcore_peels_tendrils(ray_session):
+    # PAIRS: triangles abc and def joined by bridge c-d, plus edge x-y.
+    # x/y peel (degree 1); the bridge SURVIVES — its endpoints keep
+    # degree ≥ 2 through their triangles, so the 2-core is a..f whole.
+    out = (
+        graph.kcore_edges(_edges_ds(PAIRS), distributed=False)
+        .to_pandas()
+        .set_index("curie")["core_degree"]
+        .to_dict()
+    )
+    assert out == {"a": 2, "b": 2, "c": 3, "d": 3, "e": 2, "f": 2}
+
+
+def test_kcore_fully_peeled_graph_is_empty(ray_session):
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    for distributed in (False, True):
+        out = graph.kcore_edges(
+            _edges_ds(chain), distributed=distributed
+        ).to_pandas()
+        assert len(out) == 0

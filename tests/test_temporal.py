@@ -365,3 +365,46 @@ def test_retention_cohorts_two_cohorts(ray_session, tmp_path):
         ("2025-01-06", 1): 1,
         ("2025-01-13", 0): 1,
     }
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    d = dt.datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", d(2025, 1, 1)), (1, "click", d(2025, 1, 2)),
+        (1, "purchase", d(2025, 1, 3)),
+        # user 2: click BEFORE first view — stage 2 not reached
+        (2, "click", d(2025, 1, 1)), (2, "view", d(2025, 1, 2)),
+        (2, "purchase", d(2025, 1, 3)),
+        # user 3: view+click, purchase before click — stage 3 missed
+        (3, "view", d(2025, 1, 1)), (3, "purchase", d(2025, 1, 2)),
+        (3, "click", d(2025, 1, 3)),
+        # user 4: never views
+        (4, "click", d(2025, 1, 1)), (4, "purchase", d(2025, 1, 2)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        temporal.funnel_stages(str(tmp_path))
+        .to_pandas()
+        .set_index("stage")
+        .sort_index()
+    )
+    assert list(out["event_type"]) == ["view", "click", "purchase"]
+    assert list(out["n_users"]) == [3, 2, 1]
