@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": relational.retention_cohorts,
         "kcore": graph.kcore,
         "funnel_stages": temporal.funnel_stages,
+        "dsir_weights": docops.dsir_weights,
+        "holdout_split": docops.holdout_split,
     }
 
 
@@ -2190,6 +2192,41 @@ SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
        count(*) AS n_users FROM v
 UNION ALL SELECT 2, 'click', count(*) FROM c
 UNION ALL SELECT 3, 'purchase', count(*) FROM p
+"""
+
+    # DSIR importance weights: mean unigram log-likelihood ratio,
+    # target = lang 'en', add-one smoothing over the corpus vocab.
+    # Mirrors pipelines/docops.py:dsir_weights
+    sql["dsir_weights"] = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (
+  SELECT w, count(*) AS c_all,
+         count(*) FILTER (lang = 'en') AS c_t
+  FROM toks GROUP BY w
+), k AS (
+  SELECT CAST(sum(c_all) AS DOUBLE) AS t_all,
+         CAST(sum(c_t) AS DOUBLE) AS t_t,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM cnt
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln((c.c_t + 1) / (k.t_t + k.v))
+                 - ln((c.c_all + 1) / (k.t_all + k.v))), 6)
+         AS dsir_weight
+FROM toks t JOIN cnt c USING (w) CROSS JOIN k
+GROUP BY t.doc_id
+"""
+
+    # deterministic md5-gated train/holdout split (~10 % holdout).
+    # Mirrors pipelines/docops.py:holdout_split
+    sql["holdout_split"] = """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS INT) < 6553
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

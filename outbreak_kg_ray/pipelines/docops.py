@@ -1884,3 +1884,150 @@ def bm25_topk(
         )
 
     return top.map_batches(final, batch_format="pyarrow")
+
+
+def dsir_weights(sf_dir: str, *, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document mean
+    unigram log-likelihood ratio between a TARGET distribution (docs
+    declared ``target_lang``) and the whole-corpus distribution, with
+    add-one smoothing over the corpus vocabulary.  Positive weight ⇒
+    the doc looks more like the target than the average corpus doc —
+    the standard cheap importance signal for targeted pretraining
+    selection.
+
+    Scale shape: ONE counting pass emits per-batch partial
+    (token, corpus_count, target_count) pairs — both distributions
+    share a single vocabulary-bounded exchange (cf. unigram_logprob,
+    which this generalizes); the log-ratio table is broadcast once
+    and scoring streams with zero shuffle.  Real webtext caps the
+    vocab (top-V + OOV), keeping the broadcast bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir, ("doc_id", "text", "lang"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        is_t: list[bool] = []
+        for x, lang in zip(
+            t.column("text").to_pylist(), t.column("lang").to_pylist()
+        ):
+            if x.strip():
+                ws = tokenize(x)
+                toks.extend(ws)
+                is_t.extend([lang == target_lang] * len(ws))
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c_all": pa.array([], pa.int64()),
+                 "c_t": pa.array([], pa.int64())}
+            )
+        arr = np.asarray(toks, dtype=object)
+        tmask = np.asarray(is_t)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        c_all = np.bincount(inv, minlength=len(uniq))
+        c_t = np.bincount(inv, weights=tmask, minlength=len(uniq))
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c_all": pa.array(c_all, pa.int64()),
+             "c_t": pa.array(c_t.astype(np.int64), pa.int64())}
+        )
+
+    vocab = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(
+            Sum("c_all", alias_name="c_all"),
+            Sum("c_t", alias_name="c_t"),
+        )
+        .take_all()
+    )  # vocabulary-bounded
+    t_all = float(sum(r["c_all"] for r in vocab))
+    t_t = float(sum(r["c_t"] for r in vocab))
+    v = float(len(vocab))
+    ratio = {
+        r["w"]: float(
+            np.log((r["c_t"] + 1) / (t_t + v))
+            - np.log((r["c_all"] + 1) / (t_all + v))
+        )
+        for r in vocab
+    }
+    ratio_ref = ray.put(ratio)
+
+    class DsirStage:
+        def __init__(self, ref) -> None:
+            self._ratio: dict[str, float] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            table = self._ratio
+            ids, n_toks, means = [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                if not x.strip():
+                    continue  # no tokens → no weight (oracle drops too)
+                ws = tokenize(x)
+                ids.append(doc_id)
+                n_toks.append(len(ws))
+                means.append(
+                    round_half_away(
+                        float(np.mean([table[w] for w in ws])), 6
+                    )
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "dsir_weight": pa.array(means, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        DsirStage,
+        fn_constructor_args=(ratio_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+def holdout_split(sf_dir: str, *, holdout_permille: int = 100):
+    """Deterministic train/holdout split: a document lands in the
+    holdout when its md5(doc_id) 4-hex prefix falls below
+    ``holdout_permille``/1000 of the 16-bit space — the same
+    engine-replayable Bernoulli gate mixture_downsample uses, so the
+    split is stable across runs, engines and resharding (never
+    random.random(), which no oracle could replay).
+
+    Pure streaming: one map_batches pass, zero shuffle."""
+    import hashlib
+
+    import pyarrow as pa
+
+    docs = _documents(sf_dir, ("doc_id",))
+    cut = (holdout_permille * 65536) // 1000
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pre = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(
+                    ["holdout" if p < cut else "train" for p in pre],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow")

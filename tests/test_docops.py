@@ -762,3 +762,58 @@ def test_bm25_ranking_prefers_tf_and_rarity(ray_session, tmp_path):
     score = out.set_index("doc_id")["score"]
     assert score[0] > score[1]  # higher tf, same term
     assert score[3] > score[1]  # df=1 term beats df=2 term at tf=1
+
+
+def test_dsir_weights_prefer_target_tokens(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # 'en' docs say "hello", others say "bonjour"; a mixed doc sits
+    # between.  Target-distinctive tokens must earn positive weight.
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                ["hello hello", "bonjour bonjour",
+                 "hello bonjour", ""],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "fr", "fr", "en"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        docops.dsir_weights(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]  # empty doc dropped
+    assert out.loc[0, "dsir_weight"] > 0      # pure target token
+    assert out.loc[1, "dsir_weight"] < 0      # pure non-target token
+    assert (
+        out.loc[1, "dsir_weight"]
+        < out.loc[2, "dsir_weight"]
+        < out.loc[0, "dsir_weight"]
+    )
+
+
+def test_holdout_split_deterministic_and_complete(ray_session, sf_dir):
+    import hashlib
+
+    from outbreak_kg_ray.pipelines import docops
+
+    rows = docops.holdout_split(sf_dir).take_all()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        expect = (
+            "holdout"
+            if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+            < 6553
+            else "train"
+        )
+        assert r["split"] == expect
+    # both splits non-empty at corpus scale
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "holdout"}
