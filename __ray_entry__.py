@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": temporal.funnel_stages,
         "dsir_weights": docops.dsir_weights,
         "holdout_split": docops.holdout_split,
+        "token_budget_cap": docops.token_budget_cap,
     }
 
 
@@ -2227,6 +2228,26 @@ SELECT doc_id,
                       AS INT) < 6553
             THEN 'holdout' ELSE 'train' END AS split
 FROM documents
+"""
+
+    # per-source token-budget quota in deterministic md5 order; the
+    # window cumulative sum replays the engine's per-group cumsum.
+    # Mirrors pipelines/docops.py:token_budget_cap (budget=800)
+    sql["token_budget_cap"] = """
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), w AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM w WHERE cum - n_tokens = 0 OR cum <= 800
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

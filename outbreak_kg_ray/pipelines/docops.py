@@ -2031,3 +2031,69 @@ def holdout_split(sf_dir: str, *, holdout_permille: int = 100):
         )
 
     return docs.map_batches(split, batch_format="pyarrow")
+
+
+def token_budget_cap(sf_dir: str, *, budget: int = 800):
+    """Per-source token-budget capping — the data-mixing quota
+    operator: each source contributes documents in deterministic
+    md5(doc_id) order until its cumulative token count would exceed
+    ``budget`` (first doc always admitted, so a giant head doc cannot
+    starve a source).  Deterministic order makes the quota replayable
+    by the SQL oracle's window cumulative sum.
+
+    Shape: ONE hash shuffle by ``source`` (group size = one source's
+    catalog), then a vectorized per-group sort + cumsum — the same
+    partitioning stratified_sample uses.  Token counts ride along
+    from a zero-shuffle counting pass; the text itself never enters
+    the exchange."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _documents(sf_dir, ("doc_id", "text", "source"))
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        offsets = ws.offsets.to_numpy()
+        nonempty = (
+            pc.utf8_length(ws.values).to_numpy(zero_copy_only=False) > 0
+        )
+        n = len(t)
+        doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tokens": pa.array(
+                    np.bincount(
+                        doc_idx, weights=nonempty, minlength=n
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in g["doc_id"]
+        ]
+        g = g.assign(_h=h).sort_values(["_h", "doc_id"])
+        cum = g["n_tokens"].cumsum()
+        keep = (cum - g["n_tokens"] == 0) | (cum <= budget)
+        g = g[keep]
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(count_tokens, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(cap, batch_format="pandas")
+    )

@@ -817,3 +817,31 @@ def test_holdout_split_deterministic_and_complete(ray_session, sf_dir):
     # both splits non-empty at corpus scale
     splits = {r["split"] for r in rows}
     assert splits == {"train", "holdout"}
+
+
+def test_token_budget_cap_quota(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    # one source with 4 docs of 5 tokens each, budget 12 → the first
+    # two docs in md5 order fit (10 ≤ 12), the third would hit 15
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["a b c d e"] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([9] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = docops.token_budget_cap(str(tmp_path), budget=12).to_pandas()
+    order = sorted(range(4), key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    assert sorted(out["doc_id"]) == sorted(order[:2])
+
+    # budget below a single doc still admits the head doc
+    out1 = docops.token_budget_cap(str(tmp_path), budget=3).to_pandas()
+    assert list(out1["doc_id"]) == [order[0]]
