@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": docops.dsir_weights,
         "holdout_split": docops.holdout_split,
         "token_budget_cap": docops.token_budget_cap,
+        # rows-only (MinHash permutations aren't SQL-expressible);
+        # invariants pinned in tests/test_docops.py
+        "near_dup_clusters": docops.near_dup_clusters,
     }
 
 

@@ -153,6 +153,13 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ann_topk_pq": lambda: docops.ann_topk_pq(sf_dir),
         "shard_manifest": lambda: pack.shard_manifest(sf_dir),
         "curated_docs": lambda: docops.curate_corpus(sf_dir),
+        "gopher_quality": lambda: docops.gopher_quality(sf_dir),
+        "bm25_topk": lambda: docops.bm25_topk(sf_dir),
+        "dsir_weights": lambda: docops.dsir_weights(sf_dir),
+        "token_budget_cap": lambda: docops.token_budget_cap(sf_dir),
+        "kcore": lambda: graph.kcore(sf_dir),
+        "retention_cohorts": lambda: relational.retention_cohorts(sf_dir),
+        "funnel_stages": lambda: temporal.funnel_stages(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

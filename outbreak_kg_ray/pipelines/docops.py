@@ -2097,3 +2097,69 @@ def token_budget_cap(sf_dir: str, *, budget: int = 800):
         .groupby("source")
         .map_groups(cap, batch_format="pandas")
     )
+
+
+def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6,
+                      rounds: int = 8):
+    """Near-duplicate CLUSTERS: the verified MinHash pair list
+    (minhash_near_dups) unioned into connected components, each
+    member labeled with its cluster's canonical id (the minimum
+    doc_id) and a keep flag — the final consolidation step of the
+    dedup story (candidates → exact verify → cluster → keep one).
+
+    Scale shape: reuses the graph module's fixed-round min-label
+    propagation over the pair edge list (auto numpy-fastpath vs
+    per-round join path).  doc_ids travel as zero-padded strings so
+    lexicographic min == numeric min; the pair list — not the corpus
+    — bounds every structure.  Rows-only like its candidate input
+    (the MinHash permutations are not SQL-expressible); invariants
+    pinned in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import graph as g
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "doc_id": pa.int64(), "cluster_id": pa.int64(),
+            "keep": pa.bool_(),
+        })
+    pairs = minhash_near_dups(sf_dir, threshold=threshold)
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = pad(t.column("a")), pad(t.column("b"))
+        return pa.table(
+            {
+                "u": pa.concat_arrays(a.chunks + b.chunks)
+                if isinstance(a, pa.ChunkedArray)
+                else pa.concat_arrays([a, b]),
+                "v": pa.concat_arrays(b.chunks + a.chunks)
+                if isinstance(b, pa.ChunkedArray)
+                else pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    labels = g.connected_components_edges(edges, rounds=rounds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "curie" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64()),
+                 "keep": pa.array([], pa.bool_())}
+            )
+        doc = pc.cast(t.column("curie"), pa.int64())
+        cluster = pc.cast(t.column("component"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc,
+                "cluster_id": cluster,
+                "keep": pc.equal(doc, cluster),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

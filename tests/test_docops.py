@@ -845,3 +845,24 @@ def test_token_budget_cap_quota(ray_session, tmp_path):
     # budget below a single doc still admits the head doc
     out1 = docops.token_budget_cap(str(tmp_path), budget=3).to_pandas()
     assert list(out1["doc_id"]) == [order[0]]
+
+
+def test_near_dup_clusters_invariants(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines import docops
+
+    pairs = docops.minhash_near_dups(sf_dir).take_all()
+    rows = docops.near_dup_clusters(sf_dir).take_all()
+    assert rows, "variant corpus must yield near-dup clusters"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # canonical id = min member; exactly one keeper per cluster
+    for cid, members in by_cluster.items():
+        assert min(m["doc_id"] for m in members) == cid
+        assert sum(m["keep"] for m in members) == 1
+        keeper = next(m for m in members if m["keep"])
+        assert keeper["doc_id"] == cid
+    # every verified pair is co-clustered
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for p in pairs:
+        assert label[p["a"]] == label[p["b"]]
