@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (MinHash permutations aren't SQL-expressible);
         # invariants pinned in tests/test_docops.py
         "near_dup_clusters": docops.near_dup_clusters,
+        "events_gap_fill": relational.events_gap_fill,
     }
 
 
@@ -2251,6 +2252,25 @@ WITH tok AS (
 )
 SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM w WHERE cum - n_tokens = 0 OR cum <= 800
+"""
+
+    # zero-filled hourly grid between first and last event.  Mirrors
+    # relational.py:events_gap_fill
+    sql["events_gap_fill"] = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour,
+         t.event_type
+  FROM bounds
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT grid.hour, grid.event_type,
+       coalesce(h.n_events, 0) AS n_events
+FROM grid LEFT JOIN h USING (hour, event_type)
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

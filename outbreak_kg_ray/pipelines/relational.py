@@ -941,3 +941,90 @@ def retention_cohorts(sf_dir: str, *, num_partitions: int | None = None):
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def events_gap_fill(sf_dir: str):
+    """Zero-filled hourly resample: events_hourly's (hour, event_type)
+    counts projected onto the COMPLETE hour × type grid between the
+    corpus's first and last event — silent-gap detection for stream
+    monitoring (a missing hour shows as an explicit 0, not an absent
+    row).
+
+    Scale shape: the aggregate side is calendar-bounded (hours ×
+    types, independent of event count) so the grid fill happens on
+    the aggregate OUTPUT — the raw stream is touched exactly once by
+    the same combining aggregate events_hourly uses; the grid is a
+    generated Dataset, not a driver loop over data."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    if pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return empty_dataset(
+            {
+                "hour": pa.timestamp("us"),
+                "event_type": pa.string(),
+                "n_events": pa.int64(),
+            }
+        )
+
+    hourly = events_hourly(sf_dir).materialize()  # calendar-bounded
+
+    # grid bounds + type vocabulary from the (bounded) aggregate
+    lo = hourly.min("hour")
+    hi = hourly.max("hour")
+    types = sorted(
+        r["event_type"]
+        for r in hourly.groupby("event_type").count().take_all()
+    )
+    lo64 = int(pa.scalar(lo, pa.timestamp("us")).cast(pa.int64()).as_py())
+    hi64 = int(pa.scalar(hi, pa.timestamp("us")).cast(pa.int64()).as_py())
+    hours = np.arange(lo64, hi64 + 1, 3_600_000_000, dtype=np.int64)
+    grid = rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(
+                    np.repeat(hours, len(types)), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_type": pa.array(
+                    list(types) * len(hours), pa.string()
+                ),
+            }
+        )
+    )
+
+    counts = hourly.map_batches(
+        lambda t: pa.table(
+            {
+                "hour": t.column("hour").cast(pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = grid.join(
+        counts, "left_outer", 2, on=("hour", "event_type")
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "hour" not in t.column_names:
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "hour": t.column("hour"),
+                "event_type": t.column("event_type"),
+                "n_events": pc.coalesce(
+                    t.column("n_events"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -408,3 +408,40 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     )
     assert list(out["event_type"]) == ["view", "click", "purchase"]
     assert list(out["n_users"]) == [3, 2, 1]
+
+
+def test_events_gap_fill_explicit_zeros(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    d = dt.datetime
+    # events at hours 0 and 3 → hours 1 and 2 must appear as zeros
+    rows = [
+        (1, "click", d(2025, 1, 1, 0, 15)),
+        (2, "click", d(2025, 1, 1, 3, 45)),
+        (3, "view", d(2025, 1, 1, 1, 5)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = relational.events_gap_fill(str(tmp_path)).to_pandas()
+    assert len(out) == 8  # 4 hours x 2 types
+    got = {
+        (r.hour.hour, r.event_type): int(r.n_events)
+        for r in out.itertuples()
+    }
+    assert got[(0, "click")] == 1 and got[(3, "click")] == 1
+    assert got[(1, "click")] == 0 and got[(2, "click")] == 0
+    assert got[(1, "view")] == 1 and got[(0, "view")] == 0
