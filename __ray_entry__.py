@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # invariants pinned in tests/test_docops.py
         "near_dup_clusters": docops.near_dup_clusters,
         "events_gap_fill": relational.events_gap_fill,
+        "events_hourly_anomalies": relational.events_hourly_anomalies,
     }
 
 
@@ -2271,6 +2272,28 @@ grid AS (
 SELECT grid.hour, grid.event_type,
        coalesce(h.n_events, 0) AS n_events
 FROM grid LEFT JOIN h USING (hour, event_type)
+"""
+
+    # per-type z-scores over the gap-filled hourly grid; counts are
+    # integer-valued so the Σx/Σx² moments are order-independent and
+    # the float chain (mean, var, std, z) is bit-identical.  Mirrors
+    # relational.py:events_hourly_anomalies (threshold 3.0)
+    sql["events_hourly_anomalies"] = f"""
+WITH gf AS ({sql["events_gap_fill"]}),
+m AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(n_events AS DOUBLE)) AS sx,
+         sum(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS sxx
+  FROM gf GROUP BY event_type
+), st AS (
+  SELECT event_type, sx / n AS mean,
+         sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS std
+  FROM m
+)
+SELECT gf.hour, gf.event_type, gf.n_events,
+       round((gf.n_events - st.mean) / st.std, 6) AS zscore,
+       abs((gf.n_events - st.mean) / st.std) > 3.0 AS anomalous
+FROM gf JOIN st USING (event_type)
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -1028,3 +1028,111 @@ def events_gap_fill(sf_dir: str):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def events_hourly_anomalies(sf_dir: str, *, z_threshold: float = 3.0):
+    """Per-type z-scores over the zero-filled hourly series — the
+    stream-monitoring anomaly detector: an hour whose count sits
+    ``z_threshold`` standard deviations from its type's mean (gaps
+    INCLUDED as zeros, so a silent outage scores as anomalous, not
+    invisible).
+
+    Shape: the gap-filled grid is calendar-bounded; per-type mean/std
+    are a bounded aggregate over it, broadcast back as a join against
+    the same grid — population std (ddof=0) in BOTH engines, computed
+    from Σx/Σx² partials so no per-type vector ever materializes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.functions.rounding import pa_round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    import pyarrow.parquet as pq_
+
+    if pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return empty_dataset(
+            {
+                "hour": pa.timestamp("us"),
+                "event_type": pa.string(),
+                "n_events": pa.int64(),
+                "zscore": pa.float64(),
+                "anomalous": pa.bool_(),
+            }
+        )
+
+    grid = events_gap_fill(sf_dir).materialize()  # calendar-bounded
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("n_events").cast(pa.float64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": x,
+                "xx": pc.multiply(x, x),
+            }
+        )
+
+    stats = (
+        grid.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("xx", alias_name="sxx"),
+        )
+    )
+
+    def finish_stats(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "mean": pa.array([], pa.float64()),
+                    "std": pa.array([], pa.float64()),
+                }
+            )
+        n = t.column("n").cast(pa.float64())
+        mean = pc.divide(t.column("sx"), n)
+        var = pc.subtract(
+            pc.divide(t.column("sxx"), n), pc.multiply(mean, mean)
+        )
+        std = pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0)))
+        return pa.table(
+            {"event_type": t.column("event_type"), "mean": mean,
+             "std": std}
+        )
+
+    # the stats side is bounded by the event-type vocabulary —
+    # broadcast it rather than hash-joining the grid against a
+    # handful of rows
+    typed = {
+        r["event_type"]: (r["mean"], r["std"])
+        for r in stats.map_batches(
+            finish_stats, batch_format="pyarrow"
+        ).take_all()
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        means = pa.array(
+            [typed[et][0] for et in t.column("event_type").to_pylist()],
+            pa.float64(),
+        )
+        stds = pa.array(
+            [typed[et][1] for et in t.column("event_type").to_pylist()],
+            pa.float64(),
+        )
+        x = t.column("n_events").cast(pa.float64())
+        z = pc.divide(pc.subtract(x, means), stds)
+        return pa.table(
+            {
+                "hour": t.column("hour"),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events"),
+                "zscore": pa_round_half_away(z, 6),
+                "anomalous": pc.greater(
+                    pc.abs(z), pa.scalar(float(z_threshold))
+                ),
+            }
+        )
+
+    return grid.map_batches(score, batch_format="pyarrow")

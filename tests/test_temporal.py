@@ -445,3 +445,37 @@ def test_events_gap_fill_explicit_zeros(ray_session, tmp_path):
     assert got[(0, "click")] == 1 and got[(3, "click")] == 1
     assert got[(1, "click")] == 0 and got[(2, "click")] == 0
     assert got[(1, "view")] == 1 and got[(0, "view")] == 0
+
+
+def test_events_hourly_anomalies_flags_spike(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    d = dt.datetime
+    # 23 quiet hours with 1 click each, then a 100-event spike
+    rows = []
+    for h in range(23):
+        rows.append((h, "click", d(2025, 1, 1, h, 30)))
+    rows += [(1000 + i, "click", d(2025, 1, 1, 23, 30)) for i in range(100)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = relational.events_hourly_anomalies(str(tmp_path)).to_pandas()
+    assert len(out) == 24
+    spike = out[out["n_events"] == 100]
+    assert len(spike) == 1 and bool(spike["anomalous"].iloc[0])
+    quiet = out[out["n_events"] == 1]
+    assert not quiet["anomalous"].any()
+    assert (quiet["zscore"] < 0).all()  # below the spike-inflated mean
