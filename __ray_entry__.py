@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": docops.near_dup_clusters,
         "events_gap_fill": relational.events_gap_fill,
         "events_hourly_anomalies": relational.events_hourly_anomalies,
+        "ann_range_search": docops.ann_range_search,
+        "source_vocab_jaccard": docops.source_vocab_jaccard,
     }
 
 
@@ -1107,6 +1109,21 @@ scored AS (
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, round(raw, 6) AS score FROM scored WHERE rn <= 10
+"""
+
+    # cosine radius search for the same 8-query set (threshold 0.3,
+    # self-matches included).  Mirrors docops.py:ann_range_search
+    sql["ann_range_search"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qe), 6) AS score
+FROM embeddings e CROSS JOIN q
+WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+      >= 0.3
 """
 
     sql["embedding_near_dups"] = """
@@ -2294,6 +2311,28 @@ SELECT gf.hour, gf.event_type, gf.n_events,
        round((gf.n_events - st.mean) / st.std, 6) AS zscore,
        abs((gf.n_events - st.mean) / st.std) > 3.0 AS anomalous
 FROM gf JOIN st USING (event_type)
+"""
+
+    # pairwise source-vocabulary Jaccard (intersecting pairs only).
+    # Mirrors pipelines/docops.py:source_vocab_jaccard
+    sql["source_vocab_jaccard"] = """
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(trim(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents WHERE trim(text) <> ''
+), sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       round(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.src_a
+JOIN sz sb ON sb.source = i.src_b
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

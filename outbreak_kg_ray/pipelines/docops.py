@@ -2163,3 +2163,129 @@ def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6,
         )
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def ann_range_search(sf_dir: str, *, threshold: float = 0.3):
+    """Cosine radius search for the standard 8-query set: all corpus
+    vectors scoring ≥ threshold per query (self-matches included,
+    like ann_topk).  See stages/simsearch.py:RangeSearch."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "score": pa.float64(),
+        })
+    qids, qmat = _query_vectors(sf_dir)
+    return ss.ann_range_search(
+        _embeddings(sf_dir), qids, qmat, threshold=threshold
+    )
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary similarity: Jaccard of the distinct
+    token sets of every source pair that shares at least one token —
+    the corpus-mixing diagnostic ("are src3 and src7 the same crawl
+    under two names?").
+
+    Scale shape: the corpus collapses to DISTINCT (source, token)
+    via a combining aggregate (exchange ≤ sources × vocab, never the
+    token stream); per-source set sizes are a bounded broadcast; the
+    intersection counts come from a token-keyed map_groups whose
+    fan-out per token is ≤ C(#sources-containing, 2) — bounded by
+    the source catalog, not the corpus."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir, ("doc_id", "text", "source"))
+
+    def st_pairs(t: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for x, src in zip(
+            t.column("text").to_pylist(), t.column("source").to_pylist()
+        ):
+            if x.strip():
+                seen.update((src, w) for w in tokenize(x))
+        src_col, w_col = (
+            zip(*sorted(seen)) if seen else ((), ())
+        )
+        return pa.table(
+            {
+                "source": pa.array(list(src_col), pa.string()),
+                "w": pa.array(list(w_col), pa.string()),
+            }
+        )
+
+    st = (
+        docs.map_batches(st_pairs, batch_format="pyarrow")
+        .groupby(["source", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    sizes = {
+        r["source"]: r["n"]
+        for r in st.groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }  # bounded by the source catalog
+    sizes_ref = ray.put(sizes)
+
+    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g["source"])
+        pairs = list(itertools.combinations(srcs, 2))
+        if not pairs:
+            return pd.DataFrame({"src_a": [], "src_b": []}).astype(str)
+        a, b = zip(*pairs)
+        return pd.DataFrame({"src_a": list(a), "src_b": list(b)})
+
+    inter = (
+        st.groupby("w")
+        .map_groups(token_pairs, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    class JaccardStage:
+        def __init__(self, ref) -> None:
+            self._sizes: dict[str, int] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "src_a" not in t.column_names:
+                return pa.table(
+                    {
+                        "src_a": pa.array([], pa.string()),
+                        "src_b": pa.array([], pa.string()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            sz = self._sizes
+            a = t.column("src_a").to_pylist()
+            b = t.column("src_b").to_pylist()
+            n = t.column("inter").to_pylist()
+            jac = [
+                round_half_away(x / (sz[p] + sz[q] - x), 6)
+                for p, q, x in zip(a, b, n)
+            ]
+            return pa.table(
+                {
+                    "src_a": pa.array(a, pa.string()),
+                    "src_b": pa.array(b, pa.string()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+
+    return inter.map_batches(
+        JaccardStage,
+        fn_constructor_args=(sizes_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )

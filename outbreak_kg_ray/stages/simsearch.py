@@ -491,3 +491,53 @@ def ann_topk_pq(embeddings_ds, query_ids, query_matrix, train_sample,
         concurrency=(1, 4),
     )
     return topk_merge(partials, k)
+
+
+class RangeSearch:
+    """embeddings batch → ALL (query_id, vec_id, score) pairs with
+    cosine ≥ threshold — radius search, the fixed-recall sibling of
+    top-k.  Emits rounded scores directly: with no global rank there
+    is no tie to protect, and the result set is defined by the RAW
+    threshold comparison (same as the oracle's WHERE)."""
+
+    def __init__(self, queries_ref, threshold: float = 0.3):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.threshold = float(threshold)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        scores = emb @ self.q.T  # (batch, Q)
+        rows, cols = np.nonzero(scores >= self.threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[cols], pa.int64()),
+                "vec_id": pa.array(vec_ids[rows], pa.int64()),
+                "score": pa.array(
+                    np_round_half_away(scores[rows, cols], 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+
+def ann_range_search(embeddings_ds, query_ids, query_matrix, *,
+                     threshold: float = 0.3, concurrency=(1, 4)):
+    """Radius (range) search: every corpus vector within the cosine
+    threshold of each query.  Same broadcast-matmul shape as the
+    brute-force top-k, but emission is threshold-gated instead of
+    rank-gated — zero shuffle, output bounded by the hit count."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    return embeddings_ds.map_batches(
+        RangeSearch,
+        fn_constructor_kwargs={"queries_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )

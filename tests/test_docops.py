@@ -866,3 +866,44 @@ def test_near_dup_clusters_invariants(ray_session, sf_dir):
     label = {r["doc_id"]: r["cluster_id"] for r in rows}
     for p in pairs:
         assert label[p["a"]] == label[p["b"]]
+
+
+def test_ann_range_search_threshold(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines import docops
+
+    rows = docops.ann_range_search(sf_dir, threshold=0.3).take_all()
+    assert rows
+    assert all(r["score"] >= 0.3 - 1e-9 for r in rows)
+    # each query matches itself with cosine 1.0
+    selfs = {r["query_id"] for r in rows
+             if r["query_id"] == r["vec_id"] and r["score"] == 1.0}
+    assert len(selfs) == 8
+    # a tighter radius returns a subset
+    tight = docops.ann_range_search(sf_dir, threshold=0.9).take_all()
+    pairs = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert {(r["query_id"], r["vec_id"]) for r in tight} <= pairs
+
+
+def test_source_vocab_jaccard_tiny(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(
+                ["a b c", "b c d", "x y"], pa.string()
+            ),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s1", "s2", "s3"], pa.string()),
+            "n_chars": pa.array([5, 5, 3], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = docops.source_vocab_jaccard(str(tmp_path)).to_pandas()
+    got = {
+        (r.src_a, r.src_b): r.jaccard for r in out.itertuples()
+    }
+    # s1={a,b,c}, s2={b,c,d} → 2/4; s3 disjoint → absent
+    assert got == {("s1", "s2"): 0.5}
