@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomalies": relational.events_hourly_anomalies,
         "ann_range_search": docops.ann_range_search,
         "source_vocab_jaccard": docops.source_vocab_jaccard,
+        "events_value_histogram": relational.events_value_histogram,
+        "user_top_event_type": relational.user_top_event_type,
     }
 
 
@@ -2333,6 +2335,31 @@ SELECT i.src_a, i.src_b,
 FROM inter i
 JOIN sz sa ON sa.source = i.src_a
 JOIN sz sb ON sb.source = i.src_b
+"""
+
+    # fixed-width value histogram (bin id is integer, drift-free; the
+    # mean is sum/count like the engine's Sum/Count pair).  Mirrors
+    # relational.py:events_value_histogram (bin_width=25)
+    sql["events_value_histogram"] = """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       floor(value / 25.0) * 25.0 AS bin_lo,
+       count(*) AS n_events,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+    # per-user modal event type, ties by type name ascending.  Mirrors
+    # relational.py:user_top_event_type
+    sql["user_top_event_type"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS top_event_type, n
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+WHERE rn = 1
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -1136,3 +1136,99 @@ def events_hourly_anomalies(sf_dir: str, *, z_threshold: float = 3.0):
         )
 
     return grid.map_batches(score, batch_format="pyarrow")
+
+
+def events_value_histogram(sf_dir: str, *, bin_width: float = 25.0):
+    """Fixed-width histogram of events.value: count + mean per
+    ``bin_width``-sized bucket — the distribution profile an
+    ingest-monitoring dashboard draws.
+
+    One combining aggregate over a per-batch derived bin id; the
+    exchange is bounded by the bin count, never the event count.
+    The bin id is an integer (floor(value / width)) so the groupby
+    key is drift-free; only the per-bin mean is float, rounded 6 dp."""
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def bin_id(t: pa.Table) -> pa.Table:
+        b = pc.floor(
+            pc.divide(t.column("value"), pa.scalar(float(bin_width)))
+        ).cast(pa.int64())
+        return pa.table({"bin": b, "value": t.column("value")})
+
+    out = (
+        ds.map_batches(bin_id, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="_sum"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "bin" not in t.column_names:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "bin_lo": pa.array([], pa.float64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "mean_value": pa.array([], pa.float64()),
+                }
+            )
+        mean = pc.divide(
+            t.column("_sum"), t.column("n_events").cast(pa.float64())
+        )
+        return pa.table(
+            {
+                "bin": t.column("bin"),
+                "bin_lo": pc.multiply(
+                    t.column("bin").cast(pa.float64()),
+                    pa.scalar(float(bin_width)),
+                ),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "mean_value": pa_round_half_away(mean, 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def user_top_event_type(sf_dir: str):
+    """Per-user modal event type (most frequent; ties broken by type
+    name ascending) with its count — per-group mode, the "dominant
+    behavior" profile column a feature store materializes.
+
+    Two combining aggregates: the raw stream collapses to
+    (user, type, n) — users × types bounded — then a user-keyed
+    map_groups picks the mode vectorized; group size ≤ #types."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "event_type"], ascending=[False, True]
+        ).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "top_event_type": g["event_type"].to_numpy(),
+                "n": g["n"].to_numpy().astype("int64"),
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(
+        mode, batch_format="pandas"
+    )

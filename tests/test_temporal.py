@@ -479,3 +479,50 @@ def test_events_hourly_anomalies_flags_spike(ray_session, tmp_path):
     quiet = out[out["n_events"] == 1]
     assert not quiet["anomalous"].any()
     assert (quiet["zscore"] < 0).all()  # below the spike-inflated mean
+
+
+def test_events_value_histogram_and_mode(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    d = dt.datetime(2025, 1, 1)
+    vals = [1.0, 24.9, 25.0, 60.0]
+    types = ["view", "view", "click", "click"]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([d] * 4, pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    hist = (
+        relational.events_value_histogram(str(tmp_path))
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    assert list(hist.index) == [0, 1, 2]
+    assert list(hist["n_events"]) == [2, 1, 1]
+    assert hist.loc[0, "mean_value"] == round((1.0 + 24.9) / 2, 6)
+    assert hist.loc[1, "bin_lo"] == 25.0
+
+    # user 7: view ×2 beats click ×1; user 8: click (tie impossible);
+    # tie case: user 7 has view=2, click=1 → view
+    mode = (
+        relational.user_top_event_type(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert mode.loc[7, "top_event_type"] == "view"
+    assert mode.loc[7, "n"] == 2
+    assert mode.loc[8, "top_event_type"] == "click"
