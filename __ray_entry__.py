@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": docops.source_vocab_jaccard,
         "events_value_histogram": relational.events_value_histogram,
         "user_top_event_type": relational.user_top_event_type,
+        "events_type_value_quantiles": relational.events_type_value_quantiles,
     }
 
 
@@ -2360,6 +2361,16 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY n DESC, event_type) AS rn
       FROM c)
 WHERE rn = 1
+"""
+
+    # per-type exact value quantiles.  Mirrors
+    # relational.py:events_type_value_quantiles
+    sql["events_type_value_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.9), 6) AS q90,
+       round(quantile_cont(value, 0.99), 6) AS q99
+FROM events GROUP BY event_type
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -1232,3 +1232,66 @@ def user_top_event_type(sf_dir: str):
     return counts.groupby("user_id").map_groups(
         mode, batch_format="pandas"
     )
+
+
+def events_type_value_quantiles(sf_dir: str):
+    """Exact per-type p50/p90/p99 of events.value via the same
+    value-bounded histogram trick as token_count_quantiles — values
+    have cent granularity so the (type, value) histogram is bounded
+    by the value DOMAIN, not the event count; the per-type quantile
+    interpolation runs inside a type-keyed map_groups over that
+    bounded histogram (group size ≤ distinct values), never over raw
+    events.  Matches DuckDB ``quantile_cont`` (rank p·(n−1))."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    import pyarrow.parquet as pq_
+
+    if pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return empty_dataset(
+            {
+                "event_type": pa.string(),
+                "q50": pa.float64(),
+                "q90": pa.float64(),
+                "q99": pa.float64(),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    hist = (
+        ds.groupby(["event_type", "value"])
+        .aggregate(Count(alias_name="freq"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value")
+        values = g["value"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["freq"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+
+        def q(p: float) -> float:
+            pos = p * (n - 1)
+            lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+            hi_v = values[
+                np.searchsorted(cum, min(lo_i + 1, n - 1) + 1, side="left")
+            ]
+            return round_half_away(lo_v + (hi_v - lo_v) * frac, 6)
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "q50": [q(0.5)],
+                "q90": [q(0.9)],
+                "q99": [q(0.99)],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        quantiles, batch_format="pandas"
+    )

@@ -526,3 +526,30 @@ def test_events_value_histogram_and_mode(ray_session, tmp_path):
     assert mode.loc[7, "top_event_type"] == "view"
     assert mode.loc[7, "n"] == 2
     assert mode.loc[8, "top_event_type"] == "click"
+
+
+def test_events_type_value_quantiles_interpolation(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    d = dt.datetime(2025, 1, 1)
+    vals = [10.0, 20.0, 30.0, 40.0]  # p50 = 25.0, p90 = 37.0
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([d] * 4, pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = relational.events_type_value_quantiles(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["q50"].iloc[0] == 25.0
+    assert out["q90"].iloc[0] == 37.0
