@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": relational.events_value_histogram,
         "user_top_event_type": relational.user_top_event_type,
         "events_type_value_quantiles": relational.events_type_value_quantiles,
+        "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
     }
 
 
@@ -2371,6 +2372,29 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS q90,
        round(quantile_cont(value, 0.99), 6) AS q99
 FROM events GROUP BY event_type
+"""
+
+    # grouped Pearson correlation from explicit moments (same formula
+    # as the engine, NOT corr()).  Mirrors
+    # relational.py:lineitem_qty_price_corr
+    sql["lineitem_qty_price_corr"] = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         count(*) AS n_int,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(l_extendedprice) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * l_extendedprice) AS sxy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+           AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_int AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM m
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -1295,3 +1295,89 @@ def events_type_value_quantiles(sf_dir: str):
     return hist.groupby("event_type").map_groups(
         quantiles, batch_format="pandas"
     )
+
+
+def lineitem_qty_price_corr(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag — the grouped statistical aggregate, computed from
+    one pass of per-batch moment partials (n, Σx, Σy, Σxy, Σx², Σy²)
+    so the exchange is flag-vocabulary-bounded and the correlation
+    formula runs once per group.  The oracle spells out the SAME
+    moment formula (not corr(), whose streaming algorithm differs in
+    the last float bits); 6-dp rounding absorbs summation-order
+    drift."""
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").cast(pa.float64())
+        y = t.column("l_extendedprice").cast(pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"),
+        )
+    )
+
+    def corr(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "l_returnflag" not in t.column_names:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "corr_qty_price": pa.array([], pa.float64()),
+                }
+            )
+        n = t.column("n").cast(pa.float64())
+        num = pc.subtract(
+            pc.multiply(n, t.column("sxy")),
+            pc.multiply(t.column("sx"), t.column("sy")),
+        )
+        den = pc.multiply(
+            pc.sqrt(
+                pc.subtract(
+                    pc.multiply(n, t.column("sxx")),
+                    pc.multiply(t.column("sx"), t.column("sx")),
+                )
+            ),
+            pc.sqrt(
+                pc.subtract(
+                    pc.multiply(n, t.column("syy")),
+                    pc.multiply(t.column("sy"), t.column("sy")),
+                )
+            ),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n").cast(pa.int64()),
+                "corr_qty_price": pa_round_half_away(
+                    pc.divide(num, den), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(corr, batch_format="pyarrow")

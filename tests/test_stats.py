@@ -127,3 +127,31 @@ def test_fingerprint_vector_matches_scalar():
     ref = np.array([fingerprint(x) for x in cases], dtype=np.uint64)
     assert (vec == ref).all()
     assert (vec < np.uint64((1 << 61) - 1)).all()
+
+
+def test_lineitem_corr_known_value(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    x = [1.0, 2.0, 3.0, 4.0]
+    y = [2.0, 4.1, 5.9, 8.0]  # near-perfect positive correlation
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_quantity": pa.array(x, pa.float64()),
+            "l_extendedprice": pa.array(y, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_shipdate": pa.array(["2024-01-01"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = relational.lineitem_qty_price_corr(str(tmp_path)).to_pandas()
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert len(out) == 1 and out["n"].iloc[0] == 4
+    assert abs(out["corr_qty_price"].iloc[0] - round(want, 6)) < 2e-6
