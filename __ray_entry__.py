@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event_type": relational.user_top_event_type,
         "events_type_value_quantiles": relational.events_type_value_quantiles,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
+        "autocomplete_search": serving.autocomplete_search,
     }
 
 
@@ -2396,6 +2397,18 @@ SELECT l_returnflag, n_int AS n,
          AS corr_qty_price
 FROM m
 """
+
+    # /v1/autocomplete point query over the trie rows (prefix "in",
+    # cap 100; keys are unique so the cap set is deterministic).
+    # Mirrors pipelines/serving.py:autocomplete_search
+    sql["autocomplete_search"] = (
+        "WITH ac AS ("
+        + sql["autocomplete_terms"]
+        + """)
+SELECT key, curie, labels FROM ac
+WHERE key LIKE 'in%' ORDER BY key LIMIT 100
+"""
+    )
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts
     sql["retention_cohorts"] = """

@@ -603,3 +603,26 @@ def text_relations(sf_dir: str, text: str = DEMO_TEXT) -> dict:
             "classification": classification,
         },
     }
+
+
+def autocomplete_search(sf_dir: str, *, prefix: str = "in",
+                        top_n: int = 100):
+    """/v1/autocomplete analog as a driver query: the rows the
+    PrefixIndex serves for ``prefix`` (case-insensitive, sorted key
+    order, capped at ``top_n`` — reference NodesTrie semantics,
+    kg/nodes_trie.py:20-39, cap autocomplete_blueprint.py:18).
+    Assembles the serving artifact from the distributed
+    autocomplete_terms output, then answers the point query."""
+    import ray.data as rd
+
+    idx = build_prefix_index(sf_dir)
+    rows = idx.search(prefix, top_n=top_n)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "curie": pa.array([r[1] for r in rows], pa.string()),
+                "labels": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
