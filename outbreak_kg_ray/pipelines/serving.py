@@ -432,9 +432,25 @@ def alerts_by_facet(sf_dir: str, *, disease: str | None = None,
 
         return edges.map_batches(f, batch_format="pyarrow")
 
-    result = None
+    # Size the alert-key joins from the OBSERVED smaller side: a
+    # facet-filtered edge set can be tiny, and a hash partition that
+    # receives no shards becomes a zero-column table Ray 2.49's join
+    # finalize hands to Acero (nondeterministic crash, block-layout
+    # dependent).  Dense partitions (≥64 rows each, the graph-module
+    # policy) make that unreachable; the facet sides are
+    # mention-bounded, so the materialize-for-count is cheap.
+    sides = []
+    min_side = None
     for fname, members in facet_members:
-        fds = facet_rows(fname, members)
+        fds = facet_rows(fname, members).materialize()
+        n = fds.count()
+        min_side = n if min_side is None else min(min_side, n)
+        sides.append(fds)
+    if min_side is not None:
+        num_partitions = max(1, min(num_partitions, min_side // 64 + 1))
+
+    result = None
+    for fds in sides:
         result = fds if result is None else result.join(
             fds, "inner", num_partitions, on=("alert_id",)
         )
