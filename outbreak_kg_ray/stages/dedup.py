@@ -579,7 +579,8 @@ def make_near_dup_variants(t: pa.Table) -> pa.Table:
 
 
 def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
-                         num_partitions: int = 8, max_iters: int = 50):
+                         num_partitions: int | None = None,
+                         max_iters: int = 50):
     """(a, b) undirected edges → (node, label) with label = the
     component's minimum node id — the cluster step of near-dup
     deduplication (pairs → clusters → keep the canonical member).
@@ -610,6 +611,12 @@ def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     edges = pairs_ds.map_batches(
         symmetrize, batch_format="pyarrow"
     ).materialize()
+    if num_partitions is None:
+        # dense ≥64-rows-per-partition policy: near-dup edge sets are
+        # tiny at test scale, and a hash partition that receives no
+        # shards becomes the zero-column table Ray 2.49's join
+        # finalize hands to Acero (nondeterministic crash)
+        num_partitions = max(1, min(8, edges.count() // 64 + 1))
     # initial label: min(self, neighbors)
     labels = edges.map_batches(
         lambda t: pa.table(
