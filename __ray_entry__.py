@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_quantiles": relational.events_type_value_quantiles,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "autocomplete_search": serving.autocomplete_search,
+        "trending_terms_daily": serving.trending_terms_daily,
     }
 
 
@@ -2409,6 +2410,23 @@ SELECT key, curie, labels FROM ac
 WHERE key LIKE 'in%' ORDER BY key LIMIT 100
 """
     )
+
+    # top-3 mentioned terms per published day.  Mirrors
+    # pipelines/serving.py:trending_terms_daily
+    sql["trending_terms_daily"] = f"""
+WITH m AS ({sql["mentions"]}),
+d AS ({sql["docs_table"]}),
+c AS (
+  SELECT date_trunc('day', d.published_ts) AS day,
+         m.entry_name AS term, count(*) AS n
+  FROM m JOIN d USING (doc_id) GROUP BY 1, 2
+)
+SELECT day, term, n
+FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                   ORDER BY n DESC, term) AS rn
+      FROM c)
+WHERE rn <= 3
+"""
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts
     sql["retention_cohorts"] = """

@@ -642,3 +642,76 @@ def autocomplete_search(sf_dir: str, *, prefix: str = "in",
             }
         )
     )
+
+
+def trending_terms_daily(sf_dir: str, *, k: int = 3):
+    """Trending entities: the top-``k`` mentioned terms per published
+    day (count of mentioning alerts, ties by name) — the dashboard
+    query layered on the NER output.
+
+    ONE fused pass: the batch runs the same grounder actor the
+    mentions pipeline uses, then stamps each mention with its doc's
+    day from a BATCH-LOCAL doc→day map (published_ts rides the same
+    batch — no join, no global state); the (day, term) exchange is
+    calendar × vocabulary bounded, and the top-k picks run per day
+    inside map_groups."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.pages import pages_dataset
+    from outbreak_kg_ray.stages.extract import extract_docs
+    from outbreak_kg_ray.stages.ner import NerStage, default_concurrency
+
+    docs = extract_docs(pages_dataset(sf_dir)).select_columns(
+        ["doc_id", "sections", "published_ts"]
+    )
+
+    class TrendStage:
+        def __init__(self) -> None:
+            self._ner = NerStage(mode="terms")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self._ner(t.select(["doc_id", "sections"]))
+            days = dict(
+                zip(
+                    t.column("doc_id").to_pylist(),
+                    pc.floor_temporal(
+                        t.column("published_ts"), unit="day"
+                    )
+                    .cast(pa.timestamp("us"))
+                    .to_pylist(),
+                )
+            )
+            return pa.table(
+                {
+                    "day": pa.array(
+                        [days[d] for d in m.column("doc_id").to_pylist()],
+                        pa.timestamp("us"),
+                    ),
+                    "term": m.column("entry_name"),
+                }
+            )
+
+    counts = (
+        docs.map_batches(
+            TrendStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=default_concurrency(),
+        )
+        .groupby(["day", "term"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "day": g["day"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "n": g["n"].to_numpy().astype("int64"),
+            }
+        )
+
+    return counts.groupby("day").map_groups(top, batch_format="pandas")

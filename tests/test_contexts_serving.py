@@ -177,3 +177,33 @@ def test_indicators_by_country(ray_session, sf_dir):
         sf_dir, geolocation="Atlantis-nowhere"
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_trending_terms_daily_multiday(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import serving
+
+    # published_ts = 2024-01-01 + doc_id minutes → doc 1440 rolls into
+    # day 2; 1500 docs exercise a genuine multi-day window
+    n = 1500
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["filler text"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([11] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = serving.trending_terms_daily(str(tmp_path)).to_pandas()
+    days = sorted(out["day"].unique())
+    assert len(days) == 2
+    for d in days:
+        g = out[out["day"] == d]
+        assert 1 <= len(g) <= 3
+        ns = list(g.sort_values(["n", "term"],
+                                ascending=[False, True])["n"])
+        assert ns == sorted(ns, reverse=True)
