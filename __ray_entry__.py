@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "autocomplete_search": serving.autocomplete_search,
         "trending_terms_daily": serving.trending_terms_daily,
+        "alert_hourly_timeline": serving.alert_hourly_timeline,
+        "mesh_subtree_sizes": serving.mesh_subtree_sizes,
     }
 
 
@@ -2426,6 +2428,34 @@ FROM (SELECT *, row_number() OVER (PARTITION BY day
                                    ORDER BY n DESC, term) AS rn
       FROM c)
 WHERE rn <= 3
+"""
+
+    # zero-filled hourly alert timeline with a trailing 3-hour moving
+    # average.  Mirrors pipelines/serving.py:alert_hourly_timeline
+    sql["alert_hourly_timeline"] = f"""
+WITH d AS ({sql["docs_table"]}),
+h AS (
+  SELECT date_trunc('hour', published_ts) AS hour, count(*) AS n_alerts
+  FROM d GROUP BY 1
+), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+), f AS (
+  SELECT grid.hour, coalesce(h.n_alerts, 0) AS n_alerts
+  FROM grid LEFT JOIN h USING (hour)
+)
+SELECT hour, n_alerts,
+       round(avg(n_alerts) OVER (ORDER BY hour ROWS 2 PRECEDING), 6)
+         AS moving_avg
+FROM f
+"""
+
+    # ontology subtree sizes over the isa* closure.  Mirrors
+    # pipelines/serving.py:mesh_subtree_sizes
+    sql["mesh_subtree_sizes"] = f"""
+WITH c AS ({sql["isa_closure"]})
+SELECT end_id AS curie, count(*) AS n_descendants
+FROM c GROUP BY end_id
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -715,3 +715,110 @@ def trending_terms_daily(sf_dir: str, *, k: int = 3):
         )
 
     return counts.groupby("day").map_groups(top, batch_format="pandas")
+
+
+def alert_hourly_timeline(sf_dir: str, *, window: int = 3):
+    """Alerts published per hour with a trailing ``window``-hour
+    moving average — the monitoring timeline over the ingest stream.
+
+    The hourly aggregate is CALENDAR-bounded (it grows with the time
+    span, not the corpus — the distributed combining count happens
+    BEFORE anything reaches the driver), so the windowed smoothing
+    runs on the collected series like the ship-window calendar; gaps
+    are zero-filled first so the average is over true hours, not
+    observed rows."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.pages import pages_dataset
+    from outbreak_kg_ray.stages.extract import extract_docs
+
+    docs = extract_docs(pages_dataset(sf_dir)).select_columns(
+        ["published_ts"]
+    )
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(
+                    t.column("published_ts"), unit="hour"
+                ).cast(pa.timestamp("us"))
+            }
+        )
+
+    rows = (
+        docs.map_batches(hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_alerts"))
+        .take_all()
+    )  # calendar-bounded
+    if not rows:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("hour", pa.timestamp("us")),
+                    ("n_alerts", pa.int64()),
+                    ("moving_avg", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    by_hour = {r["hour"]: r["n_alerts"] for r in rows}
+    lo, hi = min(by_hour), max(by_hour)
+    step = np.timedelta64(1, "h")
+    hours = []
+    cur = np.datetime64(lo)
+    end = np.datetime64(hi)
+    while cur <= end:
+        hours.append(cur)
+        cur = cur + step
+    counts = np.array(
+        [by_hour.get(h.astype("datetime64[us]").item(), 0) for h in hours],
+        dtype=np.int64,
+    )
+    mavg = [
+        round_half_away(
+            float(counts[max(0, i - window + 1): i + 1].mean()), 6
+        )
+        for i in range(len(counts))
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(
+                    [h.astype("datetime64[us]").item() for h in hours],
+                    pa.timestamp("us"),
+                ),
+                "n_alerts": pa.array(counts, pa.int64()),
+                "moving_avg": pa.array(mavg, pa.float64()),
+            }
+        )
+    )
+
+
+def mesh_subtree_sizes(sf_dir: str):
+    """Per ontology node: how many descendants reach it through the
+    ``isa*`` closure (subtree size) — the ontology fan-in statistic
+    the faceted search uses to gauge how broad a facet query is.
+    Pure aggregate over the static closure table (vocabulary-bounded,
+    like every ontology artifact)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        isa_closure(sf_dir)
+        .groupby("end_id")
+        .aggregate(Count(alias_name="n_descendants"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "curie": t.column("end_id"),
+                    "n_descendants": t.column("n_descendants").cast(
+                        pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

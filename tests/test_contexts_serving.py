@@ -207,3 +207,49 @@ def test_trending_terms_daily_multiday(ray_session, tmp_path):
         ns = list(g.sort_values(["n", "term"],
                                 ascending=[False, True])["n"])
         assert ns == sorted(ns, reverse=True)
+
+
+def test_alert_hourly_timeline_moving_average(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import serving
+
+    # 120 docs at one per minute → hours 0 and 1 get 60 each; the
+    # trailing window at hour 1 averages both
+    n = 120
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        serving.alert_hourly_timeline(str(tmp_path))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_alerts"]) == [60, 60]
+    assert list(out["moving_avg"]) == [60.0, 60.0]
+
+
+def test_mesh_subtree_sizes_parent_counts(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines import serving
+
+    rows = {
+        r["curie"]: r["n_descendants"]
+        for r in serving.mesh_subtree_sizes(sf_dir).take_all()
+    }
+    closure = serving.isa_closure_table()
+    import collections
+
+    want = collections.Counter(closure.column("end_id").to_pylist())
+    assert rows == dict(want)
+    # roots accumulate every transitive descendant, so the max count
+    # exceeds any single node's direct child count
+    assert max(rows.values()) >= 2
