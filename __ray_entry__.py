@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms_daily": serving.trending_terms_daily,
         "alert_hourly_timeline": serving.alert_hourly_timeline,
         "mesh_subtree_sizes": serving.mesh_subtree_sizes,
+        "customer_rfm": relational.customer_rfm,
+        "part_supplier_coverage": relational.part_supplier_coverage,
     }
 
 
@@ -2456,6 +2458,27 @@ FROM f
 WITH c AS ({sql["isa_closure"]})
 SELECT end_id AS curie, count(*) AS n_descendants
 FROM c GROUP BY end_id
+"""
+
+    # per-customer RFM features anchored at the latest order date.
+    # Mirrors relational.py:customer_rfm
+    sql["customer_rfm"] = """
+WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders)
+SELECT o_custkey AS c_custkey,
+       CAST(date_diff('day', CAST(max(o_orderdate) AS TIMESTAMP),
+                      CAST(a.anchor AS TIMESTAMP)) AS BIGINT)
+         AS recency_days,
+       count(*) AS frequency,
+       round(sum(o_totalprice), 2) AS monetary
+FROM orders, a
+GROUP BY o_custkey, a.anchor
+"""
+
+    # distinct suppliers per part (two-level distinct aggregate).
+    # Mirrors relational.py:part_supplier_coverage
+    sql["part_supplier_coverage"] = """
+SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_partkey
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

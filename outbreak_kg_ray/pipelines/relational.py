@@ -1381,3 +1381,98 @@ def lineitem_qty_price_corr(sf_dir: str):
         )
 
     return agg.map_batches(corr, batch_format="pyarrow")
+
+
+def customer_rfm(sf_dir: str):
+    """Per-customer RFM features — recency (days since the
+    customer's last order, relative to the corpus's latest order
+    date), frequency (order count) and monetary (total spend) — the
+    canonical feature-store rollup.
+
+    One combining aggregate keyed by customer; the global anchor date
+    is a scalar Max aggregate (no materialization).  Monetary is
+    rounded to 2 dp like the other money sums."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    anchor = orders.max("o_orderdate")
+
+    agg = orders.groupby("o_custkey").aggregate(
+        Max("o_orderdate", alias_name="_last"),
+        Count(alias_name="frequency"),
+        Sum("o_totalprice", alias_name="_spend"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "o_custkey" not in t.column_names:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "recency_days": pa.array([], pa.int64()),
+                    "frequency": pa.array([], pa.int64()),
+                    "monetary": pa.array([], pa.float64()),
+                }
+            )
+        last = t.column("_last").cast(pa.timestamp("us")).cast(pa.int64())
+        # anchor may arrive as date or datetime depending on the
+        # column's physical type; route through an untyped scalar
+        anchor_us = int(
+            pa.scalar(anchor)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .as_py()
+        )
+        rec = pc.divide(
+            pc.subtract(pa.scalar(anchor_us, pa.int64()), last),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "recency_days": rec,
+                "frequency": t.column("frequency").cast(pa.int64()),
+                "monetary": pa_round_half_away(t.column("_spend"), 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def part_supplier_coverage(sf_dir: str):
+    """Parts ranked by supplier diversity: distinct suppliers seen in
+    lineitem per part — the two-level distinct aggregate (collapse to
+    (part, supplier) pairs first, so the exchange carries pairs, not
+    the lineitem stream)."""
+    from ray.data.aggregate import Count
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    pairs = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return (
+        pairs.groupby("l_partkey")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "n_suppliers": t.column("n_suppliers").cast(pa.int64()),
+                }
+            )
+            if len(t) and "l_partkey" in t.column_names
+            else pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -553,3 +553,38 @@ def test_events_type_value_quantiles_interpolation(ray_session, tmp_path):
     assert len(out) == 1
     assert out["q50"].iloc[0] == 25.0
     assert out["q90"].iloc[0] == 37.0
+
+
+def test_customer_rfm_handmade(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    rows = [
+        (1, dt.date(2024, 1, 1), 100.0),
+        (1, dt.date(2024, 1, 11), 50.0),   # last for cust 1
+        (2, dt.date(2024, 1, 21), 200.0),  # corpus anchor
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(3), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderdate": pa.array([r[1] for r in rows], pa.date32()),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = (
+        relational.customer_rfm(str(tmp_path))
+        .to_pandas()
+        .set_index("c_custkey")
+        .sort_index()
+    )
+    assert out.loc[1, "recency_days"] == 10
+    assert out.loc[1, "frequency"] == 2
+    assert out.loc[1, "monetary"] == 150.0
+    assert out.loc[2, "recency_days"] == 0
