@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mesh_subtree_sizes": serving.mesh_subtree_sizes,
         "customer_rfm": relational.customer_rfm,
         "part_supplier_coverage": relational.part_supplier_coverage,
+        "shipping_priority": relational.shipping_priority,
+        "promo_revenue_share": relational.promo_revenue_share,
     }
 
 
@@ -2479,6 +2481,50 @@ GROUP BY o_custkey, a.anchor
     sql["part_supplier_coverage"] = """
 SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
 FROM lineitem GROUP BY l_partkey
+"""
+
+    # TPC-H Q3-style shipping priority (predicates pushed to the scan,
+    # rounded-revenue ranking so ties at the k boundary agree).
+    # Mirrors relational.py:shipping_priority
+    sql["shipping_priority"] = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+    # TPC-H Q14-style promotion effect per ship month.  Revenue is an
+    # exact 4-decimal quantity (2-dp price × 2-dp discount): both
+    # engines sum int64 1e-4 units so the monthly totals are
+    # drift-free, then round half-away in integer math.
+    # Mirrors relational.py:promo_revenue_share
+    sql["promo_revenue_share"] = """
+WITH e AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS rev_e4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), m AS (
+  SELECT month,
+         sum(CASE WHEN p_type = 'ECONOMY' THEN rev_e4 ELSE 0 END)
+           AS promo_e4,
+         sum(rev_e4) AS total_e4
+  FROM e GROUP BY month
+)
+SELECT month,
+       round(100 * CAST(promo_e4 AS DOUBLE)
+             / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
+       CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
+FROM m
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

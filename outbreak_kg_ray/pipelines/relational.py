@@ -1441,6 +1441,295 @@ def customer_rfm(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def shipping_priority(
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+):
+    """TPC-H Q3-style shipping priority: unshipped revenue per order
+    for one market segment — customer ⋈ orders ⋈ lineitem with
+    opposite-side date predicates, grouped per order, top-k.
+
+    Scale plan: every predicate is pushed to the Parquet scan
+    (segment on customer, ``o_orderdate < cutoff`` on orders,
+    ``l_shipdate > cutoff`` on lineitem), so only qualifying
+    row-groups leave storage.  The segment keyset broadcasts while
+    the customer table measures under ``BROADCAST_DIM_ROWS`` and
+    swaps to a hash join past it; orders ⋈ lineitem is always the
+    distributed hash join.  Top-k is a per-batch prune (each block
+    emits ≤ k rows) followed by a bounded global sort — the full
+    per-order aggregate never feeds a corpus-scale sort.
+
+    Revenue is rounded to 2 dp BEFORE ranking so the Ray and oracle
+    orderings agree on ties at the k boundary."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "l_orderkey": pa.int64(), "revenue": pa.float64(),
+        "o_orderdate": pa.timestamp("us"),
+        "o_orderpriority": pa.string(),
+    }
+    if any(
+        parquet_rows(f"{sf_dir}/{t}.parquet") == 0
+        for t in ("customer", "orders", "lineitem")
+    ):
+        return empty_dataset(out_schema)
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    num_partitions = _adaptive_join_partitions(
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut,
+    )
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    if pq.read_metadata(cust_path).num_rows <= BROADCAST_DIM_ROWS:
+        seg = pq.read_table(
+            cust_path, columns=["c_custkey", "c_mktsegment"],
+            filters=pads.field("c_mktsegment") == segment,
+        )
+        keys_ref = ray.put(set(seg.column("c_custkey").to_pylist()))
+
+        def in_segment(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            mask = pa.array(
+                [c in keys for c in t.column("o_custkey").to_pylist()]
+            )
+            return t.filter(mask).drop_columns(["o_custkey"])
+
+        orders = orders.map_batches(in_segment, batch_format="pyarrow")
+    else:
+        customer = read_parquet_clean(
+            cust_path, columns=["c_custkey"],
+            filter=pads.field("c_mktsegment") == segment,
+        )
+        orders = orders.join(
+            customer,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pads.field("l_shipdate") > cut,
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    per_order = (
+        lineitem.map_batches(derive, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "l_orderkey" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        t = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": pa_round_half_away(t.column("revenue"), 2),
+                "o_orderdate": t.column("o_orderdate").cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("revenue", "descending"),
+                       ("o_orderdate", "ascending"),
+                       ("l_orderkey", "ascending")],
+        )
+        return t.take(idx[:k])
+
+    return (
+        per_order.map_batches(prune, batch_format="pyarrow")
+        .sort(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+def promo_revenue_share(sf_dir: str, *, promo_type: str = "ECONOMY"):
+    """TPC-H Q14-style promotion effect: per ship month, the share of
+    discounted revenue coming from one part type.
+
+    Scale plan: part is the dimension side — a broadcast
+    partkey→is-promo bitmap dict while it measures under
+    ``BROADCAST_DIM_ROWS``, a distributed hash join past it (same
+    measured policy as ``revenue_by_nation``).  The fact stream is
+    one pruned pass; the exchange carries (month, two partial sums),
+    i.e. calendar-bounded rows."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "month": pa.timestamp("us"), "promo_share": pa.float64(),
+        "revenue": pa.float64(),
+    }
+    if (parquet_rows(f"{sf_dir}/lineitem.parquet") == 0
+            or parquet_rows(f"{sf_dir}/part.parquet") == 0):
+        return empty_dataset(out_schema)
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    part_path = f"{sf_dir}/part.parquet"
+    if pq.read_metadata(part_path).num_rows <= BROADCAST_DIM_ROWS:
+        part = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        promo_ref = ray.put(
+            {
+                k: (t == promo_type)
+                for k, t in zip(
+                    part.column("p_partkey").to_pylist(),
+                    part.column("p_type").to_pylist(),
+                )
+            }
+        )
+
+        def flag(t: pa.Table) -> pa.Table:
+            promo = ray.get(promo_ref)
+            is_promo = np.array(
+                [promo.get(p, False)
+                 for p in t.column("l_partkey").to_pylist()],
+                dtype=np.float64,
+            )
+            return t.append_column("_promo", pa.array(is_promo))
+
+        flagged = lineitem.map_batches(flag, batch_format="pyarrow")
+    else:
+        part = read_parquet_clean(
+            part_path, columns=["p_partkey", "p_type"]
+        )
+        num_partitions = _adaptive_join_partitions(
+            f"{sf_dir}/lineitem.parquet"
+        )
+        flagged = lineitem.join(
+            part,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(
+            lambda t: t.append_column(
+                "_promo",
+                pc.cast(
+                    pc.equal(t.column("p_type"), pa.scalar(promo_type)),
+                    pa.float64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+
+    def derive(t: pa.Table) -> pa.Table:
+        # price has 2 decimals and discount 2, so revenue is an exact
+        # 4-decimal quantity: carry it as int64 1e-4 units and the
+        # monthly sums are drift-free regardless of summation order
+        # (the plain double sum flipped a half-cent rounding boundary
+        # against the oracle at sf0.001)
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        rev_e4 = pc.cast(
+            pc.round(pc.multiply(rev, pa.scalar(1e4))), pa.int64()
+        )
+        return pa.table(
+            {
+                "month": pc.floor_temporal(
+                    t.column("l_shipdate").cast(pa.timestamp("us")),
+                    unit="month",
+                ),
+                "rev_e4": rev_e4,
+                "promo_e4": pc.cast(
+                    pc.multiply(
+                        pc.cast(rev_e4, pa.float64()), t.column("_promo")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        flagged.map_batches(derive, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("promo_e4", alias_name="_promo_e4"),
+            Sum("rev_e4", alias_name="_rev_e4"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "month" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        total_e4 = t.column("_rev_e4").cast(pa.int64())
+        promo_e4 = t.column("_promo_e4").cast(pa.int64())
+        # exact half-away-from-zero 2-dp rounding in integer math
+        cents = pc.divide(
+            pc.add(total_e4, pa.scalar(50, pa.int64())),
+            pa.scalar(100, pa.int64()),
+        )
+        share = pc.multiply(
+            pa.scalar(100.0),
+            pc.divide(
+                pc.cast(promo_e4, pa.float64()),
+                pc.cast(total_e4, pa.float64()),
+            ),
+        )
+        return pa.table(
+            {
+                "month": t.column("month").cast(pa.timestamp("us")),
+                "promo_share": pa_round_half_away(share, 6),
+                "revenue": pc.divide(
+                    pc.cast(cents, pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def part_supplier_coverage(sf_dir: str):
     """Parts ranked by supplier diversity: distinct suppliers seen in
     lineitem per part — the two-level distinct aggregate (collapse to

@@ -588,3 +588,136 @@ def test_customer_rfm_handmade(ray_session, tmp_path):
     assert out.loc[1, "frequency"] == 2
     assert out.loc[1, "monetary"] == 150.0
     assert out.loc[2, "recency_days"] == 0
+
+
+def _ts(y, m, d):
+    import datetime as dt
+
+    return dt.datetime(y, m, d)
+
+
+def test_shipping_priority_handmade(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING", "MACHINERY"], pa.string()
+                ),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    # o10 qualifies; o11 fails the order-date cut; o12 is the wrong
+    # segment; o13 qualifies and ties o10 on revenue with an earlier
+    # order date (tie-break witness)
+    orders = [
+        (10, 1, _ts(1998, 5, 1), "1-URGENT"),
+        (11, 1, _ts(1998, 7, 1), "2-HIGH"),
+        (12, 2, _ts(1998, 5, 1), "3-MEDIUM"),
+        (13, 1, _ts(1998, 4, 1), "2-HIGH"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                "o_orderdate": pa.array(
+                    [o[2] for o in orders], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [o[3] for o in orders], pa.string()
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    # (orderkey, shipdate, price, discount)
+    lines = [
+        (10, _ts(1998, 7, 1), 100.0, 0.10),   # rev 90
+        (10, _ts(1998, 7, 2), 100.0, 0.10),   # rev 90  → o10 = 180
+        (10, _ts(1998, 5, 1), 500.0, 0.00),   # shipped before cut
+        (11, _ts(1998, 8, 1), 999.0, 0.00),   # order fails date cut
+        (12, _ts(1998, 8, 1), 999.0, 0.00),   # wrong segment
+        (13, _ts(1998, 7, 3), 200.0, 0.10),   # rev 180 → o13 = 180
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_shipdate": pa.array(
+                    [l[1] for l in lines], pa.timestamp("us")
+                ),
+                "l_extendedprice": pa.array(
+                    [l[2] for l in lines], pa.float64()
+                ),
+                "l_discount": pa.array([l[3] for l in lines], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+    out = relational.shipping_priority(str(tmp_path)).to_pandas()
+    assert out["l_orderkey"].tolist() == [13, 10]
+    assert out["revenue"].tolist() == [180.0, 180.0]
+    assert out["o_orderpriority"].tolist() == ["2-HIGH", "1-URGENT"]
+
+    # k=1 keeps the earlier order date on the revenue tie
+    top1 = relational.shipping_priority(str(tmp_path), k=1).to_pandas()
+    assert top1["l_orderkey"].tolist() == [13]
+
+
+def test_promo_revenue_share_handmade(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_type": pa.array(["ECONOMY", "SMALL"], pa.string()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    # (partkey, shipdate, price, discount)
+    lines = [
+        (1, _ts(1995, 1, 5), 100.0, 0.0),    # promo rev 100
+        (2, _ts(1995, 1, 9), 300.0, 0.0),    # rev 300 → share 25%
+        (2, _ts(1995, 2, 1), 10.01, 0.05),   # rev 9.5095 → rounds 9.51
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_shipdate": pa.array(
+                    [l[1] for l in lines], pa.timestamp("us")
+                ),
+                "l_extendedprice": pa.array(
+                    [l[2] for l in lines], pa.float64()
+                ),
+                "l_discount": pa.array([l[3] for l in lines], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+    out = (
+        relational.promo_revenue_share(str(tmp_path))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "promo_share"] == 25.0
+    assert out.loc[0, "revenue"] == 400.0
+    # exact half-cent boundary rounds half-away-from-zero
+    assert out.loc[1, "promo_share"] == 0.0
+    assert out.loc[1, "revenue"] == 9.51
