@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         serving,
         temporal,
+        webcrawl,
     )
     from outbreak_kg_ray.stages import multimodal as mm
     from outbreak_kg_ray.stages import kmeans
@@ -393,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_coverage": relational.part_supplier_coverage,
         "shipping_priority": relational.shipping_priority,
         "promo_revenue_share": relational.promo_revenue_share,
+        "url_dedup": webcrawl.url_dedup,
+        "host_stats": webcrawl.host_stats,
     }
 
 
@@ -2525,6 +2528,65 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # Crawl-URL synthesis + canonicalization (formulas and regex chain
+    # mirror pipelines/webcrawl.py — same RE2 on both engines).
+    _crawl_canon = """
+raw AS (
+  SELECT doc_id, n_chars,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+    || '.example.com/item-' || CAST(doc_id % 56 AS VARCHAR)
+    || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&utm_campaign=c'
+                  || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN (CASE WHEN doc_id % 2 = 0 THEN '&' ELSE '?' END)
+                  || 'page=' || CAST(doc_id % 4 AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '' END)
+    AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(u, '^([^/]+//[^/]+)', 1))
+      || regexp_extract(u, '^[^/]+//[^/]+(.*)$', 1) AS canon_url
+  FROM (
+    SELECT doc_id, n_chars,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(url, '#.*$', '', 'g'),
+            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+          '[?&]$', '', 'g'),
+        '([^/])/$', '\\1', 'g') AS u
+    FROM raw)
+)
+"""
+
+    # crawl dedup by canonical URL (D5 generalized; min-key keep).
+    # Mirrors pipelines/webcrawl.py:url_dedup
+    sql["url_dedup"] = f"""
+WITH {_crawl_canon}
+SELECT canon_url, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM canon GROUP BY canon_url
+"""
+
+    # per-host crawl rollup.  Mirrors pipelines/webcrawl.py:host_stats
+    sql["host_stats"] = f"""
+WITH {_crawl_canon}
+SELECT regexp_extract(canon_url, '^[^/]+//([^/]+)', 1) AS host,
+       count(*) AS n_docs,
+       count(DISTINCT canon_url) AS n_pages,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM canon GROUP BY 1
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts
