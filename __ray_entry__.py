@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": graph.bfs_distances,
         "retention_cohorts": relational.retention_cohorts,
         "kcore": graph.kcore,
+        "degree_histogram": graph.degree_histogram,
         "funnel_stages": temporal.funnel_stages,
         "dsir_weights": docops.dsir_weights,
         "holdout_split": docops.holdout_split,
@@ -2036,6 +2037,15 @@ FROM (SELECT a AS v FROM tri
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY v"""
+    )
+
+    # degree distribution of the co-occurrence graph.
+    # Mirrors pipelines/graph.py:degree_histogram
+    sql["degree_histogram"] = (
+        graph_edges
+        + """,
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY u)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree"""
     )
 
     # heavy hitters: exact top-20 tokens; the engine's candidate-bounded

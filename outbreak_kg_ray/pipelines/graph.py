@@ -814,3 +814,37 @@ def kcore(sf_dir: str, *, k: int = 2, rounds: int = 8,
         symmetric_cooccurrence_edges(sf_dir),
         k=k, rounds=rounds, distributed=distributed,
     )
+
+
+def degree_histogram(sf_dir: str, products=None):
+    """Degree distribution of the co-occurrence graph
+    (counts-of-counts): undirected degree per node, then nodes per
+    degree — the Zipf/power-law witness for hub skew.
+
+    Scale shape: two grouped aggregates with combiners on BOTH
+    exchange levels (same pattern as the token frequency spectrum,
+    stages/sketch.py): the first exchange is vocabulary-bounded
+    (one row per node), the second is bounded by the number of
+    DISTINCT degrees — at web scale a few thousand rows."""
+    from ray.data.aggregate import Count
+
+    deg = (
+        symmetric_cooccurrence_edges(sf_dir, products)
+        .groupby("u")
+        .aggregate(Count(alias_name="degree"))
+    )
+    hist = deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+
+    empty = pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "degree" not in t.column_names:
+            return empty.empty_table()
+        return pa.table(
+            {
+                "degree": t.column("degree").cast(pa.int64()),
+                "n_nodes": t.column("n_nodes").cast(pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow")

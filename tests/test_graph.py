@@ -212,3 +212,15 @@ def test_kcore_fully_peeled_graph_is_empty(ray_session):
             _edges_ds(chain), distributed=distributed
         ).to_pandas()
         assert len(out) == 0
+
+
+def test_degree_histogram_invariants(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines import kg
+    from outbreak_kg_ray.pipelines.graph import degree_histogram
+
+    hist = degree_histogram(sf_dir).to_pandas()
+    n_edges = kg.cooccurrence_edges(sf_dir).count()
+    # handshake lemma: sum(degree × nodes) = 2 × undirected edges
+    assert (hist["degree"] * hist["n_nodes"]).sum() == 2 * n_edges
+    assert (hist["degree"] > 0).all()
+    assert hist["degree"].is_unique
