@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": kmeans.label_centroids,
         "embedding_outliers": kmeans.embedding_outliers,
         "kmeans_clusters": kmeans.kmeans_clusters,
+        # rows-only (iterative k-means isn't SQL-expressible); the
+        # numpy whole-corpus reference is pinned in tests/test_kmeans.py
+        "semantic_dedup": kmeans.semantic_dedup,
         "pack_sequences": pack.pack_sequences,
         "repetition_scores": docops.repetition_scores,
         "dedup_spans": docops.dedup_spans,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from outbreak_kg_ray.functions.rounding import round_half_away
 from outbreak_kg_ray.sources.io import read_parquet_clean
@@ -108,37 +109,34 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return mat[order].copy()
 
 
-def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
-    """Fixed-round distributed Lloyd's → (vec_id, cluster).
+def assign_clusters(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared-euclidean argmin via the expanded form; ties go to the
+    lowest cluster id (np.argmin)."""
+    d2 = (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2.0 * mat @ cent.T
+        + (cent * cent).sum(axis=1)
+    )
+    return np.argmin(d2, axis=1)
+
+
+def lloyd_centroids(sf_dir: str, *, k: int = 8,
+                    rounds: int = 5) -> np.ndarray:
+    """Fixed-round distributed Lloyd's → the trained k×dim centroid
+    matrix (shared by ``kmeans_clusters`` and ``semantic_dedup``).
 
     Per round: one streaming pass emits per-batch per-cluster partial
     sums (cluster, dim, s, c) — k × dim × blocks rows into a grouped
     aggregate, so the exchange never scales with the corpus — then
     the driver re-centers the k×dim matrix and re-broadcasts it.
     Empty clusters keep their previous centroid (standard Lloyd's
-    fallback).  The final pass emits assignments only."""
+    fallback)."""
     import ray
     from ray.data.aggregate import Sum
 
-    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
-
-    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
-        return empty_dataset({
-            "vec_id": pa.int64(), "cluster": pa.int64(),
-        })
-
     cent = _init_centroids(sf_dir, k)
     ds = _embeddings(sf_dir)
-
-    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        # squared euclidean argmin via the expanded form; ties go to
-        # the lowest cluster id (np.argmin)
-        d2 = (
-            (mat * mat).sum(axis=1, keepdims=True)
-            - 2.0 * mat @ cent.T
-            + (cent * cent).sum(axis=1)
-        )
-        return np.argmin(d2, axis=1)
+    assign = assign_clusters
 
     for _ in range(rounds):
         cent_ref = ray.put(cent)
@@ -176,6 +174,22 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
             new[ci, di] = r["s"] / r["c"]
         cent = new
 
+    return cent
+
+
+def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
+    """Fixed-round distributed Lloyd's → (vec_id, cluster): train via
+    ``lloyd_centroids`` then one assignment-only pass."""
+    import ray
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "vec_id": pa.int64(), "cluster": pa.int64(),
+        })
+
+    cent = lloyd_centroids(sf_dir, k=k, rounds=rounds)
     final_ref = ray.put(cent)
 
     def assignments(t: pa.Table) -> pa.Table:
@@ -184,11 +198,97 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
-                "cluster": pa.array(assign(mat, c), pa.int64()),
+                "cluster": pa.array(assign_clusters(mat, c), pa.int64()),
             }
         )
 
-    return ds.map_batches(assignments, batch_format="pyarrow")
+    return _embeddings(sf_dir).map_batches(
+        assignments, batch_format="pyarrow"
+    )
+
+
+def semantic_dedup(sf_dir: str, *, k: int = 8, rounds: int = 5,
+                   threshold: float = 0.35):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with distributed k-means,
+    then inside each cluster drop every vector whose cosine
+    similarity to an EARLIER (lower vec_id) cluster member exceeds
+    ``threshold`` — the min-id representative of each semantic ball
+    survives (T5's deterministic first-wins policy).
+
+    Scale shape: training exchanges are k×dim-bounded
+    (``lloyd_centroids``); the dedup itself is ONE cluster-keyed
+    shuffle followed by a per-group vectorized pass (normalize +
+    one gram matmul, upper-triangular mask).  The O(|cluster|²)
+    gram is the documented partitioning assumption: ``k`` must grow
+    with the corpus so clusters stay ~1e4 vectors (the paper uses
+    k ∝ N); hub-free by construction since k-means balances cells.
+
+    → (vec_id, cluster, keep, max_prior_sim) — rows-only vs the
+    driver (iterative k-means isn't SQL-expressible); exactness is
+    pinned by a numpy whole-corpus reference test.  The default
+    threshold matches the engine's cosine near-dup convention
+    (``embedding_near_dups``; real SemDeDup on real embeddings uses
+    ~0.95 — the testdata's synthetic vectors top out at cosine
+    ~0.48)."""
+    import ray
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "vec_id": pa.int64(), "cluster": pa.int64(),
+            "keep": pa.bool_(), "max_prior_sim": pa.float64(),
+        })
+
+    cent_ref = ray.put(lloyd_centroids(sf_dir, k=k, rounds=rounds))
+
+    def with_cluster(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _batch_matrix(t)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(assign_clusters(mat, c), pa.int64()),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    assigned = _embeddings(sf_dir).map_batches(
+        with_cluster, batch_format="pyarrow"
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+        t = t.take(order)
+        mat = _batch_matrix(t)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        xn = mat / norms[:, None]
+        sims = xn @ xn.T
+        # [i, j] = sim of earlier member i to j; mask diag + lower
+        g = np.where(np.tri(len(xn), dtype=bool), -np.inf, sims)
+        max_prior = g.max(axis=0)
+        # no prior member (the first row) → sentinel -1
+        max_prior = np.where(np.isinf(max_prior), -1.0, max_prior)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": t.column("cluster"),
+                "keep": pa.array(
+                    (max_prior <= threshold).tolist(), pa.bool_()
+                ),
+                "max_prior_sim": pa.array(
+                    [round_half_away(float(s), 6) for s in max_prior],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )
 
 
 def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):

@@ -120,3 +120,53 @@ def test_embedding_outliers_matches_numpy(ray_session, sf_dir):
         got["centroid_cos"].to_numpy() < 0.0
     )).all()
     assert 0 < got["is_outlier"].sum() < len(got)  # non-trivial flag
+
+
+def test_semantic_dedup_matches_numpy_reference(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.stages.kmeans import (
+        _batch_matrix,
+        assign_clusters,
+        lloyd_centroids,
+        semantic_dedup,
+    )
+
+    thr = 0.35
+    out = (
+        semantic_dedup(sf_dir, threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # whole-corpus numpy reference of the per-cluster greedy prune
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+    mat = _batch_matrix(t)[order]
+    ids = t.column("vec_id").to_numpy()[order]
+    cent = lloyd_centroids(sf_dir)
+    assign = assign_clusters(mat, cent)
+    keep_ref = {}
+    for c in np.unique(assign):
+        sub = mat[assign == c]
+        sub_ids = ids[assign == c]
+        xn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        g = np.where(np.tri(len(xn), dtype=bool), -np.inf, xn @ xn.T)
+        mp = g.max(axis=0)
+        for i, vid in enumerate(sub_ids):
+            keep_ref[int(vid)] = bool(
+                mp[i] == -np.inf or mp[i] <= thr
+            )
+    assert len(out) == len(ids)
+    assert (out["cluster"].to_numpy() == assign).all()
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert got == keep_ref
+    # the prune is non-trivial at this threshold, but keeps the bulk
+    dropped = len(out) - out["keep"].sum()
+    assert 0 < dropped < len(out) // 2
+    # every cluster retains its first member
+    firsts = out.groupby("cluster")["vec_id"].min()
+    kept_ids = set(out[out["keep"]]["vec_id"])
+    assert set(firsts).issubset(kept_ids)
