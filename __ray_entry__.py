@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_sample": docops.quality_filter_sample,
         "decontaminate": docops.decontaminate,
         "unigram_logprob": docops.unigram_logprob,
+        "oov_rate": docops.oov_rate,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
@@ -2541,6 +2542,29 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # per-doc OOV rate vs the capped top-20 corpus vocabulary.
+    # Mirrors pipelines/docops.py:oov_rate
+    sql["oov_rate"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) != ''
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM counts
+  ) WHERE rn <= 20
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
 """
 
     # Crawl-URL synthesis + canonicalization (formulas and regex chain

@@ -513,6 +513,94 @@ def unigram_logprob(sf_dir: str):
     )
 
 
+def oov_rate(sf_dir: str, *, vocab_size: int = 20):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    capped top-``vocab_size`` vocabulary — the tokenizer-coverage
+    check run before committing a vocab/tokenizer to a training mix.
+
+    Scale shape (same two-pass skeleton as ``unigram_logprob``):
+    (1) vocabulary counts via per-batch ``np.unique`` pre-aggregation
+    + a vocabulary-bounded groupby — (token, count) pairs enter the
+    exchange, never token streams; the top-V cut is by
+    (count desc, token asc), deterministic and driver-side over the
+    BOUNDED count table; (2) the V-entry vocab set broadcasts once
+    (``ray.put``) into an actor pool and each doc scores in one
+    vectorized membership pass.  Empty docs are excluded (the oracle
+    unnests nothing for them)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            if x.strip():
+                toks.extend(tokenize(x))
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.asarray(toks, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    rows = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # vocabulary-bounded
+    ranked = sorted(rows, key=lambda r: (-r["c"], r["w"]))
+    vocab_ref = ray.put(frozenset(r["w"] for r in ranked[:vocab_size]))
+
+    class OOVStage:
+        def __init__(self, ref) -> None:
+            self._vocab: frozenset[str] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vocab = self._vocab
+            ids, n_toks, n_oov, rates = [], [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                if not x.strip():
+                    continue
+                toks = tokenize(x)
+                oov = sum(1 for w in toks if w not in vocab)
+                ids.append(doc_id)
+                n_toks.append(len(toks))
+                n_oov.append(oov)
+                rates.append(round_half_away(oov / len(toks), 6))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "n_oov": pa.array(n_oov, pa.int64()),
+                    "oov_rate": pa.array(rates, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        OOVStage,
+        fn_constructor_args=(vocab_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
 def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
     """Corpus-level boilerplate detection — the single-line-dedup
     analog of CCNet/RefinedWeb over whitespace corpora: find word

@@ -907,3 +907,17 @@ def test_source_vocab_jaccard_tiny(ray_session, tmp_path):
     }
     # s1={a,b,c}, s2={b,c,d} → 2/4; s3 disjoint → absent
     assert got == {("s1", "s2"): 0.5}
+
+
+def test_oov_rate_vocab_cut(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import oov_rate
+
+    out = oov_rate(sf_dir).to_pandas()
+    assert (out["n_oov"] <= out["n_tokens"]).all()
+    assert ((out["oov_rate"] >= 0) & (out["oov_rate"] <= 1)).all()
+    # a full-size vocabulary (31 distinct tokens at test scale)
+    # leaves nothing out-of-vocabulary
+    full = oov_rate(sf_dir, vocab_size=10_000).to_pandas()
+    assert (full["n_oov"] == 0).all()
+    # a capped vocabulary produces genuine OOV mass
+    assert (out["n_oov"] > 0).any()
