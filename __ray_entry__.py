@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": docops.decontaminate,
         "unigram_logprob": docops.unigram_logprob,
         "oov_rate": docops.oov_rate,
+        "bpe_merge_pairs": docops.bpe_merge_pairs,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
@@ -2542,6 +2543,27 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # top-k BPE merge-candidate char pairs within words.
+    # Mirrors pipelines/docops.py:bpe_merge_pairs
+    sql["bpe_merge_pairs"] = """
+WITH words AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) != ''
+), idx AS (
+  SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+  FROM words WHERE length(w) >= 2
+), counts AS (
+  SELECT substr(w, i, 2) AS pair, count(*) AS n_occurrences
+  FROM idx GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+            AS BIGINT) AS rank,
+       pair, n_occurrences
+FROM counts
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
 """
 
     # per-doc OOV rate vs the capped top-20 corpus vocabulary.

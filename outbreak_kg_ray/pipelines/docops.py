@@ -601,6 +601,62 @@ def oov_rate(sf_dir: str, *, vocab_size: int = 20):
     )
 
 
+def bpe_merge_pairs(sf_dir: str, *, k: int = 20):
+    """Top-``k`` adjacent character-pair counts within words — the
+    merge-candidate statistic of the FIRST BPE training iteration
+    (Sennrich et al. 2016): the pair a tokenizer trainer would merge
+    next, ranked (count desc, pair asc).
+
+    Scale shape: per-batch ``Counter`` pre-aggregation (a batch emits
+    one row per DISTINCT pair, not per occurrence), one
+    pair-vocabulary-bounded grouped sum, then a driver-side top-k cut
+    over the bounded count table — the same combine-then-exchange
+    skeleton as the token frequency spectrum.  Later BPE iterations
+    re-run this with a merged symbol table broadcast per actor."""
+    from collections import Counter
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for x in t.column("text").to_pylist():
+            if not x.strip():
+                continue
+            for w in tokenize(x):
+                for i in range(len(w) - 1):
+                    c[w[i:i + 2]] += 1
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="n_occurrences"))
+        .take_all()
+    )  # pair-vocabulary bounded (≤ |alphabet|²)
+    ranked = sorted(
+        counts, key=lambda r: (-r["n_occurrences"], r["pair"])
+    )[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(ranked) + 1), pa.int64()),
+            "pair": pa.array([r["pair"] for r in ranked], pa.string()),
+            "n_occurrences": pa.array(
+                [int(r["n_occurrences"]) for r in ranked], pa.int64()
+            ),
+        }
+    )
+
+
 def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
     """Corpus-level boilerplate detection — the single-line-dedup
     analog of CCNet/RefinedWeb over whitespace corpora: find word

@@ -921,3 +921,29 @@ def test_oov_rate_vocab_cut(ray_session, sf_dir):
     assert (full["n_oov"] == 0).all()
     # a capped vocabulary produces genuine OOV mass
     assert (out["n_oov"] > 0).any()
+
+
+def test_bpe_merge_pairs_handmade(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import bpe_merge_pairs
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["abab ab", "abc"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "n_chars": pa.array([7, 3], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = bpe_merge_pairs(str(tmp_path)).to_pandas()
+    # 'abab' → ab, ba, ab; 'ab' → ab; 'abc' → ab, bc
+    got = dict(zip(out["pair"], out["n_occurrences"]))
+    assert got == {"ab": 4, "ba": 1, "bc": 1}
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out["pair"].tolist() == ["ab", "ba", "bc"]  # count desc, pair asc
