@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": docops.unigram_logprob,
         "oov_rate": docops.oov_rate,
         "bpe_merge_pairs": docops.bpe_merge_pairs,
+        "source_kl_divergence": docops.source_kl_divergence,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
@@ -2543,6 +2544,28 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # KL(source ‖ corpus) over unigram distributions.
+    # Mirrors pipelines/docops.py:source_kl_divergence
+    sql["source_kl_divergence"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) != ''
+), sw AS (
+  SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+), s AS (
+  SELECT source, sum(c) AS n FROM sw GROUP BY 1
+), tot AS (
+  SELECT w, sum(c) AS cw FROM sw GROUP BY 1
+), nn AS (SELECT sum(c) AS n FROM sw)
+SELECT sw.source,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       round(sum((CAST(sw.c AS DOUBLE) / s.n)
+                 * ln((CAST(sw.c AS DOUBLE) / s.n)
+                      / (CAST(tot.cw AS DOUBLE) / nn.n))), 6) AS kl
+FROM sw JOIN s USING (source) JOIN tot USING (w), nn
+GROUP BY sw.source, s.n
 """
 
     # top-k BPE merge-candidate char pairs within words.

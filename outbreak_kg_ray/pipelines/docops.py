@@ -657,6 +657,90 @@ def bpe_merge_pairs(sf_dir: str, *, k: int = 20):
     )
 
 
+def source_kl_divergence(sf_dir: str):
+    """KL(source ‖ corpus) over unigram token distributions — the
+    mixture-drift monitor: how far each declared source's language
+    deviates from the blended corpus (complements ``dsir_weights``,
+    which scores per-document against a target source).
+
+    Scale shape: ONE (source, token)-keyed exchange fed by per-batch
+    ``Counter`` pre-aggregation — bounded by |sources| × |vocab|,
+    never the token stream.  The KL itself folds on the driver over
+    that bounded table in sorted token order (deterministic
+    summation); q(token) > 0 wherever p > 0 by construction since
+    the corpus distribution contains every source's tokens."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    docs = _documents(sf_dir, ("doc_id", "text", "source"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter[tuple[str, str]] = Counter()
+        for src, x in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not x.strip():
+                continue
+            for w in tokenize(x):
+                c[(src, w)] += 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in c], pa.string()),
+                "w": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "w"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # |sources| × |vocab| bounded
+    if not rows:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "kl": pa.array([], pa.float64()),
+            }
+        )
+    rows.sort(key=lambda r: (r["source"], r["w"]))
+    corpus: Counter[str] = Counter()
+    per_source: dict[str, int] = Counter()
+    for r in rows:
+        corpus[r["w"]] += int(r["c"])
+        per_source[r["source"]] += int(r["c"])
+    n_total = float(sum(corpus.values()))
+
+    out_src, out_n, out_kl = [], [], []
+    for src in sorted(per_source):
+        n_s = float(per_source[src])
+        kl = 0.0
+        for r in rows:  # sorted (source, w): deterministic fold
+            if r["source"] != src:
+                continue
+            p = int(r["c"]) / n_s
+            q = corpus[r["w"]] / n_total
+            kl += p * float(np.log(p / q))
+        out_src.append(src)
+        out_n.append(int(n_s))
+        out_kl.append(round_half_away(kl, 6))
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "kl": pa.array(out_kl, pa.float64()),
+        }
+    )
+
+
 def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
     """Corpus-level boilerplate detection — the single-line-dedup
     analog of CCNet/RefinedWeb over whitespace corpora: find word

@@ -947,3 +947,32 @@ def test_bpe_merge_pairs_handmade(ray_session, tmp_path):
     assert got == {"ab": 4, "ba": 1, "bc": 1}
     assert out["rank"].tolist() == [1, 2, 3]
     assert out["pair"].tolist() == ["ab", "ba", "bc"]  # count desc, pair asc
+
+
+def test_source_kl_divergence_properties(ray_session, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import source_kl_divergence
+
+    out = source_kl_divergence(sf_dir).to_pandas()
+    # KL is non-negative and finite
+    assert (out["kl"] >= 0).all()
+    assert out["kl"].notna().all()
+
+    # a single-source corpus IS the corpus distribution → KL = 0
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b b", "b a"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["only", "only"], pa.string()),
+                "n_chars": pa.array([5, 3], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    single = source_kl_divergence(str(tmp_path)).to_pandas()
+    assert single["kl"].tolist() == [0.0]
+    assert single["n_tokens"].tolist() == [5]
