@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": docops.oov_rate,
         "bpe_merge_pairs": docops.bpe_merge_pairs,
         "source_kl_divergence": docops.source_kl_divergence,
+        "quality_percentile": docops.quality_percentile,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
@@ -365,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_asof": temporal.asof_join_events_orders,
         "order_ship_window": temporal.order_ship_window,
         "events_sessionize": temporal.sessionize_events,
+        "event_transitions": temporal.event_transitions,
         # --- SQL-checkable members of the literature / near-dup families ---
         "literature_overlap": lambda sf: encode.literature_overlap(
             sf, ["click", "error", "purchase"]
@@ -2544,6 +2546,30 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # percent-rank normalization of the quality score.
+    # Mirrors pipelines/docops.py:quality_percentile
+    sql["quality_percentile"] = f"""
+SELECT doc_id, quality,
+       round(percent_rank() OVER (ORDER BY quality), 6) AS quality_pct
+FROM ({sql["quality_scores"]})
+"""
+
+    # first-order Markov transition counts between consecutive
+    # per-user events.  Mirrors pipelines/temporal.py:event_transitions
+    sql["event_transitions"] = """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*) AS n_transitions
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
 """
 
     # KL(source ‖ corpus) over unigram distributions.

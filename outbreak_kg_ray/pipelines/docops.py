@@ -657,6 +657,67 @@ def bpe_merge_pairs(sf_dir: str, *, k: int = 20):
     )
 
 
+def quality_percentile(sf_dir: str):
+    """Percent-rank normalization of the quality score —
+    ``(count of strictly lower scores) / (n - 1)``, the rank
+    transform applied before mixing quality signals from different
+    scorers onto one scale.
+
+    Scale shape: NO global sort — quality scores are 6-dp-rounded,
+    so the (value, count) histogram is value-bounded (≤ 10⁶ distinct
+    values regardless of corpus size); one grouped count builds it,
+    the driver folds cumulative strictly-lower counts over the
+    bounded table, and one broadcast lookup pass scores every doc —
+    the same histogram trick as the exact value quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.rounding import round_half_away
+
+    scored = quality_scores(sf_dir)
+    hist = (
+        scored.groupby("quality")
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )  # value-bounded
+    if not hist:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "quality": pa.array([], pa.float64()),
+                "quality_pct": pa.array([], pa.float64()),
+            }
+        )
+    hist.sort(key=lambda r: r["quality"])
+    n = sum(int(r["c"]) for r in hist)
+    lower = 0
+    pct: dict[float, float] = {}
+    for r in hist:
+        q = float(r["quality"])
+        pct[q] = (
+            round_half_away(lower / (n - 1), 6) if n > 1 else 0.0
+        )
+        lower += int(r["c"])
+    pct_ref = ray.put(pct)
+
+    def score(t: pa.Table) -> pa.Table:
+        table = ray.get(pct_ref)
+        qs = t.column("quality").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "quality": t.column("quality"),
+                "quality_pct": pa.array(
+                    [table[float(q)] for q in qs], pa.float64()
+                ),
+            }
+        )
+
+    return scored.map_batches(score, batch_format="pyarrow")
+
+
 def source_kl_divergence(sf_dir: str):
     """KL(source ‖ corpus) over unigram token distributions — the
     mixture-drift monitor: how far each declared source's language

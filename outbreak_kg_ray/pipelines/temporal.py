@@ -323,3 +323,73 @@ def funnel_stages(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str):
+    """Per-user consecutive event-type transition counts — the
+    first-order Markov matrix of behavioral modeling
+    (from_type, to_type, n_transitions).
+
+    Shape: ONE hash shuffle by ``user_id`` (the sessionizer's key),
+    then a vectorized per-group pass (sort by (ts, event_id), pair
+    consecutive types) that emits per-group PARTIAL counts — one row
+    per distinct (from, to) pair per user, never one per transition
+    — into a type²-bounded grouped sum."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset({
+            "from_type": pa.string(), "to_type": pa.string(),
+            "n_transitions": pa.int64(),
+        })
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame(
+                {"from_type": [], "to_type": [], "c": []}
+            ).astype({"from_type": str, "to_type": str, "c": "int64"})
+        pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        out = (
+            pairs.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return out
+
+    agg = (
+        events.groupby("user_id")
+        .map_groups(partials, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("c", alias_name="n_transitions"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "from_type" not in t.column_names:
+            return pa.schema(
+                [("from_type", pa.string()), ("to_type", pa.string()),
+                 ("n_transitions", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "from_type": t.column("from_type"),
+                "to_type": t.column("to_type"),
+                "n_transitions": t.column("n_transitions").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

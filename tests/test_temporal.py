@@ -721,3 +721,58 @@ def test_promo_revenue_share_handmade(ray_session, tmp_path):
     # exact half-cent boundary rounds half-away-from-zero
     assert out.loc[1, "promo_share"] == 0.0
     assert out.loc[1, "revenue"] == 9.51
+
+
+def test_event_transitions_handmade(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.temporal import event_transitions
+
+    rows = [  # (event_id, user, ts-minute, type)
+        (0, 1, 0, "a"), (1, 1, 1, "b"), (2, 1, 2, "a"),
+        (3, 2, 0, "a"), (4, 2, 1, "b"),
+        (5, 3, 0, "c"),  # single event: no transition
+        # same-ts tie broken by event_id: a→b, not b→a
+        (6, 4, 0, "a"), (7, 4, 0, "b"),
+    ]
+    base = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = event_transitions(str(tmp_path)).to_pandas()
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in out.itertuples()
+    }
+    assert got == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_quality_percentile_rank_transform(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import quality_percentile
+
+    out = quality_percentile(sf_dir).to_pandas()
+    assert ((out["quality_pct"] >= 0) & (out["quality_pct"] <= 1)).all()
+    # min score(s) sit at 0; the unique max (if unique) at 1
+    assert (out.loc[out["quality"].idxmin(), "quality_pct"] == 0.0)
+    top = out[out["quality"] == out["quality"].max()]
+    if len(top) == 1:
+        assert top["quality_pct"].iloc[0] == 1.0
+    # rank transform is monotone in the score
+    s = out.sort_values(["quality", "quality_pct"])
+    assert s["quality_pct"].is_monotonic_increasing
