@@ -117,7 +117,7 @@ def run_headline(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Secondary per-pipeline timings (each consumed via count())."""
     from outbreak_kg_ray.pipelines import docops, realism, relational
-    from outbreak_kg_ray.pipelines import graph, temporal
+    from outbreak_kg_ray.pipelines import graph, temporal, webcrawl
     from outbreak_kg_ray.stages import bloom, kmeans, pack
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
@@ -160,6 +160,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "kcore": lambda: graph.kcore(sf_dir),
         "retention_cohorts": lambda: relational.retention_cohorts(sf_dir),
         "funnel_stages": lambda: temporal.funnel_stages(sf_dir),
+        "url_dedup": lambda: webcrawl.url_dedup(sf_dir),
+        "semantic_dedup": lambda: kmeans.semantic_dedup(sf_dir),
+        "shipping_priority": lambda: relational.shipping_priority(sf_dir),
+        "event_transitions": lambda: temporal.event_transitions(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
