@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_pairs": docops.bpe_merge_pairs,
         "source_kl_divergence": docops.source_kl_divergence,
         "quality_percentile": docops.quality_percentile,
+        "source_lang_chi2": docops.source_lang_chi2,
+        "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
         "top_terms_per_doc": docops.top_terms_per_doc,
@@ -2546,6 +2548,39 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # chi-square independence of source × lang (full cross product
+    # incl. zero cells).  Mirrors pipelines/docops.py:source_lang_chi2
+    sql["source_lang_chi2"] = """
+WITH c AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+), r AS (SELECT source, sum(o) AS ro FROM c GROUP BY 1),
+l AS (SELECT lang, sum(o) AS co FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM c),
+grid AS (
+  SELECT r.source, l.lang, r.ro, l.co, coalesce(c.o, 0) AS o
+  FROM r CROSS JOIN l LEFT JOIN c USING (source, lang)
+)
+SELECT round(sum((o - ro * co / n.n) * (o - ro * co / n.n)
+                 / (ro * co / n.n)), 6) AS chi2,
+       CAST(((SELECT count(*) FROM r) - 1)
+            * ((SELECT count(*) FROM l) - 1) AS BIGINT) AS dof,
+       CAST(n.n AS BIGINT) AS n_docs
+FROM grid, n GROUP BY n.n
+"""
+
+    # per-user Shannon entropy over event types.
+    # Mirrors relational.py:user_type_entropy
+    sql["user_type_entropy"] = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), u AS (SELECT user_id, sum(c) AS n FROM ut GROUP BY 1)
+SELECT ut.user_id,
+       CAST(u.n AS BIGINT) AS n_events,
+       round(-sum((c / u.n) * ln(c / u.n)), 6) AS type_entropy
+FROM ut JOIN u USING (user_id) GROUP BY ut.user_id, u.n
 """
 
     # percent-rank normalization of the quality score.

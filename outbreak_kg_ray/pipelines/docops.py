@@ -802,6 +802,60 @@ def source_kl_divergence(sf_dir: str):
     )
 
 
+def source_lang_chi2(sf_dir: str):
+    """Chi-square independence test between the declared source and
+    the language column — the corpus-composition audit run before
+    trusting per-source language mixes (a big statistic = language is
+    source-skewed and per-source sampling changes the language mix).
+
+    Scale shape: ONE grouped count bounded by |sources| × |langs|;
+    margins, expected counts and the statistic fold on the driver
+    over that bounded contingency table (full cross product including
+    zero cells, as the test requires).  → one row
+    (chi2, dof, n_docs)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir, ("doc_id", "source", "lang"))
+    cells = (
+        docs.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="o"))
+        .take_all()
+    )  # |sources| × |langs| bounded
+    if not cells:
+        return pa.table(
+            {
+                "chi2": pa.array([], pa.float64()),
+                "dof": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    obs = {(r["source"], r["lang"]): int(r["o"]) for r in cells}
+    row_m: dict[str, int] = {}
+    col_m: dict[str, int] = {}
+    for (s, l), o in obs.items():
+        row_m[s] = row_m.get(s, 0) + o
+        col_m[l] = col_m.get(l, 0) + o
+    n = sum(row_m.values())
+    chi2 = 0.0
+    for s in sorted(row_m):  # deterministic fold order
+        for l in sorted(col_m):
+            e = row_m[s] * col_m[l] / n
+            o = obs.get((s, l), 0)
+            chi2 += (o - e) * (o - e) / e
+    return pa.table(
+        {
+            "chi2": pa.array([round_half_away(chi2, 6)], pa.float64()),
+            "dof": pa.array(
+                [(len(row_m) - 1) * (len(col_m) - 1)], pa.int64()
+            ),
+            "n_docs": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def boilerplate_ratio(sf_dir: str, *, n: int = 3, min_df: int = 5):
     """Corpus-level boilerplate detection — the single-line-dedup
     analog of CCNet/RefinedWeb over whitespace corpora: find word

@@ -1730,6 +1730,55 @@ def promo_revenue_share(sf_dir: str, *, promo_type: str = "ECONOMY"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy over the event-type distribution —
+    the behavioral-diversity feature (0 for single-action bots, high
+    for diverse users).
+
+    Scale shape: the raw stream collapses to (user, type, count)
+    in ONE combining aggregate (bounded by users × types), then a
+    user-keyed ``map_groups`` folds entropy over each user's ≤|types|
+    rows — the per-group input is the collapsed counts, never the
+    event stream."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset({
+            "user_id": pa.int64(), "n_events": pa.int64(),
+            "type_entropy": pa.float64(),
+        })
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = events.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="c")
+    )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        from outbreak_kg_ray.functions.rounding import round_half_away
+
+        g = g.sort_values("event_type")  # deterministic fold order
+        c = g["c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        p = c / n
+        h = round_half_away(float(-(p * np.log(p)).sum()), 6)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [int(n)],
+                "type_entropy": [h],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(
+        entropy, batch_format="pandas"
+    )
+
+
 def part_supplier_coverage(sf_dir: str):
     """Parts ranked by supplier diversity: distinct suppliers seen in
     lineitem per part — the two-level distinct aggregate (collapse to

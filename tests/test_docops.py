@@ -976,3 +976,29 @@ def test_source_kl_divergence_properties(ray_session, sf_dir, tmp_path):
     single = source_kl_divergence(str(tmp_path)).to_pandas()
     assert single["kl"].tolist() == [0.0]
     assert single["n_tokens"].tolist() == [5]
+
+
+def test_source_lang_chi2_uniform_is_zero(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import source_lang_chi2
+
+    # perfectly independent 2×2 grid → chi2 exactly 0
+    rows = [("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de")]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(["x"] * 4, pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "n_chars": pa.array([1] * 4, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = source_lang_chi2(str(tmp_path)).to_pandas()
+    assert out["chi2"].tolist() == [0.0]
+    assert out["dof"].tolist() == [1]
+    assert out["n_docs"].tolist() == [4]

@@ -776,3 +776,16 @@ def test_quality_percentile_rank_transform(ray_session, sf_dir):
     # rank transform is monotone in the score
     s = out.sort_values(["quality", "quality_pct"])
     assert s["quality_pct"].is_monotonic_increasing
+
+
+def test_user_type_entropy_bounds(ray_session, sf_dir):
+    import numpy as np
+
+    from outbreak_kg_ray.pipelines.relational import user_type_entropy
+
+    out = user_type_entropy(sf_dir).to_pandas()
+    # entropy bounded by ln(#types present); non-negative
+    assert (out["type_entropy"] >= 0).all()
+    n_types = 6  # testdata event_type vocabulary
+    assert (out["type_entropy"] <= np.log(n_types) + 1e-9).all()
+    assert out["user_id"].is_unique
