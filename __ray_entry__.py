@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": relational.promo_revenue_share,
         "url_dedup": webcrawl.url_dedup,
         "host_stats": webcrawl.host_stats,
+        "url_blocklist_filter": webcrawl.url_blocklist_filter,
+        "lineitem_quantity_mad": relational.lineitem_quantity_mad,
     }
 
 
@@ -2730,6 +2732,32 @@ SELECT regexp_extract(canon_url, '^[^/]+//([^/]+)', 1) AS host,
        count(DISTINCT canon_url) AS n_pages,
        round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
 FROM canon GROUP BY 1
+"""
+
+    # crawl deny-list gate over canonical URLs.
+    # Mirrors pipelines/webcrawl.py:url_blocklist_filter
+    sql["url_blocklist_filter"] = f"""
+WITH {_crawl_canon}
+SELECT doc_id, canon_url
+FROM canon
+WHERE NOT (canon_url LIKE 'https://src3.example.com/%'
+           OR canon_url LIKE 'https://src7.example.com/item-1%')
+"""
+
+    # per-returnflag median + MAD of l_quantity (quantile_cont rank
+    # semantics).  Mirrors relational.py:lineitem_quantity_mad
+    sql["lineitem_quantity_mad"] = """
+WITH m AS (
+  SELECT l_returnflag, median(CAST(l_quantity AS DOUBLE)) AS med
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(m.med, 6) AS med,
+       round(median(abs(CAST(l.l_quantity AS DOUBLE) - m.med)), 6)
+         AS mad,
+       count(*) AS n_items
+FROM lineitem l JOIN m USING (l_returnflag)
+GROUP BY l.l_returnflag, m.med
 """
 
     # weekly retention cohorts.  Mirrors relational.py:retention_cohorts

@@ -1730,6 +1730,69 @@ def promo_revenue_share(sf_dir: str, *, promo_type: str = "ECONOMY"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def lineitem_quantity_mad(sf_dir: str):
+    """Per-returnflag robust statistics: median and median absolute
+    deviation (MAD) of l_quantity — the outlier-resistant spread
+    feature.
+
+    Scale shape: l_quantity is small-integer-valued, so the
+    (flag, quantity) histogram is value-DOMAIN-bounded; ONE corpus
+    pass builds it, and BOTH medians come from that same histogram —
+    the deviation histogram |q − median| is derived arithmetically
+    from the first, costing zero extra passes.  Quantile
+    interpolation matches DuckDB ``median`` (quantile_cont rank
+    p·(n−1))."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return empty_dataset({
+            "l_returnflag": pa.string(), "med": pa.float64(),
+            "mad": pa.float64(), "n_items": pa.int64(),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    hist = ds.groupby(["l_returnflag", "l_quantity"]).aggregate(
+        Count(alias_name="freq")
+    )
+
+    def _median(values: np.ndarray, freqs: np.ndarray) -> float:
+        order = np.argsort(values, kind="stable")
+        values, freqs = values[order], freqs[order]
+        cum = np.cumsum(freqs)
+        n = int(cum[-1])
+        pos = 0.5 * (n - 1)
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+        hi_v = values[
+            np.searchsorted(cum, min(lo_i + 1, n - 1) + 1, side="left")
+        ]
+        return float(lo_v + (hi_v - lo_v) * frac)
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_quantity"].to_numpy(dtype=np.float64)
+        f = g["freq"].to_numpy(dtype=np.int64)
+        med = _median(v, f)
+        mad = _median(np.abs(v - med), f)  # derived histogram: free
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "med": [round_half_away(med, 6)],
+                "mad": [round_half_away(mad, 6)],
+                "n_items": [int(f.sum())],
+            }
+        )
+
+    return hist.groupby("l_returnflag").map_groups(
+        stats, batch_format="pandas"
+    )
+
+
 def user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy over the event-type distribution —
     the behavioral-diversity feature (0 for single-action bots, high

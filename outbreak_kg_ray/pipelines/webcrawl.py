@@ -250,3 +250,41 @@ def host_stats(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+DEFAULT_BLOCKED_PREFIXES = (
+    # a blocked host and a blocked path subtree — the two rule shapes
+    # robots/deny lists actually use
+    "https://src3.example.com/",
+    "https://src7.example.com/item-1",
+)
+
+
+def url_blocklist_filter(sf_dir: str, prefixes=DEFAULT_BLOCKED_PREFIXES):
+    """Crawl deny-list filtering: drop pages whose CANONICAL URL
+    starts with any blocked prefix (rules match canonical form, so
+    case/tracking noise can't dodge them) — the robots/deny-list
+    gate of a crawl front end.
+
+    Pure streaming: the rule set is bounded (deny lists are human-
+    curated), matching is an OR of vectorized ``starts_with`` kernels
+    per batch, zero shuffle.  → kept (doc_id, canon_url)."""
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "doc_id": pa.int64(), "canon_url": pa.string(),
+        })
+    pages = crawl_pages(sf_dir)
+
+    def gate(t: pa.Table) -> pa.Table:
+        canon = t.column("canon_url")
+        blocked = None
+        for p in prefixes:
+            m = pc.starts_with(canon, pattern=p)
+            blocked = m if blocked is None else pc.or_(blocked, m)
+        keep = pc.invert(blocked) if blocked is not None else None
+        out = pa.table(
+            {"doc_id": t.column("doc_id"), "canon_url": canon}
+        )
+        return out.filter(keep) if keep is not None else out
+
+    return pages.map_batches(gate, batch_format="pyarrow")

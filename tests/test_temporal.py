@@ -789,3 +789,32 @@ def test_user_type_entropy_bounds(ray_session, sf_dir):
     n_types = 6  # testdata event_type vocabulary
     assert (out["type_entropy"] <= np.log(n_types) + 1e-9).all()
     assert out["user_id"].is_unique
+
+
+def test_lineitem_quantity_mad_handmade(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.relational import lineitem_quantity_mad
+
+    # flag A: quantities 1..5 → med 3, |dev| = {2,1,0,1,2} → MAD 1
+    # flag B: quantities {1, 2, 10, 11} → med 6.0, devs {5,4,4,5} → 4.5
+    q = [1, 2, 3, 4, 5, 1, 2, 10, 11]
+    f = ["A"] * 5 + ["B"] * 4
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(f, pa.string()),
+                "l_quantity": pa.array(q, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = (
+        lineitem_quantity_mad(str(tmp_path))
+        .to_pandas()
+        .set_index("l_returnflag")
+    )
+    assert out.loc["A", "med"] == 3.0 and out.loc["A", "mad"] == 1.0
+    assert out.loc["B", "med"] == 6.0 and out.loc["B", "mad"] == 4.5
+    assert out.loc["A", "n_items"] == 5 and out.loc["B", "n_items"] == 4

@@ -64,3 +64,23 @@ def test_host_stats_bounded_by_sources(ray_session, sf_dir):
     assert out["host"].str.endswith(".example.com").all()
     # hosts are the lowercased source namespace — bounded vocabulary
     assert out["host"].is_unique
+
+
+def test_url_blocklist_filter(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.webcrawl import (
+        crawl_pages,
+        url_blocklist_filter,
+    )
+
+    kept = url_blocklist_filter(sf_dir).to_pandas()
+    total = crawl_pages(sf_dir).count()
+    assert 0 < len(kept) < total  # the gate actually fires
+    assert not kept["canon_url"].str.startswith(
+        "https://src3.example.com/"
+    ).any()
+    assert not kept["canon_url"].str.startswith(
+        "https://src7.example.com/item-1"
+    ).any()
+    # an empty rule set keeps everything
+    allk = url_blocklist_filter(sf_dir, prefixes=()).to_pandas()
+    assert len(allk) == total
