@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl_divergence": docops.source_kl_divergence,
         "quality_percentile": docops.quality_percentile,
         "source_lang_chi2": docops.source_lang_chi2,
+        "length_buckets": docops.length_buckets,
         "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
@@ -2550,6 +2551,15 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # curriculum length binning (ntile semantics).
+    # Mirrors pipelines/docops.py:length_buckets
+    sql["length_buckets"] = """
+SELECT doc_id, n_chars,
+       CAST(ntile(8) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS bucket
+FROM documents
 """
 
     # chi-square independence of source × lang (full cross product

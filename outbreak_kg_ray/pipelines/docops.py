@@ -718,6 +718,64 @@ def quality_percentile(sf_dir: str):
     return scored.map_batches(score, batch_format="pyarrow")
 
 
+def length_buckets(sf_dir: str, *, n_buckets: int = 8):
+    """Curriculum length binning: assign every document to one of
+    ``n_buckets`` equal-count buckets by character length — SQL
+    ``ntile(N) OVER (ORDER BY n_chars, doc_id)`` semantics (the
+    first ``n mod N`` buckets take the extra row), used to schedule
+    short→long training curricula.
+
+    Scale shape: ONE global range sort on (n_chars, doc_id) — the
+    documented sort-path cost, shared with the exact float quantiles
+    — then the metadata-only ``zip_with_index`` global rank (driver
+    touches per-block row counts, never rows) and a closed-form
+    rank→bucket map per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import zip_with_index
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "doc_id": pa.int64(), "n_chars": pa.int64(),
+            "bucket": pa.int64(),
+        })
+
+    docs = _documents(sf_dir, ("doc_id", "n_chars")).sort(
+        ["n_chars", "doc_id"]
+    )
+    ranked = zip_with_index(docs, rank_col="_rank")
+    n = ranked.count()
+    size, rem = divmod(n, n_buckets)
+    split = rem * (size + 1)  # ranks below this sit in (size+1)-buckets
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        r = t.column("_rank")
+        lo = pc.add(
+            pc.divide(r, pa.scalar(max(size + 1, 1), pa.int64())),
+            pa.scalar(1, pa.int64()),
+        )
+        hi = pc.add(
+            pc.divide(
+                pc.subtract(r, pa.scalar(split, pa.int64())),
+                pa.scalar(max(size, 1), pa.int64()),
+            ),
+            pa.scalar(rem + 1, pa.int64()),
+        )
+        bucket = pc.if_else(
+            pc.less(r, pa.scalar(split, pa.int64())), lo, hi
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "bucket": bucket,
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
 def source_kl_divergence(sf_dir: str):
     """KL(source ‖ corpus) over unigram token distributions — the
     mixture-drift monitor: how far each declared source's language

@@ -1002,3 +1002,17 @@ def test_source_lang_chi2_uniform_is_zero(ray_session, tmp_path):
     assert out["chi2"].tolist() == [0.0]
     assert out["dof"].tolist() == [1]
     assert out["n_docs"].tolist() == [4]
+
+
+def test_length_buckets_ntile_semantics(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import length_buckets
+
+    out = length_buckets(sf_dir).to_pandas()
+    sizes = out["bucket"].value_counts()
+    # equal-count buckets: sizes differ by at most 1, earlier buckets
+    # take the extra row
+    assert sizes.max() - sizes.min() <= 1
+    assert sorted(sizes.index) == list(range(1, 9))
+    # monotone: bucket order respects (n_chars, doc_id) order
+    s = out.sort_values(["n_chars", "doc_id"])
+    assert s["bucket"].is_monotonic_increasing
