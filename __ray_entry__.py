@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": docops.quality_percentile,
         "source_lang_chi2": docops.source_lang_chi2,
         "length_buckets": docops.length_buckets,
+        "bigram_nll": docops.bigram_nll,
         "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
         "parts_with_large_orders": relational.parts_with_large_orders,
@@ -2551,6 +2552,32 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # per-doc mean bigram NLL under the corpus MLE bigram model.
+    # Mirrors pipelines/docops.py:bigram_nll
+    sql["bigram_nll"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), db AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM toks WHERE len(ws) >= 2
+), bc AS (SELECT b, count(*) AS c FROM db GROUP BY b),
+ctx AS (
+  SELECT string_split(b, ' ')[1] AS w1, sum(c) AS n
+  FROM bc GROUP BY 1
+)
+SELECT db.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln(CAST(bc.c AS DOUBLE) / ctx.n)), 6) AS bigram_nll
+FROM db
+JOIN bc USING (b)
+JOIN ctx ON string_split(db.b, ' ')[1] = ctx.w1
+GROUP BY db.doc_id
 """
 
     # curriculum length binning (ntile semantics).

@@ -718,6 +718,103 @@ def quality_percentile(sf_dir: str):
     return scored.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_nll(sf_dir: str):
+    """Per-document mean bigram negative log-likelihood under the
+    corpus's own MLE bigram model — one conditioning order deeper
+    than ``unigram_logprob``: fluent in-distribution text scores low,
+    shuffled/templated junk scores high even when its unigrams look
+    normal.  No smoothing needed: every scored bigram is, by
+    construction, present in the corpus model.
+
+    Scale shape: ONE bigram-vocabulary-bounded exchange (per-batch
+    ``Counter`` pre-aggregation, ≤ |vocab|² rows); context counts
+    derive from the bigram table itself (zero extra passes); the
+    bounded NLL table broadcasts into an actor pool for one
+    vectorized scoring pass.  Docs with < 2 tokens are excluded (no
+    bigram to score)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    docs = _documents(sf_dir)
+
+    def words(x: str) -> list[str]:
+        return [w for w in x.split(" ") if w]
+
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for x in t.column("text").to_pylist():
+            ws = words(x)
+            for i in range(len(ws) - 1):
+                c[ws[i] + " " + ws[i + 1]] += 1
+        return pa.table(
+            {
+                "b": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )  # bigram-vocabulary bounded
+    ctx: dict[str, int] = {}
+    for r in rows:
+        ctx_w = r["b"].split(" ", 1)[0]
+        ctx[ctx_w] = ctx.get(ctx_w, 0) + int(r["c"])
+    nll = {
+        r["b"]: -float(np.log(int(r["c"]) / ctx[r["b"].split(" ", 1)[0]]))
+        for r in rows
+    }
+    nll_ref = ray.put(nll)
+
+    class BigramNLLStage:
+        def __init__(self, ref) -> None:
+            self._nll: dict[str, float] = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            table = self._nll
+            ids, n_big, means = [], [], []
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                ws = words(x)
+                if len(ws) < 2:
+                    continue
+                vals = [
+                    table[ws[i] + " " + ws[i + 1]]
+                    for i in range(len(ws) - 1)
+                ]
+                ids.append(doc_id)
+                n_big.append(len(vals))
+                means.append(
+                    round_half_away(float(np.mean(vals)), 6)
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(n_big, pa.int64()),
+                    "bigram_nll": pa.array(means, pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        BigramNLLStage,
+        fn_constructor_args=(nll_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
 def length_buckets(sf_dir: str, *, n_buckets: int = 8):
     """Curriculum length binning: assign every document to one of
     ``n_buckets`` equal-count buckets by character length — SQL

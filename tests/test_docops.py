@@ -1016,3 +1016,33 @@ def test_length_buckets_ntile_semantics(ray_session, sf_dir):
     # monotone: bucket order respects (n_chars, doc_id) order
     s = out.sort_values(["n_chars", "doc_id"])
     assert s["bucket"].is_monotonic_increasing
+
+
+def test_bigram_nll_model_sanity(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import bigram_nll
+
+    # corpus: "a b" ×3 and "a c" ×1 → p(b|a)=3/4, p(c|a)=1/4
+    texts = ["a b", "a b", "a b", "a c", "x"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = bigram_nll(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 4 not in out.index  # single-token doc has no bigram
+    assert abs(out.loc[0, "bigram_nll"] - (-math.log(0.75))) < 1e-6
+    assert abs(out.loc[3, "bigram_nll"] - (-math.log(0.25))) < 1e-6
+    # rarer continuations score strictly higher NLL
+    assert out.loc[3, "bigram_nll"] > out.loc[0, "bigram_nll"]
