@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms_daily": serving.trending_terms_daily,
         "alert_hourly_timeline": serving.alert_hourly_timeline,
         "mesh_subtree_sizes": serving.mesh_subtree_sizes,
+        "entity_timeline": serving.entity_timeline,
         "customer_rfm": relational.customer_rfm,
         "part_supplier_coverage": relational.part_supplier_coverage,
         "shipping_priority": relational.shipping_priority,
@@ -2459,6 +2460,19 @@ FROM (SELECT *, row_number() OVER (PARTITION BY day
                                    ORDER BY n DESC, term) AS rn
       FROM c)
 WHERE rn <= 3
+"""
+
+    # per-entity activity span over the NER output.
+    # Mirrors pipelines/serving.py:entity_timeline
+    sql["entity_timeline"] = f"""
+WITH m AS ({sql["mentions"]}),
+d AS ({sql["docs_table"]})
+SELECT m.entry_name,
+       count(*) AS n_alerts,
+       min(d.published_ts) AS first_seen,
+       max(d.published_ts) AS last_seen
+FROM m JOIN d USING (doc_id)
+GROUP BY m.entry_name
 """
 
     # zero-filled hourly alert timeline with a trailing 3-hour moving

@@ -822,3 +822,84 @@ def mesh_subtree_sizes(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def entity_timeline(sf_dir: str):
+    """Per-entity activity span: number of mentioning alerts plus
+    first/last published timestamp — the KG dashboard's "when was
+    this entity active" rollup.
+
+    Same fused single-pass shape as ``trending_terms_daily``: the
+    grounder actor emits per-alert distinct terms stamped with the
+    doc's timestamp from a batch-local map (no join), then ONE
+    vocabulary-bounded aggregate carries (term, count, min, max)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from outbreak_kg_ray.sources.pages import pages_dataset
+    from outbreak_kg_ray.stages.extract import extract_docs
+    from outbreak_kg_ray.stages.ner import NerStage, default_concurrency
+
+    docs = extract_docs(pages_dataset(sf_dir)).select_columns(
+        ["doc_id", "sections", "published_ts"]
+    )
+
+    class StampStage:
+        def __init__(self) -> None:
+            self._ner = NerStage(mode="terms")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self._ner(t.select(["doc_id", "sections"]))
+            ts = dict(
+                zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("published_ts")
+                    .cast(pa.timestamp("us"))
+                    .to_pylist(),
+                )
+            )
+            return pa.table(
+                {
+                    "entry_name": m.column("entry_name"),
+                    "ts": pa.array(
+                        [ts[d] for d in m.column("doc_id").to_pylist()],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+
+    agg = (
+        docs.map_batches(
+            StampStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=default_concurrency(),
+        )
+        .groupby("entry_name")
+        .aggregate(
+            Count(alias_name="n_alerts"),
+            Min("ts", alias_name="first_seen"),
+            Max("ts", alias_name="last_seen"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "entry_name" not in t.column_names:
+            return pa.schema(
+                [("entry_name", pa.string()), ("n_alerts", pa.int64()),
+                 ("first_seen", pa.timestamp("us")),
+                 ("last_seen", pa.timestamp("us"))]
+            ).empty_table()
+        return pa.table(
+            {
+                "entry_name": t.column("entry_name"),
+                "n_alerts": t.column("n_alerts").cast(pa.int64()),
+                "first_seen": t.column("first_seen").cast(
+                    pa.timestamp("us")
+                ),
+                "last_seen": t.column("last_seen").cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -253,3 +253,16 @@ def test_mesh_subtree_sizes_parent_counts(ray_session, sf_dir):
     # roots accumulate every transitive descendant, so the max count
     # exceeds any single node's direct child count
     assert max(rows.values()) >= 2
+
+
+def test_entity_timeline_spans(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.serving import entity_timeline
+
+    out = entity_timeline(sf_dir).to_pandas()
+    assert (out["first_seen"] <= out["last_seen"]).all()
+    assert (out["n_alerts"] > 0).all()
+    assert out["entry_name"].is_unique
+    # entities seen once have a zero-width span
+    once = out[out["n_alerts"] == 1]
+    if len(once):
+        assert (once["first_seen"] == once["last_seen"]).all()
