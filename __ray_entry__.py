@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": webcrawl.host_stats,
         "url_blocklist_filter": webcrawl.url_blocklist_filter,
         "lineitem_quantity_mad": relational.lineitem_quantity_mad,
+        "nation_account_reconciliation":
+            relational.nation_account_reconciliation,
     }
 
 
@@ -2793,6 +2795,30 @@ SELECT doc_id, canon_url
 FROM canon
 WHERE NOT (canon_url LIKE 'https://src3.example.com/%'
            OR canon_url LIKE 'https://src7.example.com/item-1%')
+"""
+
+    # full-outer per-nation account reconciliation.
+    # Mirrors relational.py:nation_account_reconciliation
+    sql["nation_account_reconciliation"] = """
+WITH s AS (
+  SELECT s_nationkey, count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS supp_acctbal
+  FROM supplier GROUP BY 1
+), c AS (
+  SELECT c_nationkey, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS cust_acctbal
+  FROM customer GROUP BY 1
+)
+SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(supp_acctbal, 0.0) AS supp_acctbal,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(cust_acctbal, 0.0) AS cust_acctbal,
+       CASE WHEN s_nationkey IS NOT NULL AND c_nationkey IS NOT NULL
+              THEN 'both'
+            WHEN s_nationkey IS NOT NULL THEN 'supplier_only'
+            ELSE 'customer_only' END AS category
+FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
 """
 
     # per-returnflag median + MAD of l_quantity (quantile_cont rank

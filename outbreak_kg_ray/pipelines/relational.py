@@ -1793,6 +1793,105 @@ def lineitem_quantity_mad(sf_dir: str):
     )
 
 
+def nation_account_reconciliation(sf_dir: str):
+    """Per-nation reconciliation of the supplier and customer account
+    books — the FULL OUTER join member of the join matrix (inner /
+    left / anti / as-of / band are covered elsewhere): nations can
+    have customers but no suppliers (and vice versa), and the audit
+    must show both absences.
+
+    Scale shape: BOTH sides pre-aggregate to one row per nation
+    BEFORE the join (combining groupbys), so the full-outer exchange
+    is nation-vocabulary-bounded regardless of corpus size."""
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "nationkey": pa.int64(), "n_suppliers": pa.int64(),
+        "supp_acctbal": pa.float64(), "n_customers": pa.int64(),
+        "cust_acctbal": pa.float64(), "category": pa.string(),
+    }
+    if (parquet_rows(f"{sf_dir}/supplier.parquet") == 0
+            and parquet_rows(f"{sf_dir}/customer.parquet") == 0):
+        return empty_dataset(out_schema)
+
+    supp = (
+        read_parquet_clean(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_nationkey", "s_acctbal"],
+        )
+        .groupby("s_nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="supp_acctbal"),
+        )
+    )
+    cust = (
+        read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_acctbal"],
+        )
+        .groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="cust_acctbal"),
+        )
+    )
+    joined = supp.join(
+        cust,
+        join_type="full_outer",
+        num_partitions=4,
+        on=("s_nationkey",),
+        right_on=("c_nationkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_suppliers" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        # Ray's full_outer join coalesces both keys into the LEFT key
+        # column; side membership comes from the aggregates' nulls
+        ns = t.column("n_suppliers").cast(pa.int64())
+        nc = t.column("n_customers").cast(pa.int64())
+        has_s = pc.is_valid(ns)
+        has_c = pc.is_valid(nc)
+        category = pc.if_else(
+            pc.and_(has_s, has_c),
+            pa.scalar("both", pa.string()),
+            pc.if_else(
+                has_s,
+                pa.scalar("supplier_only", pa.string()),
+                pa.scalar("customer_only", pa.string()),
+            ),
+        )
+        zero_i = pa.scalar(0, pa.int64())
+        zero_f = pa.scalar(0.0, pa.float64())
+        return pa.table(
+            {
+                "nationkey": t.column("s_nationkey").cast(pa.int64()),
+                "n_suppliers": pc.coalesce(ns, zero_i),
+                "supp_acctbal": pa_round_half_away(
+                    pc.coalesce(
+                        t.column("supp_acctbal").cast(pa.float64()),
+                        zero_f,
+                    ),
+                    2,
+                ),
+                "n_customers": pc.coalesce(nc, zero_i),
+                "cust_acctbal": pa_round_half_away(
+                    pc.coalesce(
+                        t.column("cust_acctbal").cast(pa.float64()),
+                        zero_f,
+                    ),
+                    2,
+                ),
+                "category": category,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy over the event-type distribution —
     the behavioral-diversity feature (0 for single-action bots, high

@@ -818,3 +818,23 @@ def test_lineitem_quantity_mad_handmade(ray_session, tmp_path):
     assert out.loc["A", "med"] == 3.0 and out.loc["A", "mad"] == 1.0
     assert out.loc["B", "med"] == 6.0 and out.loc["B", "mad"] == 4.5
     assert out.loc["A", "n_items"] == 5 and out.loc["B", "n_items"] == 4
+
+
+def test_nation_account_reconciliation_full_outer(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.relational import (
+        nation_account_reconciliation,
+    )
+
+    out = nation_account_reconciliation(sf_dir).to_pandas()
+    assert out["nationkey"].is_unique
+    # at sf0.001 suppliers cover only 10 of 25 nations: the full-outer
+    # join must surface the customer-only nations with zeroed supplier
+    # columns
+    cust_only = out[out["category"] == "customer_only"]
+    assert len(cust_only) > 0
+    assert (cust_only["n_suppliers"] == 0).all()
+    assert (cust_only["supp_acctbal"] == 0.0).all()
+    both = out[out["category"] == "both"]
+    assert (both["n_suppliers"] > 0).all() and (
+        both["n_customers"] > 0
+    ).all()
