@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_window": temporal.order_ship_window,
         "events_sessionize": temporal.sessionize_events,
         "event_transitions": temporal.event_transitions,
+        "user_gap_stats": temporal.user_gap_stats,
+        "revenue_yoy": relational.revenue_yoy,
+        "langid_confusion": docops.langid_confusion,
         # --- SQL-checkable members of the literature / near-dup families ---
         "literature_overlap": lambda sf: encode.literature_overlap(
             sf, ["click", "error", "purchase"]
@@ -2568,6 +2571,50 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # per-user inter-event gap statistics (exact microsecond gaps).
+    # Mirrors pipelines/temporal.py:user_gap_stats
+    sql["user_gap_stats"] = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(avg(CAST(gap AS DOUBLE)) / 1000000, 6) AS mean_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+    # year-over-year monthly revenue growth (exact cent sums,
+    # integer month key).  Mirrors relational.py:revenue_yoy
+    sql["revenue_yoy"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         date_part('year', o_orderdate) * 12
+           + date_part('month', o_orderdate) - 1 AS ym,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.month,
+       CAST(cur.cents AS DOUBLE) / 100 AS revenue,
+       CAST(prev.cents AS DOUBLE) / 100 AS prev_revenue,
+       round(CAST(cur.cents - prev.cents AS DOUBLE)
+             / CAST(prev.cents AS DOUBLE), 6) AS yoy_growth
+FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+"""
+
+    # lang-ID confusion matrix over the labeled corpus.
+    # Mirrors pipelines/docops.py:langid_confusion
+    sql["langid_confusion"] = f"""
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM ({sql["lang_id"]})
+GROUP BY 1, 2
 """
 
     # per-doc mean bigram NLL under the corpus MLE bigram model.

@@ -873,6 +873,39 @@ def length_buckets(sf_dir: str, *, n_buckets: int = 8):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def langid_confusion(sf_dir: str):
+    """Confusion matrix of the language-ID heuristic against the
+    labeled lang column — the model-evaluation primitive (per
+    (true, predicted) cell count) run before trusting a classifier
+    gate at corpus scale.
+
+    Scale shape: the lang-ID actor pool streams once; the confusion
+    exchange is |langs|²-bounded."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    preds = lang_id(sf_dir)
+    agg = preds.groupby(["lang", "pred_lang"]).aggregate(
+        Count(alias_name="n_docs")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "lang" not in t.column_names:
+            return pa.schema(
+                [("lang", pa.string()), ("pred_lang", pa.string()),
+                 ("n_docs", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "pred_lang": t.column("pred_lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def source_kl_divergence(sf_dir: str):
     """KL(source ‖ corpus) over unigram token distributions — the
     mixture-drift monitor: how far each declared source's language

@@ -1793,6 +1793,106 @@ def lineitem_quantity_mad(sf_dir: str):
     )
 
 
+def revenue_yoy(sf_dir: str, *, num_partitions: int = 4):
+    """Year-over-year monthly revenue growth — the reporting join of
+    a month against itself twelve months earlier.
+
+    Scale shape: the corpus collapses to one row per month FIRST
+    (combining aggregate over exact int64 cents — o_totalprice has 2
+    decimals, so monthly sums are drift-free), then the self-join
+    runs on an integer year×12+month key over the calendar-bounded
+    table.  Only months with a prior-year counterpart emit (inner
+    join), matching the SQL."""
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/orders.parquet") == 0:
+        return empty_dataset({
+            "month": pa.timestamp("us"), "revenue": pa.float64(),
+            "prev_revenue": pa.float64(), "yoy_growth": pa.float64(),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            t.column("o_orderdate").cast(pa.timestamp("us")), unit="month"
+        )
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t.column("o_totalprice"), pa.scalar(100.0))
+            ),
+            pa.int64(),
+        )
+        ym = pc.add(
+            pc.multiply(pc.year(month), pa.scalar(12, pa.int64())),
+            pc.subtract(pc.month(month), pa.scalar(1, pa.int64())),
+        )
+        return pa.table({"month": month, "ym": ym, "cents": cents})
+
+    monthly = (
+        orders.map_batches(derive, batch_format="pyarrow")
+        .groupby(["month", "ym"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )  # calendar-bounded
+
+    prev = monthly.map_batches(
+        lambda t: pa.table(
+            {
+                "ym_next": pc.add(
+                    t.column("ym").cast(pa.int64()),
+                    pa.scalar(12, pa.int64()),
+                ),
+                "prev_cents": t.column("cents").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = monthly.join(
+        prev,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("ym",),
+        right_on=("ym_next",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "month" not in t.column_names:
+            return pa.schema(
+                [("month", pa.timestamp("us")), ("revenue", pa.float64()),
+                 ("prev_revenue", pa.float64()),
+                 ("yoy_growth", pa.float64())]
+            ).empty_table()
+        cur = t.column("cents").cast(pa.int64())
+        prv = t.column("prev_cents").cast(pa.int64())
+        growth = pc.divide(
+            pc.cast(pc.subtract(cur, prv), pa.float64()),
+            pc.cast(prv, pa.float64()),
+        )
+        return pa.table(
+            {
+                "month": t.column("month").cast(pa.timestamp("us")),
+                "revenue": pc.divide(
+                    pc.cast(cur, pa.float64()), pa.scalar(100.0)
+                ),
+                "prev_revenue": pc.divide(
+                    pc.cast(prv, pa.float64()), pa.scalar(100.0)
+                ),
+                "yoy_growth": pa.array(
+                    [round_half_away(float(x), 6)
+                     for x in growth.to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def nation_account_reconciliation(sf_dir: str):
     """Per-nation reconciliation of the supplier and customer account
     books — the FULL OUTER join member of the join matrix (inner /

@@ -393,3 +393,58 @@ def event_transitions(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_gap_stats(sf_dir: str):
+    """Per-user inter-event arrival statistics (gap count, mean gap
+    seconds, max gap microseconds) — the inter-arrival features
+    behind bot/burst detection and session-gap tuning.
+
+    Shape: the sessionizer's ONE user-keyed shuffle + vectorized
+    per-group sort/diff; gaps are exact int64 microseconds (no
+    boundary-crossing semantics to mismatch), only the mean becomes
+    a rounded float."""
+    import pandas as pd
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset({
+            "user_id": pa.int64(), "n_gaps": pa.int64(),
+            "mean_gap_s": pa.float64(), "max_gap_us": pa.int64(),
+        })
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(us) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_gaps": pd.Series([], dtype="int64"),
+                 "mean_gap_s": pd.Series([], dtype="float64"),
+                 "max_gap_us": pd.Series([], dtype="int64")}
+            )
+        gaps = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_gaps": [len(gaps)],
+                "mean_gap_s": [
+                    round_half_away(float(gaps.mean()) / 1e6, 6)
+                ],
+                "max_gap_us": [int(gaps.max())],
+            }
+        )
+
+    return events.groupby("user_id").map_groups(
+        stats, batch_format="pandas"
+    )

@@ -838,3 +838,58 @@ def test_nation_account_reconciliation_full_outer(ray_session, sf_dir):
     assert (both["n_suppliers"] > 0).all() and (
         both["n_customers"] > 0
     ).all()
+
+
+def test_user_gap_stats_invariants(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.temporal import user_gap_stats
+
+    out = user_gap_stats(sf_dir).to_pandas()
+    assert (out["n_gaps"] > 0).all()
+    assert (out["mean_gap_s"] > 0).all()
+    # mean never exceeds max
+    assert (out["mean_gap_s"] * 1e6 <= out["max_gap_us"] + 1).all()
+
+
+def test_revenue_yoy_handmade(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.relational import revenue_yoy
+
+    rows = [  # (date, totalprice)
+        (dt.datetime(2020, 3, 10), 100.0),
+        (dt.datetime(2020, 3, 20), 100.0),  # 2020-03: 200
+        (dt.datetime(2021, 3, 5), 300.0),   # 2021-03: 300 → +50%
+        (dt.datetime(2021, 6, 1), 50.0),    # no 2020-06 → excluded
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1] * 4, pa.int64()),
+                "o_orderdate": pa.array(
+                    [r[0] for r in rows], pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(
+                    [r[1] for r in rows], pa.float64()
+                ),
+                "o_orderpriority": pa.array(["1"] * 4, pa.string()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = revenue_yoy(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "revenue"] == 300.0
+    assert out.loc[0, "prev_revenue"] == 200.0
+    assert out.loc[0, "yoy_growth"] == 0.5
+
+
+def test_langid_confusion_totals(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import langid_confusion
+
+    out = langid_confusion(sf_dir).to_pandas()
+    assert out["n_docs"].sum() == 500  # every doc lands in one cell
+    assert set(out["lang"]).issubset({"de", "en", "es", "fr", "zh"})
