@@ -1793,7 +1793,7 @@ def lineitem_quantity_mad(sf_dir: str):
     )
 
 
-def revenue_yoy(sf_dir: str, *, num_partitions: int = 4):
+def revenue_yoy(sf_dir: str, *, num_partitions: int = 1):
     """Year-over-year monthly revenue growth — the reporting join of
     a month against itself twelve months earlier.
 
@@ -1802,7 +1802,10 @@ def revenue_yoy(sf_dir: str, *, num_partitions: int = 4):
     decimals, so monthly sums are drift-free), then the self-join
     runs on an integer year×12+month key over the calendar-bounded
     table.  Only months with a prior-year counterpart emit (inner
-    join), matching the SQL."""
+    join), matching the SQL.  The join defaults to ONE partition:
+    both sides are #months rows regardless of corpus size, and
+    Ray's hash-shuffle join breaks on the schema-less empty
+    partitions that extra fan-out creates on a bounded input."""
     from ray.data.aggregate import Sum
 
     from outbreak_kg_ray.functions.rounding import round_half_away
@@ -1840,8 +1843,29 @@ def revenue_yoy(sf_dir: str, *, num_partitions: int = 4):
         .aggregate(Sum("cents", alias_name="cents"))
     )  # calendar-bounded
 
-    prev = monthly.map_batches(
-        lambda t: pa.table(
+    # pin the schema: with fewer months than hash partitions the
+    # aggregate emits empty schema-less blocks that break the acero
+    # join ("no match for key field ym")
+    _m_schema = pa.schema(
+        [("month", pa.timestamp("us")), ("ym", pa.int64()),
+         ("cents", pa.int64())]
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "ym" not in t.column_names:
+            return _m_schema.empty_table()
+        return pa.table(
+            {
+                "month": t.column("month").cast(pa.timestamp("us")),
+                "ym": t.column("ym").cast(pa.int64()),
+                "cents": t.column("cents").cast(pa.int64()),
+            }
+        )
+
+    monthly = monthly.map_batches(pin, batch_format="pyarrow")
+
+    def to_prev(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "ym_next": pc.add(
                     t.column("ym").cast(pa.int64()),
@@ -1849,9 +1873,9 @@ def revenue_yoy(sf_dir: str, *, num_partitions: int = 4):
                 ),
                 "prev_cents": t.column("cents").cast(pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    prev = monthly.map_batches(to_prev, batch_format="pyarrow")
     joined = monthly.join(
         prev,
         join_type="inner",
