@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": temporal.user_gap_stats,
         "revenue_yoy": relational.revenue_yoy,
         "langid_confusion": docops.langid_confusion,
+        "export_by_lang": docops.export_by_lang,
         # --- SQL-checkable members of the literature / near-dup families ---
         "literature_overlap": lambda sf: encode.literature_overlap(
             sf, ["click", "error", "purchase"]
@@ -2607,6 +2608,13 @@ SELECT cur.month,
        round(CAST(cur.cents - prev.cents AS DOUBLE)
              / CAST(prev.cents AS DOUBLE), 6) AS yoy_growth
 FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+"""
+
+    # hive-partitioned export manifest (row routing per lang; the
+    # manifest is read back from disk).  Mirrors
+    # pipelines/docops.py:export_by_lang
+    sql["export_by_lang"] = """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
     # lang-ID confusion matrix over the labeled corpus.

@@ -1046,3 +1046,29 @@ def test_bigram_nll_model_sanity(ray_session, tmp_path):
     assert abs(out.loc[3, "bigram_nll"] - (-math.log(0.25))) < 1e-6
     # rarer continuations score strictly higher NLL
     assert out.loc[3, "bigram_nll"] > out.loc[0, "bigram_nll"]
+
+
+def test_export_by_lang_layout(ray_session, sf_dir, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import export_by_lang
+
+    out = str(tmp_path / "byl")
+    manifest = export_by_lang(sf_dir, out_dir=out).to_pandas()
+    # one hive directory per lang, rows re-readable and key-pure
+    dirs = sorted(glob.glob(os.path.join(out, "lang=*")))
+    assert [os.path.basename(d).split("=")[1] for d in dirs] == sorted(
+        manifest["lang"]
+    )
+    assert manifest["n_rows"].sum() == 500
+    for d in dirs:
+        lang = os.path.basename(d).split("=")[1]
+        t = pq.read_table(d)
+        # partition column is directory-encoded; data columns intact
+        assert t.num_rows == int(
+            manifest.set_index("lang").loc[lang, "n_rows"]
+        )
+        assert "doc_id" in t.column_names and "text" in t.column_names
