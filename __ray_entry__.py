@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_yoy": relational.revenue_yoy,
         "langid_confusion": docops.langid_confusion,
         "export_by_lang": docops.export_by_lang,
+        "profile_documents": docops.profile_documents,
+        "top_cooccurring_partners": serving.top_cooccurring_partners,
         # --- SQL-checkable members of the literature / near-dup families ---
         "literature_overlap": lambda sf: encode.literature_overlap(
             sf, ["click", "error", "purchase"]
@@ -2608,6 +2610,53 @@ SELECT cur.month,
        round(CAST(cur.cents - prev.cents AS DOUBLE)
              / CAST(prev.cents AS DOUBLE), 6) AS yoy_growth
 FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+"""
+
+    # column data-quality profile of the documents table.
+    # Mirrors pipelines/docops.py:profile_documents
+    sql["profile_documents"] = """
+SELECT 'doc_id' AS col_name,
+       CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER (doc_id = 0) AS BIGINT) AS n_empty
+FROM documents
+UNION ALL
+SELECT 'text',
+       CAST(count(*) FILTER (text IS NULL) AS BIGINT),
+       CAST(count(*) FILTER (text = '') AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang',
+       CAST(count(*) FILTER (lang IS NULL) AS BIGINT),
+       CAST(count(*) FILTER (lang = '') AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source',
+       CAST(count(*) FILTER (source IS NULL) AS BIGINT),
+       CAST(count(*) FILTER (source = '') AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT),
+       CAST(count(*) FILTER (n_chars = 0) AS BIGINT)
+FROM documents
+"""
+
+    # per-entity top-k co-occurrence partners.
+    # Mirrors pipelines/serving.py:top_cooccurring_partners
+    sql["top_cooccurring_partners"] = f"""
+WITH cooc AS ({sql["cooccurrence_edges"]}),
+e AS (
+  SELECT start_id AS entity, end_id AS partner, "count" AS n FROM cooc
+  UNION ALL
+  SELECT end_id, start_id, "count" FROM cooc
+)
+SELECT entity, partner, n, rank FROM (
+  SELECT entity, partner, n,
+         CAST(row_number() OVER (PARTITION BY entity
+                                 ORDER BY n DESC, partner)
+              AS BIGINT) AS rank
+  FROM e
+) WHERE rank <= 3
 """
 
     # hive-partitioned export manifest (row routing per lang; the

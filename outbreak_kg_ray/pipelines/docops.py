@@ -923,6 +923,71 @@ def export_by_lang(sf_dir: str, out_dir: str | None = None):
     )
 
 
+def profile_documents(sf_dir: str):
+    """Column data-quality profile of the documents table — per
+    column: null count and "empty" count ('' for strings, 0 for
+    ints) — the audit every ingest runs before trusting a new drop.
+
+    Pure streaming: per-batch partial counters (one row per column
+    per batch) into a |columns|-bounded grouped sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _documents(sf_dir, tuple(cols))
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, nulls, empties = [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            nulls.append(col.null_count)
+            if pa.types.is_string(col.type):
+                empty = pc.sum(
+                    pc.cast(pc.equal(col, pa.scalar("")), pa.int64())
+                ).as_py() or 0
+            else:
+                empty = pc.sum(
+                    pc.cast(
+                        pc.equal(col, pa.scalar(0, col.type)), pa.int64()
+                    )
+                ).as_py() or 0
+            empties.append(int(empty))
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "null_part": pa.array(nulls, pa.int64()),
+                "empty_part": pa.array(empties, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("null_part", alias_name="n_null"),
+            Sum("empty_part", alias_name="n_empty"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "col_name" not in t.column_names:
+            return pa.schema(
+                [("col_name", pa.string()), ("n_null", pa.int64()),
+                 ("n_empty", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "col_name": t.column("col_name"),
+                "n_null": t.column("n_null").cast(pa.int64()),
+                "n_empty": t.column("n_empty").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def langid_confusion(sf_dir: str):
     """Confusion matrix of the language-ID heuristic against the
     labeled lang column — the model-evaluation primitive (per

@@ -903,3 +903,56 @@ def entity_timeline(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_cooccurring_partners(sf_dir: str, *, k: int = 3):
+    """Per-entity top-``k`` co-occurrence partners by edge weight —
+    the "related entities" serving panel over the occurs_with table
+    (reference kg/build.py:52-94 edges, ranked per node).
+
+    Scale shape: the co-occurrence table is vocabulary-bounded, so
+    symmetrize + one entity-keyed map_groups (≤ |vocab| rows each)
+    is the whole plan; ties rank by partner curie for cross-engine
+    determinism."""
+    import pandas as pd
+
+    from outbreak_kg_ray.pipelines import kg
+
+    edges = kg.cooccurrence_edges(sf_dir)
+
+    def sym(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "start_id" not in t.column_names:
+            return pa.schema(
+                [("entity", pa.string()), ("partner", pa.string()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        def flat(col):
+            return (
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+
+        s, e = flat(t.column("start_id")), flat(t.column("end_id"))
+        c = flat(t.column("count").cast(pa.int64()))
+        return pa.table(
+            {
+                "entity": pa.concat_arrays([s, e]),
+                "partner": pa.concat_arrays([e, s]),
+                "n": pa.concat_arrays([c, c]),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n", "partner"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["entity", "partner", "n", "rank"]]
+
+    return (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("entity")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -266,3 +266,18 @@ def test_entity_timeline_spans(ray_session, sf_dir):
     once = out[out["n_alerts"] == 1]
     if len(once):
         assert (once["first_seen"] == once["last_seen"]).all()
+
+
+def test_top_cooccurring_partners(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.serving import top_cooccurring_partners
+
+    out = top_cooccurring_partners(sf_dir).to_pandas()
+    assert (out["rank"] <= 3).all() and (out["rank"] >= 1).all()
+    # within an entity, counts are non-increasing with rank
+    for _, g in out.groupby("entity"):
+        g = g.sort_values("rank")
+        assert g["n"].is_monotonic_decreasing or (
+            g["n"].diff().dropna() <= 0
+        ).all()
+    # symmetry: a top partner edge exists in both directions' pools
+    assert (out["entity"] != out["partner"]).all()

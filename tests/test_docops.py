@@ -1072,3 +1072,19 @@ def test_export_by_lang_layout(ray_session, sf_dir, tmp_path):
             manifest.set_index("lang").loc[lang, "n_rows"]
         )
         assert "doc_id" in t.column_names and "text" in t.column_names
+
+
+def test_profile_documents_clean_corpus(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import profile_documents
+
+    out = (
+        profile_documents(sf_dir).to_pandas().set_index("col_name")
+    )
+    assert set(out.index) == {
+        "doc_id", "text", "lang", "source", "n_chars"
+    }
+    # the synthetic corpus has no nulls; doc 0 makes doc_id's
+    # "empty" (== 0) count exactly 1
+    assert (out["n_null"] == 0).all()
+    assert out.loc["doc_id", "n_empty"] == 1
+    assert out.loc["text", "n_empty"] == 0
