@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": relational.events_value_histogram,
         "user_top_event_type": relational.user_top_event_type,
         "events_type_value_quantiles": relational.events_type_value_quantiles,
+        "events_winsorized_mean": relational.events_winsorized_mean,
         "lineitem_qty_price_corr": relational.lineitem_qty_price_corr,
         "autocomplete_search": serving.autocomplete_search,
         "trending_terms_daily": serving.trending_terms_daily,
@@ -2574,6 +2575,25 @@ SELECT month,
              / CAST(total_e4 AS DOUBLE), 6) AS promo_share,
        CAST((total_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
 FROM m
+"""
+
+    # per-type winsorized mean of events.value.
+    # Mirrors relational.py:events_winsorized_mean
+    sql["events_winsorized_mean"] = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS qlo,
+         quantile_cont(value, 0.95) AS qhi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(avg(least(greatest(e.value, q.qlo), q.qhi)), 6)
+         AS wins_mean,
+       round(q.qlo, 6) AS qlo,
+       round(q.qhi, 6) AS qhi,
+       count(*) AS n_events
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.qlo, q.qhi
 """
 
     # per-user inter-event gap statistics (exact microsecond gaps).

@@ -1297,6 +1297,72 @@ def events_type_value_quantiles(sf_dir: str):
     )
 
 
+def events_winsorized_mean(sf_dir: str, *, lo: float = 0.05,
+                           hi: float = 0.95):
+    """Per-type winsorized mean of events.value (clip at the exact
+    [lo, hi] quantiles, then average) — the robust mean that survives
+    fat-tailed value columns.
+
+    Scale shape: everything — BOTH quantiles AND the clipped mean —
+    derives from the ONE value-domain-bounded (type, value) histogram
+    pass the other quantile ops share: the clipped mean is a weighted
+    fold over the histogram, so no second corpus scan.  Quantile
+    interpolation matches DuckDB ``quantile_cont`` (rank p·(n−1))."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset({
+            "event_type": pa.string(), "wins_mean": pa.float64(),
+            "qlo": pa.float64(), "qhi": pa.float64(),
+            "n_events": pa.int64(),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    hist = ds.groupby(["event_type", "value"]).aggregate(
+        Count(alias_name="freq")
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value")
+        values = g["value"].to_numpy(dtype=np.float64)
+        freqs = g["freq"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(freqs)
+        n = int(cum[-1])
+
+        def q(p: float) -> float:
+            pos = p * (n - 1)
+            lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+            hi_v = values[
+                np.searchsorted(cum, min(lo_i + 1, n - 1) + 1,
+                                side="left")
+            ]
+            return float(lo_v + (hi_v - lo_v) * frac)
+
+        qlo, qhi = q(lo), q(hi)
+        clipped = np.clip(values, qlo, qhi)
+        wmean = float((freqs * clipped).sum() / n)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "wins_mean": [round_half_away(wmean, 6)],
+                "qlo": [round_half_away(qlo, 6)],
+                "qhi": [round_half_away(qhi, 6)],
+                "n_events": [n],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        stats, batch_format="pandas"
+    )
+
+
 def lineitem_qty_price_corr(sf_dir: str):
     """Pearson correlation of (l_quantity, l_extendedprice) per
     l_returnflag — the grouped statistical aggregate, computed from

@@ -893,3 +893,18 @@ def test_langid_confusion_totals(ray_session, sf_dir):
     out = langid_confusion(sf_dir).to_pandas()
     assert out["n_docs"].sum() == 500  # every doc lands in one cell
     assert set(out["lang"]).issubset({"de", "en", "es", "fr", "zh"})
+
+
+def test_events_winsorized_mean_bounds(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.relational import (
+        events_winsorized_mean,
+    )
+
+    out = events_winsorized_mean(sf_dir).to_pandas()
+    assert (out["qlo"] <= out["qhi"]).all()
+    # the winsorized mean sits inside the clip band
+    assert (out["wins_mean"] >= out["qlo"]).all()
+    assert (out["wins_mean"] <= out["qhi"]).all()
+    # degenerate clip (lo=hi=median) collapses to the median
+    med = events_winsorized_mean(sf_dir, lo=0.5, hi=0.5).to_pandas()
+    assert (med["wins_mean"] == med["qlo"]).all()
