@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": sketch.hll_distinct_tokens,
         "distinct_token_count": sketch.distinct_token_count,
         "quality_scores": docops.quality_scores,
+        "readability_scores": docops.readability_scores,
         "lang_id": docops.lang_id,
         "fingerprints": docops.fingerprints,
         "minhash_near_dups": docops.minhash_near_dups,
@@ -837,6 +838,24 @@ SELECT doc_id, nt AS n_tokens,
              + least((CASE WHEN nt = 0 THEN 0.0
                       ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END) / 8.0,
                      1.0) * 0.2, 6) AS quality
+FROM s
+"""
+
+    sql["readability_scores"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE round(206.835
+                       - 1.015 * (n_words
+                                  / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                       - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch
 FROM s
 """
 

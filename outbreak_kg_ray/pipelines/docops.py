@@ -48,6 +48,12 @@ def quality_scores(sf_dir: str):
     )
 
 
+def readability_scores(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        ts.readability_batch, batch_format="pyarrow"
+    )
+
+
 def lang_id(sf_dir: str):
     return _documents(sf_dir, ("doc_id", "text", "lang")).map_batches(
         ts.LangIdStage, batch_format="pyarrow", batch_size=1024,

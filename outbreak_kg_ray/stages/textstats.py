@@ -85,6 +85,63 @@ def quality_batch(t: pa.Table) -> pa.Table:
     )
 
 
+_WORD_RE = r"\S+"
+_SENT_RE = r"[.!?]+"
+_SYLL_RE = r"[aeiouy]+"
+
+
+def readability_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, text) → Flesch-style readability, entirely in Arrow
+    kernels (count_substring_regex — RE2, same engine as the DuckDB
+    oracle's regexp_extract_all).  Sentences are [.!?]+ runs clamped
+    to ≥1; syllables are vowel-group runs on the lowercased text; a
+    zero-word doc scores 0.0.  flesch = 206.835 − 1.015·(words/sent)
+    − 84.6·(syllables/words), rounded half-away to 6 dp."""
+    import pyarrow.compute as pc
+
+    from outbreak_kg_ray.functions.rounding import pa_round_half_away
+
+    text = t.column("text")
+    n_words = pc.cast(
+        pc.count_substring_regex(text, pattern=_WORD_RE), pa.int64()
+    )
+    n_sent = pc.cast(
+        pc.count_substring_regex(text, pattern=_SENT_RE), pa.int64()
+    )
+    n_syll = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(text), pattern=_SYLL_RE),
+        pa.int64(),
+    )
+    one = pa.scalar(1.0, pa.float64())
+    w = pc.cast(n_words, pa.float64())
+    s = pc.max_element_wise(pc.cast(n_sent, pa.float64()), one)
+    y = pc.cast(n_syll, pa.float64())
+    w_safe = pc.max_element_wise(w, one)  # div guard; masked below
+    flesch = pc.subtract(
+        pa.scalar(206.835, pa.float64()),
+        pc.add(
+            pc.multiply(pa.scalar(1.015, pa.float64()), pc.divide(w, s)),
+            pc.multiply(
+                pa.scalar(84.6, pa.float64()), pc.divide(y, w_safe)
+            ),
+        ),
+    )
+    flesch = pc.if_else(
+        pc.equal(n_words, pa.scalar(0, pa.int64())),
+        pa.scalar(0.0, pa.float64()),
+        pa_round_half_away(flesch, 6),
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "n_syllables": n_syll,
+            "flesch": flesch,
+        }
+    )
+
+
 class LangIdStage:
     """Character-bigram-profile language scorer (n-gram heuristic).
 

@@ -90,6 +90,27 @@ def test_token_stats_and_quality():
     assert 0 < q["quality"] <= 1.0
 
 
+def test_readability_batch():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["The cat sat. The dog ran!", "", "word"],
+        }
+    )
+    rows = ts.readability_batch(t).to_pylist()
+    r1 = rows[0]
+    assert r1["n_words"] == 6
+    assert r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6  # e, a-a, e, o-y? -> 'the'(1) cat(1) sat(1) the(1) dog(1) ran(1)
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert abs(r1["flesch"] - 119.19) < 1e-9
+    assert rows[1]["n_words"] == 0 and rows[1]["flesch"] == 0.0
+    r3 = rows[2]
+    # 1 word, 0 sentences (clamped to 1), 1 syllable ('o')
+    assert r3["n_sentences"] == 0
+    assert abs(r3["flesch"] - (206.835 - 1.015 - 84.6)) < 1e-9
+
+
 def test_fingerprint_deterministic_and_distinct():
     a = ts.fingerprint("hello world")
     assert a == ts.fingerprint("hello world")
