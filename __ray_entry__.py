@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding_window": relational.events_sliding_window,
         "order_lineitem_join": relational.order_lineitem_join,
+        "order_priority_return_rate": relational.order_priority_return_rate,
         "revenue_by_nation": relational.revenue_by_nation,
         "cumulative_order_revenue": relational.cumulative_order_revenue,
         "triangle_counts": graph.triangle_counts,
@@ -1723,6 +1724,21 @@ FROM events GROUP BY 1, 2
 SELECT o.o_orderpriority, count(*) AS n_items,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+    sql["order_priority_return_rate"] = """
+WITH f AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(coalesce(f.ret, 0)) AS BIGINT) AS n_returned,
+       round(sum(coalesce(f.ret, 0)) / CAST(count(*) AS DOUBLE), 6)
+         AS return_rate
+FROM orders o LEFT JOIN f ON o.o_orderkey = f.l_orderkey
 GROUP BY o.o_orderpriority
 """
 

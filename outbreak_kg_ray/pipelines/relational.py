@@ -251,6 +251,119 @@ def order_lineitem_join(sf_dir: str, *, num_partitions: int | None = None):
     return out.map_batches(round2, batch_format="pyarrow")
 
 
+def order_priority_return_rate(
+    sf_dir: str, *, num_partitions: int | None = None
+):
+    """Per-priority order counts and the share of orders with at
+    least one returned line (l_returnflag = 'R') — an EXISTS
+    semi-join folded into a ratio aggregate (TPC-H Q4's shape over
+    this schema's columns).
+
+    Scale shape: the lineitem side collapses BATCH-LOCALLY to one
+    (orderkey, flag) row per order per batch (pyarrow group_by
+    inside ``map_batches``), so the per-order max shuffle carries at
+    most a couple of rows per order instead of every line; the
+    orders⋈flags hash join is order-cardinality-bounded on both
+    sides; the final group is priority-bounded (5 rows). The ratio
+    is derived on that tiny output."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    if parquet_rows(f"{sf_dir}/orders.parquet") == 0:
+        return empty_dataset({
+            "o_orderpriority": pa.string(), "n_orders": pa.int64(),
+            "n_returned": pa.int64(), "return_rate": pa.float64(),
+        })
+    from ray.data.aggregate import Count, Max, Sum
+
+    if num_partitions is None:
+        num_partitions = _adaptive_join_partitions(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rate = pc.divide(
+            pc.cast(t.column("n_returned"), pa.float64()),
+            pc.cast(t.column("n_orders"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_orders": t.column("n_orders"),
+                "n_returned": pc.cast(t.column("n_returned"), pa.int64()),
+                "return_rate": pa_round_half_away(rate, 6),
+            }
+        )
+
+    if parquet_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        agg = orders.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_orders")
+        )
+
+        def zero(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "n_returned", pa.array([0] * t.num_rows, pa.int64())
+            )
+
+        return agg.map_batches(zero, batch_format="pyarrow").map_batches(
+            finish, batch_format="pyarrow"
+        )
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def local_flags(t: pa.Table) -> pa.Table:
+        flag = pc.cast(
+            pc.equal(t.column("l_returnflag"), pa.scalar("R")), pa.int64()
+        )
+        pairs = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "ret": flag}
+        )
+        out = pairs.group_by("l_orderkey").aggregate([("ret", "max")])
+        return out.rename_columns(["l_orderkey", "ret"])
+
+    flags = (
+        lineitem.map_batches(local_flags, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ret", alias_name="ret"))
+    )
+
+    joined = orders.join(
+        flags,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        ret = pc.coalesce(
+            pc.cast(t.column("ret"), pa.int64()), pa.scalar(0, pa.int64())
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "ret": ret,
+            }
+        )
+
+    agg = (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("ret", alias_name="n_returned"),
+        )
+    )
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _adaptive_join_partitions(*paths: str) -> int:
     """Footer-row-count front-end of the shared partition policy
     (functions/partitions.py)."""

@@ -249,6 +249,47 @@ def test_customers_without_orders_antijoin(sf_dir):
     assert len(out) == len(exp) > 0
 
 
+def test_order_priority_return_rate(sf_dir, tmp_path):
+    out = (
+        relational.order_priority_return_rate(sf_dir)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    exp = con.execute(
+        """WITH f AS (
+             SELECT l_orderkey,
+                    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+             FROM lineitem GROUP BY l_orderkey)
+           SELECT o_orderpriority, count(*) AS n_orders,
+                  CAST(sum(coalesce(f.ret, 0)) AS BIGINT) AS n_returned
+           FROM orders o LEFT JOIN f ON o.o_orderkey = f.l_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ).fetch_df()
+    assert out["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert out["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert out["n_returned"].tolist() == exp["n_returned"].tolist()
+    assert ((out["return_rate"] >= 0) & (out["return_rate"] <= 1)).all()
+
+    # empty-lineitem branch: every priority present, zero returns
+    import pyarrow.parquet as pq
+    import pyarrow as pa_mod
+
+    for t in ("orders", "lineitem"):
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        pq.write_table(
+            tbl.slice(0, 0) if t == "lineitem" else tbl,
+            str(tmp_path / f"{t}.parquet"),
+        )
+    empty = relational.order_priority_return_rate(
+        str(tmp_path)
+    ).to_pandas()
+    assert (empty["n_returned"] == 0).all()
+    assert (empty["return_rate"] == 0.0).all()
+    assert empty["n_orders"].sum() == exp["n_orders"].sum()
+
+
 def test_broadcast_join_swap_equivalence(sf_dir, monkeypatch):
     """The broadcast↔hash-join selection is measured, not caller
     chosen; both branches must return identical rows (the KG combine
