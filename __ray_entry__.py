@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         "customers_without_orders": relational.customers_without_orders,
         "pricing_rollup": relational.pricing_rollup,
+        "pricing_cube": relational.pricing_cube,
         "stratified_sample": docops.stratified_sample,
         # --- temporal joins / sessionization ---
         "events_orders_asof": temporal.asof_join_events_orders,
@@ -1890,6 +1891,28 @@ UNION ALL
 SELECT l_returnflag, 'ALL', round(sum(sum_qty), 2),
        CAST(sum(count_order) AS BIGINT)
 FROM detail GROUP BY 1
+UNION ALL
+SELECT 'ALL', 'ALL', round(sum(sum_qty), 2),
+       CAST(sum(count_order) AS BIGINT)
+FROM detail
+"""
+
+    sql["pricing_cube"] = """
+WITH detail AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS count_order
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, count_order FROM detail
+UNION ALL
+SELECT l_returnflag, 'ALL', round(sum(sum_qty), 2),
+       CAST(sum(count_order) AS BIGINT)
+FROM detail GROUP BY 1
+UNION ALL
+SELECT 'ALL', l_linestatus, round(sum(sum_qty), 2),
+       CAST(sum(count_order) AS BIGINT)
+FROM detail GROUP BY 2
 UNION ALL
 SELECT 'ALL', 'ALL', round(sum(sum_qty), 2),
        CAST(sum(count_order) AS BIGINT)

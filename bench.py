@@ -164,6 +164,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "semantic_dedup": lambda: kmeans.semantic_dedup(sf_dir),
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),
         "event_transitions": lambda: temporal.event_transitions(sf_dir),
+        "readability_scores": lambda: docops.readability_scores(sf_dir),
+        "order_priority_return_rate": lambda: (
+            relational.order_priority_return_rate(sf_dir)
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

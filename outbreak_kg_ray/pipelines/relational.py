@@ -672,59 +672,91 @@ def pricing_rollup(sf_dir: str):
     once. Rollup keys use the literal 'ALL' (the distributed stand-in
     for SQL's NULL grouping marker, which hash-compare can't
     distinguish from data nulls)."""
-    from ray.data.aggregate import Count, Sum
-
     detail = pricing_summary(sf_dir)
-
-    def relabel(col_flag: str | None, col_status: str | None):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "l_returnflag": (
-                        t.column("l_returnflag")
-                        if col_flag is None
-                        else pa.array([col_flag] * n, pa.string())
-                    ),
-                    "l_linestatus": (
-                        t.column("l_linestatus")
-                        if col_status is None
-                        else pa.array([col_status] * n, pa.string())
-                    ),
-                    "sum_qty": t.column("sum_qty"),
-                    "count_order": t.column("count_order"),
-                }
-            )
-
-        return f
-
-    def reagg(ds):
-        out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("count_order", alias_name="count_order"),
-        )
-
-        def round2(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("sum_qty"),
-                "sum_qty",
-                pa_round_half_away(t.column("sum_qty"), 2),
-            )
-
-        return out.map_batches(round2, batch_format="pyarrow")
-
     base = detail.map_batches(
-        relabel(None, None), batch_format="pyarrow"
+        _gs_relabel(None, None), batch_format="pyarrow"
     )
-    by_flag = reagg(
-        detail.map_batches(relabel(None, "ALL"), batch_format="pyarrow")
+    by_flag = _gs_reagg(
+        detail.map_batches(_gs_relabel(None, "ALL"), batch_format="pyarrow")
     )
-    grand = reagg(
-        detail.map_batches(relabel("ALL", "ALL"), batch_format="pyarrow")
+    grand = _gs_reagg(
+        detail.map_batches(_gs_relabel("ALL", "ALL"), batch_format="pyarrow")
     )
     return base.select_columns(
         ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
     ).union(by_flag, grand)
+
+
+def _gs_relabel(col_flag: str | None, col_status: str | None):
+    """Grouping-set projector: pin a key column to the literal 'ALL'
+    marker (the distributed stand-in for SQL's NULL grouping marker)
+    or pass it through."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_returnflag": (
+                    t.column("l_returnflag")
+                    if col_flag is None
+                    else pa.array([col_flag] * n, pa.string())
+                ),
+                "l_linestatus": (
+                    t.column("l_linestatus")
+                    if col_status is None
+                    else pa.array([col_status] * n, pa.string())
+                ),
+                "sum_qty": t.column("sum_qty"),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return f
+
+
+def _gs_reagg(ds):
+    """Re-aggregate a relabeled detail stream — bounded by the group
+    cardinality, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def round2(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("sum_qty"),
+            "sum_qty",
+            pa_round_half_away(t.column("sum_qty"), 2),
+        )
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
+def pricing_cube(sf_dir: str):
+    """Pricing summary with CUBE semantics: all four grouping sets of
+    (returnflag, linestatus) — detail, per-flag, per-status, grand
+    total — from ONE shared pre-aggregated pass, completing the
+    grouping-sets family next to ``pricing_rollup``. The corpus is
+    scanned exactly once (by ``pricing_summary``); every coarser set
+    re-aggregates that group-bounded output."""
+    detail = pricing_summary(sf_dir)
+    base = detail.map_batches(
+        _gs_relabel(None, None), batch_format="pyarrow"
+    )
+    by_flag = _gs_reagg(
+        detail.map_batches(_gs_relabel(None, "ALL"), batch_format="pyarrow")
+    )
+    by_status = _gs_reagg(
+        detail.map_batches(_gs_relabel("ALL", None), batch_format="pyarrow")
+    )
+    grand = _gs_reagg(
+        detail.map_batches(_gs_relabel("ALL", "ALL"), batch_format="pyarrow")
+    )
+    return base.select_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    ).union(by_flag, by_status, grand)
 
 
 def events_props_stats(sf_dir: str):

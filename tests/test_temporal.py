@@ -334,6 +334,33 @@ def test_pricing_rollup_levels(sf_dir):
         assert sub["count_order"].iloc[0] == g["count_order"].sum()
 
 
+def test_pricing_cube_levels(sf_dir):
+    out = relational.pricing_cube(sf_dir).to_pandas()
+    detail = out[(out["l_returnflag"] != "ALL")
+                 & (out["l_linestatus"] != "ALL")]
+    by_flag = out[(out["l_returnflag"] != "ALL")
+                  & (out["l_linestatus"] == "ALL")]
+    by_status = out[(out["l_returnflag"] == "ALL")
+                    & (out["l_linestatus"] != "ALL")]
+    grand = out[(out["l_returnflag"] == "ALL")
+                & (out["l_linestatus"] == "ALL")]
+    assert len(grand) == 1
+    assert (
+        grand["count_order"].iloc[0]
+        == detail["count_order"].sum()
+        == by_flag["count_order"].sum()
+        == by_status["count_order"].sum()
+    )
+    for status, g in detail.groupby("l_linestatus"):
+        sub = by_status[by_status["l_linestatus"] == status]
+        assert sub["count_order"].iloc[0] == g["count_order"].sum()
+    # cube ⊃ rollup: every rollup row appears verbatim in the cube
+    roll = relational.pricing_rollup(sf_dir).to_pandas()
+    cube_keys = set(map(tuple, out.itertuples(index=False)))
+    assert all(tuple(r) in cube_keys
+               for r in roll.itertuples(index=False))
+
+
 def test_stratified_sample_determinism(sf_dir):
     from outbreak_kg_ray.pipelines import docops as dops
 
