@@ -2007,6 +2007,73 @@ SELECT pmid, pub_count, overlap_n,
 FROM p WHERE pub_count >= 2
 """
 
+    # Full Fisher-exact literature ranking (mesh_csr.py:102-166): the
+    # hypergeometric tail P(X >= overlap) is expressed with lgamma-based
+    # log-binomials summed over generate_series, replicating
+    # functions/stats.py:fisher_exact_greater operation-for-operation
+    # (same parenthesization, same max-shift exp trick) so the doubles
+    # match bitwise before the round(., 9).
+    # Margins: M=total_terms (distinct mesh vocab), n=q (in-vocab query
+    # terms), N=n_target (per-PMID distinct mesh count), a=overlap_n.
+    sql["literature_rank"] = """
+WITH t AS (
+  SELECT event_type AS mesh_id, CAST(user_id AS VARCHAR) AS pmid,
+         (event_id % 2) + 1 AS value
+  FROM events
+),
+params AS (
+  SELECT (SELECT count(DISTINCT mesh_id) FROM t) AS total_terms,
+         (SELECT count(DISTINCT mesh_id) FROM t
+            WHERE mesh_id IN ('click','error','purchase')) AS q
+),
+cells AS (
+  SELECT pmid, mesh_id, sum(value) AS v FROM t GROUP BY 1, 2
+),
+p AS (
+  SELECT pmid,
+         CAST(sum(CASE WHEN mesh_id IN ('click','error','purchase')
+                       THEN v ELSE 0 END) AS BIGINT) AS pub_count,
+         CAST(sum(CASE WHEN mesh_id IN ('click','error','purchase')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS overlap_n,
+         count(*) AS n_target
+  FROM cells GROUP BY 1
+),
+kept AS (
+  SELECT p.pmid, p.overlap_n, p.n_target, params.q, params.total_terms
+  FROM p, params
+  WHERE p.pub_count >= CASE WHEN params.q <= 4 THEN params.q - 1 ELSE 3 END
+),
+series AS (
+  SELECT pmid, overlap_n, q, n_target, total_terms,
+         unnest(generate_series(overlap_n, least(q, n_target))) AS kk
+  FROM kept
+),
+lp AS (
+  SELECT pmid, overlap_n, q,
+         ((lgamma(q + 1) - lgamma(kk + 1) - lgamma(q - kk + 1))
+          + (lgamma(total_terms - q + 1) - lgamma(n_target - kk + 1)
+             - lgamma(total_terms - q - (n_target - kk) + 1))
+          - (lgamma(total_terms + 1) - lgamma(n_target + 1)
+             - lgamma(total_terms - n_target + 1))) AS logpmf
+  FROM series
+  WHERE kk <= q AND n_target - kk >= 0
+    AND n_target - kk <= total_terms - q
+),
+mx AS (SELECT pmid, max(logpmf) AS m FROM lp GROUP BY 1),
+pv AS (
+  SELECT lp.pmid,
+         any_value(lp.overlap_n) AS overlap_n,
+         any_value(lp.q) AS q,
+         exp(any_value(mx.m)) * sum(exp(lp.logpmf - mx.m)) AS praw
+  FROM lp JOIN mx USING (pmid)
+  GROUP BY lp.pmid
+)
+SELECT pmid, overlap_n,
+       round(overlap_n / q, 6) AS coverage,
+       round(least(praw, 1.0), 9) AS pval
+FROM pv
+"""
+
     # exact char-5-gram Jaccard under 32-char prefix blocking; the
     # threshold test is integer math (2*inter >= union) on both sides
     sql["prefix_block_jaccard"] = """

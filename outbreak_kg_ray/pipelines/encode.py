@@ -90,7 +90,11 @@ def dict_encoded_triples(sf_dir: str, *, num_partitions: int = 8):
             "pmid_idx": _pa.int64(), "mesh_idx": _pa.int64(),
             "value": _pa.int64(),
         })
-    triples = events_triples(sf_dir)
+    # one parquet scan: the triples stream feeds three consumers
+    # (vocab unique, pmid dense-rank, the encode join) — materialize
+    # once into the object store (spillable) instead of re-reading
+    # events.parquet per consumer (round-2 ADVICE/VERDICT #7).
+    triples = events_triples(sf_dir).materialize()
     mesh_rank = _mesh_rank_map(triples)
     ranks = pmid_rank_table(triples)
     joined = triples.join(ranks, "inner", num_partitions, on=("pmid",))
@@ -130,7 +134,10 @@ def _per_pmid_overlap(sf_dir: str, query_mesh_terms: list[str]):
 
     if parquet_rows(f"{sf_dir}/events.parquet") == 0:
         return None, 0, 0
-    triples = events_triples(sf_dir)
+    # single parquet scan shared by the vocab pass and the cells
+    # aggregate (round-2 VERDICT #7: no redundant events.parquet reads
+    # on the 339M-row-scale path).
+    triples = events_triples(sf_dir).materialize()
     mesh_rank = _mesh_rank_map(triples)
     query = set(query_mesh_terms) - MESH_ID_EXCLUDE
     query_in_vocab = sorted(m for m in query if m in mesh_rank)
