@@ -1256,7 +1256,10 @@ WITH toks AS (
 ), df AS (
   SELECT g, count(*) AS df FROM grams GROUP BY g
 ), hot AS (
-  SELECT g FROM df WHERE df >= 5
+  -- corpus-relative threshold: max(5, ceil(0.01 * n_docs)) —
+  -- mirrors docops.relative_min_df(floor=5, frac=0.01)
+  SELECT g FROM df
+  WHERE df >= greatest(5, ceil(0.01 * (SELECT count(*) FROM documents)))
 )
 SELECT gr.doc_id, count(*) AS n_grams,
        count(h.g) AS n_hot_grams,
@@ -1592,7 +1595,10 @@ WITH toks AS (
 ), df AS (
   SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
 ), hot AS (
-  SELECT chunk FROM df WHERE df >= 2
+  -- corpus-relative threshold: max(2, ceil(0.004 * n_docs)) —
+  -- mirrors docops.relative_min_df(floor=2, frac=0.004)
+  SELECT chunk FROM df
+  WHERE df >= greatest(2, ceil(0.004 * (SELECT count(*) FROM documents)))
 ), kept AS (
   SELECT c.doc_id, c.ci, c.chunk
   FROM chunks c LEFT JOIN hot h USING (chunk)
@@ -1685,15 +1691,27 @@ FROM counted c JOIN med USING (lang)
 WHERE c.n_tokens >= med.med
 """
 
+    # capped-vocabulary MLE (top-65536 + OOV mass bucket) — matches
+    # docops.unigram_logprob(vocab_size=1<<16); below the cap (all
+    # testdata scales) it degenerates to the uncapped model.
     sql["unigram_logprob"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
   FROM documents WHERE trim(text) <> ''
 ), cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-tot AS (SELECT sum(c) AS t FROM cnt)
+tot AS (SELECT sum(c) AS t FROM cnt),
+vocab AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 65536
+),
+oov AS (
+  SELECT (SELECT t FROM tot) - coalesce(sum(c), 0) AS m FROM vocab
+)
 SELECT doc_id, count(*) AS n_tokens,
-       round(avg(-ln(c / t)), 6) AS nll_mean
-FROM toks JOIN cnt USING (w) CROSS JOIN tot
+       round(avg(CASE WHEN v.w IS NOT NULL THEN -ln(v.c / tot.t)
+                      ELSE -ln(oov.m / tot.t) END), 6) AS nll_mean
+FROM toks LEFT JOIN vocab v USING (w) CROSS JOIN tot CROSS JOIN oov
 GROUP BY doc_id
 """
 
@@ -2394,6 +2412,11 @@ UNION ALL SELECT 3, 'purchase', count(*) FROM p
     # DSIR importance weights: mean unigram log-likelihood ratio,
     # target = lang 'en', add-one smoothing over the corpus vocab.
     # Mirrors pipelines/docops.py:dsir_weights
+    # capped-vocabulary DSIR (top-65536 by corpus count + OOV mass
+    # bucket under the same add-one smoothing; smoothing denominator
+    # keeps the FULL vocab size) — matches
+    # docops.dsir_weights(vocab_size=1<<16); below the cap it
+    # degenerates to the uncapped model.
     sql["dsir_weights"] = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
@@ -2407,12 +2430,27 @@ WITH toks AS (
          CAST(sum(c_t) AS DOUBLE) AS t_t,
          CAST(count(*) AS DOUBLE) AS v
   FROM cnt
+),
+vocab AS (
+  SELECT w, c_all, c_t FROM (
+    SELECT w, c_all, c_t,
+           row_number() OVER (ORDER BY c_all DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 65536
+),
+oov AS (
+  SELECT (SELECT t_all FROM k) - coalesce(sum(c_all), 0) AS m_all,
+         (SELECT t_t FROM k) - coalesce(sum(c_t), 0) AS m_t
+  FROM vocab
 )
 SELECT t.doc_id, count(*) AS n_tokens,
-       round(avg(ln((c.c_t + 1) / (k.t_t + k.v))
-                 - ln((c.c_all + 1) / (k.t_all + k.v))), 6)
+       round(avg(CASE WHEN c.w IS NOT NULL
+                      THEN ln((c.c_t + 1) / (k.t_t + k.v))
+                           - ln((c.c_all + 1) / (k.t_all + k.v))
+                      ELSE ln((oov.m_t + 1) / (k.t_t + k.v))
+                           - ln((oov.m_all + 1) / (k.t_all + k.v))
+                 END), 6)
          AS dsir_weight
-FROM toks t JOIN cnt c USING (w) CROSS JOIN k
+FROM toks t LEFT JOIN vocab c USING (w) CROSS JOIN k CROSS JOIN oov
 GROUP BY t.doc_id
 """
 

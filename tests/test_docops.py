@@ -1109,3 +1109,97 @@ def test_profile_documents_clean_corpus(ray_session, sf_dir):
     assert (out["n_null"] == 0).all()
     assert out.loc["doc_id", "n_empty"] == 1
     assert out.loc["text", "n_empty"] == 0
+
+
+# --- round-3: bounded-vocabulary frequency models (VERDICT #2/#5) ---
+
+
+def test_relative_min_df_policy():
+    from outbreak_kg_ray.pipelines.docops import relative_min_df
+
+    # floor preserves small-corpus (testdata) semantics exactly
+    assert relative_min_df(50, floor=2, frac=0.004) == 2
+    assert relative_min_df(500, floor=2, frac=0.004) == 2
+    assert relative_min_df(500, floor=5, frac=0.01) == 5
+    # and grows with the corpus: the hot set stays bounded by
+    # (spans per doc)/frac independent of corpus size
+    assert relative_min_df(10_000_000, floor=2, frac=0.004) == 40_000
+    assert relative_min_df(10_000_000, floor=5, frac=0.01) == 100_000
+
+
+def test_topv_rows_bounded_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from outbreak_kg_ray.pipelines.docops import _topv_rows
+
+    ds = rd.from_items(
+        [{"w": f"w{i:03d}", "c": (i * 13) % 7 + 1} for i in range(100)]
+    )
+    rows = _topv_rows(ds, "w", "c", 10)
+    # the driver-held table is ≤ V rows by construction
+    assert len(rows) == 10
+    expected = sorted(
+        [(f"w{i:03d}", (i * 13) % 7 + 1) for i in range(100)],
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r["w"], r["c"]) for r in rows] == expected
+    # empty input: no crash, no rows
+    assert _topv_rows(rd.from_items([]), "w", "c", 10) == []
+
+
+def _docs_oracle_con(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _sorted_frame(df):
+    cols = sorted(df.columns)
+    return (
+        df[cols].sort_values(cols).reset_index(drop=True)
+    )
+
+
+def test_unigram_logprob_oov_bucket_matches_capped_oracle(
+    ray_session, sf_dir
+):
+    """Force the top-V cut to BIND (V=3 on the real corpus): scores
+    must match the capped-model oracle (same SQL the driver checks,
+    with the cap lowered), proving the OOV bucket path is exact."""
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from outbreak_kg_ray.pipelines.docops import unigram_logprob
+
+    mine = _sorted_frame(unigram_logprob(sf_dir, vocab_size=3).to_pandas())
+    sql = entry.oracle_sql()["unigram_logprob"].replace("65536", "3")
+    oracle = _sorted_frame(_docs_oracle_con(sf_dir).execute(sql).fetchdf())
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_dsir_weights_oov_bucket_matches_capped_oracle(ray_session, sf_dir):
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from outbreak_kg_ray.pipelines.docops import dsir_weights
+
+    mine = _sorted_frame(dsir_weights(sf_dir, vocab_size=3).to_pandas())
+    sql = entry.oracle_sql()["dsir_weights"].replace("65536", "3")
+    oracle = _sorted_frame(_docs_oracle_con(sf_dir).execute(sql).fetchdf())
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_oov_rate_distributed_cut_unchanged(ray_session, sf_dir):
+    """The distributed top-V cut must reproduce the driver-side
+    ranking it replaced: n_oov of the top-20 vocab is stable."""
+    from outbreak_kg_ray.pipelines.docops import oov_rate
+
+    out = oov_rate(sf_dir).to_pandas()
+    assert len(out) == 500
+    assert (out["n_oov"] <= out["n_tokens"]).all()
+    assert (out["oov_rate"] >= 0).all() and (out["oov_rate"] <= 1).all()
