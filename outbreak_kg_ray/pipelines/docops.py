@@ -995,9 +995,11 @@ def export_by_lang(sf_dir: str, out_dir: str | None = None):
     import pyarrow.parquet as pq
 
     if out_dir is None:
-        out_dir = os.path.join(
-            tempfile.gettempdir(), "okg_export_by_lang"
-        )
+        # unique per-invocation directory: a fixed shared default let
+        # two concurrent sessions rmtree each other's export mid-write
+        out_dir = tempfile.mkdtemp(prefix="okg_export_by_lang_")
+    # only clear a directory this call owns (the explicit-out_dir
+    # caller contract is overwrite)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     docs = _documents(sf_dir, ("doc_id", "text", "lang", "source"))

@@ -672,7 +672,11 @@ def pricing_rollup(sf_dir: str):
     once. Rollup keys use the literal 'ALL' (the distributed stand-in
     for SQL's NULL grouping marker, which hash-compare can't
     distinguish from data nulls)."""
-    detail = pricing_summary(sf_dir)
+    # materialize: the lazy detail Dataset is consumed by three
+    # branches and Ray Data would re-run the lineitem scan+aggregate
+    # per branch; the materialized table is group-bounded
+    # (|flags|×|statuses| rows), so "scanned exactly once" holds
+    detail = pricing_summary(sf_dir).materialize()
     base = detail.map_batches(
         _gs_relabel(None, None), batch_format="pyarrow"
     )
@@ -741,7 +745,9 @@ def pricing_cube(sf_dir: str):
     grouping-sets family next to ``pricing_rollup``. The corpus is
     scanned exactly once (by ``pricing_summary``); every coarser set
     re-aggregates that group-bounded output."""
-    detail = pricing_summary(sf_dir)
+    # materialized for the same reason as pricing_rollup: four
+    # consumers of one lazy Dataset would each re-run the scan
+    detail = pricing_summary(sf_dir).materialize()
     base = detail.map_batches(
         _gs_relabel(None, None), batch_format="pyarrow"
     )
@@ -1829,24 +1835,28 @@ def promo_revenue_share(sf_dir: str, *, promo_type: str = "ECONOMY"):
     part_path = f"{sf_dir}/part.parquet"
     if pq.read_metadata(part_path).num_rows <= BROADCAST_DIM_ROWS:
         part = pq.read_table(part_path, columns=["p_partkey", "p_type"])
-        promo_ref = ray.put(
-            {
-                k: (t == promo_type)
-                for k, t in zip(
-                    part.column("p_partkey").to_pylist(),
-                    part.column("p_type").to_pylist(),
-                )
-            }
-        )
+        keys = part.column("p_partkey").to_numpy(zero_copy_only=False)
+        flags = (
+            part.column("p_type").to_numpy(zero_copy_only=False)
+            == promo_type
+        ).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        # sorted (partkey, is_promo) arrays: searchsorted lookup, and
+        # rows whose partkey is absent from part are DROPPED so both
+        # paths share the hash path's inner-join semantics (they used
+        # to be kept with promo=0 on this path only)
+        promo_ref = ray.put((keys[order], flags[order]))
 
         def flag(t: pa.Table) -> pa.Table:
-            promo = ray.get(promo_ref)
-            is_promo = np.array(
-                [promo.get(p, False)
-                 for p in t.column("l_partkey").to_pylist()],
-                dtype=np.float64,
+            skeys, sflags = ray.get(promo_ref)
+            lk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, lk)
+            pos_c = np.minimum(pos, len(skeys) - 1)
+            present = skeys[pos_c] == lk
+            t = t.filter(pa.array(present))
+            return t.append_column(
+                "_promo", pa.array(sflags[pos_c[present]])
             )
-            return t.append_column("_promo", pa.array(is_promo))
 
         flagged = lineitem.map_batches(flag, batch_format="pyarrow")
     else:
@@ -2147,9 +2157,84 @@ def nation_account_reconciliation(sf_dir: str):
         "supp_acctbal": pa.float64(), "n_customers": pa.int64(),
         "cust_acctbal": pa.float64(), "category": pa.string(),
     }
-    if (parquet_rows(f"{sf_dir}/supplier.parquet") == 0
-            and parquet_rows(f"{sf_dir}/customer.parquet") == 0):
+    n_supp = parquet_rows(f"{sf_dir}/supplier.parquet")
+    n_cust = parquet_rows(f"{sf_dir}/customer.parquet")
+    if n_supp == 0 and n_cust == 0:
         return empty_dataset(out_schema)
+
+    def _one_sided(table: str, key: str, bal: str, n_alias: str,
+                   bal_alias: str, category: str):
+        # Exactly one input is empty: the full outer join degenerates
+        # to the non-empty side's aggregate with the other side's
+        # columns zero-filled (the join would otherwise see a
+        # schema-less empty side and crash in acero).
+        agg = (
+            read_parquet_clean(f"{sf_dir}/{table}", columns=[key, bal])
+            .groupby(key)
+            .aggregate(
+                Count(alias_name=n_alias),
+                Sum(bal, alias_name=bal_alias),
+            )
+        )
+
+        def degen(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or n_alias not in t.column_names:
+                return pa.schema(list(out_schema.items())).empty_table()
+            n = len(t)
+            own_n = t.column(n_alias).cast(pa.int64())
+            own_bal = pa_round_half_away(
+                t.column(bal_alias).cast(pa.float64()), 2
+            )
+            zero_i = pa.array([0] * n, pa.int64())
+            zero_f = pa.array([0.0] * n, pa.float64())
+            cols = {
+                "nationkey": t.column(key).cast(pa.int64()),
+                "n_suppliers": own_n if n_alias == "n_suppliers"
+                else zero_i,
+                "supp_acctbal": own_bal if bal_alias == "supp_acctbal"
+                else zero_f,
+                "n_customers": own_n if n_alias == "n_customers"
+                else zero_i,
+                "cust_acctbal": own_bal if bal_alias == "cust_acctbal"
+                else zero_f,
+                "category": pa.array([category] * n, pa.string()),
+            }
+            return pa.table(cols)
+
+        return agg.map_batches(degen, batch_format="pyarrow")
+
+    if n_cust == 0:
+        return _one_sided(
+            "supplier.parquet", "s_nationkey", "s_acctbal",
+            "n_suppliers", "supp_acctbal", "supplier_only",
+        )
+    if n_supp == 0:
+        return _one_sided(
+            "customer.parquet", "c_nationkey", "c_acctbal",
+            "n_customers", "cust_acctbal", "customer_only",
+        )
+
+    def _pin(key: str, n_alias: str, bal_alias: str):
+        # With fewer nations than hash partitions the aggregate emits
+        # schema-less empty blocks that break the acero join (same
+        # trap revenue_yoy documents); pin each side's schema.
+        schema = pa.schema(
+            [(key, pa.int64()), (n_alias, pa.int64()),
+             (bal_alias, pa.float64())]
+        )
+
+        def pin(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or key not in t.column_names:
+                return schema.empty_table()
+            return pa.table(
+                {
+                    key: t.column(key).cast(pa.int64()),
+                    n_alias: t.column(n_alias).cast(pa.int64()),
+                    bal_alias: t.column(bal_alias).cast(pa.float64()),
+                }
+            )
+
+        return pin
 
     supp = (
         read_parquet_clean(
@@ -2161,6 +2246,10 @@ def nation_account_reconciliation(sf_dir: str):
             Count(alias_name="n_suppliers"),
             Sum("s_acctbal", alias_name="supp_acctbal"),
         )
+        .map_batches(
+            _pin("s_nationkey", "n_suppliers", "supp_acctbal"),
+            batch_format="pyarrow",
+        )
     )
     cust = (
         read_parquet_clean(
@@ -2171,6 +2260,10 @@ def nation_account_reconciliation(sf_dir: str):
         .aggregate(
             Count(alias_name="n_customers"),
             Sum("c_acctbal", alias_name="cust_acctbal"),
+        )
+        .map_batches(
+            _pin("c_nationkey", "n_customers", "cust_acctbal"),
+            batch_format="pyarrow",
         )
     )
     joined = supp.join(

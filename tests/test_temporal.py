@@ -908,6 +908,58 @@ def test_nation_account_reconciliation_full_outer(ray_session, sf_dir):
     ).all()
 
 
+def test_nation_account_reconciliation_one_sided_empty(
+    ray_session, sf_dir, tmp_path
+):
+    """Exactly one side empty (the ADVICE r2 medium finding): the
+    full-outer join must degenerate to the non-empty side's rows, not
+    crash on schema-less empty blocks."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.relational import (
+        nation_account_reconciliation,
+    )
+
+    for empty_table, other, category in (
+        ("supplier", "customer", "customer_only"),
+        ("customer", "supplier", "supplier_only"),
+    ):
+        d = tmp_path / f"empty_{empty_table}"
+        d.mkdir()
+        for t in ("supplier", "customer"):
+            tab = pq.read_table(f"{sf_dir}/{t}.parquet")
+            if t == empty_table:
+                tab = tab.slice(0, 0)
+            pq.write_table(tab, str(d / f"{t}.parquet"))
+        out = (
+            nation_account_reconciliation(str(d))
+            .to_pandas()
+            .sort_values("nationkey")
+            .reset_index(drop=True)
+        )
+        assert (out["category"] == category).all()
+        k = other[0]
+        exp = duckdb.sql(
+            f"""SELECT {k}_nationkey AS nationkey,
+                       count(*) AS n, round(sum({k}_acctbal), 2) AS bal
+                FROM '{d}/{other}.parquet'
+                GROUP BY 1 ORDER BY 1"""
+        ).df()
+        assert len(out) == len(exp) > 0
+        side = "cust" if other == "customer" else "supp"
+        zero = "supp" if other == "customer" else "cust"
+        assert (out["nationkey"].values == exp["nationkey"].values).all()
+        assert (
+            out[f"n_{other}s"].values == exp["n"].values
+        ).all()
+        assert (
+            abs(out[f"{side}_acctbal"].values - exp["bal"].values) < 1e-6
+        ).all()
+        assert (out[f"n_{empty_table}s"] == 0).all()
+        assert (out[f"{zero}_acctbal"] == 0.0).all()
+
+
 def test_user_gap_stats_invariants(ray_session, sf_dir):
     from outbreak_kg_ray.pipelines.temporal import user_gap_stats
 
