@@ -87,31 +87,101 @@ def pair_counts(sf_dir: str):
 
 
 def realism_table(sf_dir: str):
-    """→ pandas (mesh_a, mesh_b, count, score) with
+    """→ Dataset (mesh_a, mesh_b, count, score) with
     score = round(ln(count) − ln(num_alerts), 6). The alert count
     (realism_score.py:70, ``len(terms_by_alert)``) rides along as the
-    ("", "") marker row — no second corpus pass. Small, final."""
+    ("", "") marker row — no second corpus pass.
+
+    Scale shape: the pair table NEVER lands on the driver (it is
+    lexicon²-bounded today, corpus-derived tomorrow) — the counts
+    materialize once in the OBJECT STORE, only the 1-row marker is
+    collected for the normalization scalar, and the score is a
+    per-batch Arrow kernel; point lookups slice the distributed
+    table (``realism_lookup``)."""
+    import pyarrow.compute as pc
+
     from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
 
+    from ..functions.rounding import pa_round_half_away
+
+    out_schema = {
+        "mesh_a": pa.string(), "mesh_b": pa.string(),
+        "count": pa.int64(), "score": pa.float64(),
+    }
     if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
-        import pandas as pd
+        return empty_dataset(out_schema)
+    # materialized once (object store, distributed): two consumers —
+    # the 1-row marker collect and the scored stream
+    counts = pair_counts(sf_dir).materialize()
 
-        return pd.DataFrame({
-            "mesh_a": pd.Series(dtype=object),
-            "mesh_b": pd.Series(dtype=object),
-            "count": pd.Series(dtype="int64"),
-            "score": pd.Series(dtype="float64"),
-        })
-    df = pair_counts(sf_dir).to_pandas()
-    marker = df[(df["mesh_a"] == "") & (df["mesh_b"] == "")]
-    num_alerts = int(marker["count"].iloc[0]) if len(marker) else 1
-    df = df[(df["mesh_a"] != "") | (df["mesh_b"] != "")].copy()
-    from ..functions.rounding import np_round_half_away
+    def marker_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.equal(t.column("mesh_a"), pa.scalar("")),
+                pc.equal(t.column("mesh_b"), pa.scalar("")),
+            )
+        )
 
-    df["score"] = np_round_half_away(
-        (np.log(df["count"]) - np.log(num_alerts)).to_numpy(), 6
+    marker = counts.map_batches(
+        marker_only, batch_format="pyarrow"
+    ).take(1)
+    num_alerts = int(marker[0]["count"]) if marker else 1
+    log_n = float(np.log(num_alerts))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(list(out_schema.items())).empty_table()
+        keep = pc.or_(
+            pc.not_equal(t.column("mesh_a"), pa.scalar("")),
+            pc.not_equal(t.column("mesh_b"), pa.scalar("")),
+        )
+        t = t.filter(keep)
+        cnt = t.column("count").cast(pa.int64())
+        s = pc.subtract(
+            pc.ln(pc.cast(cnt, pa.float64())), pa.scalar(log_n)
+        )
+        return pa.table(
+            {
+                "mesh_a": t.column("mesh_a"),
+                "mesh_b": t.column("mesh_b"),
+                "count": cnt,
+                "score": pa_round_half_away(s, 6),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pyarrow").sort(
+        ["mesh_a", "mesh_b"]
     )
-    return df.sort_values(["mesh_a", "mesh_b"]).reset_index(drop=True)
+
+
+def realism_lookup(sf_dir: str, mesh_ids: list[str]) -> dict:
+    """Collect ONLY the query-relevant slice of the pair-score table:
+    rows where both endpoints are in ``mesh_ids`` (a handful of ids
+    per request). The full table stays distributed."""
+    import pyarrow.compute as pc
+
+    ids = sorted(set(mesh_ids))
+    if not ids:
+        return {}
+    id_arr = pa.array(ids, pa.string())
+
+    def slice_batch(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.is_in(t.column("mesh_a"), value_set=id_arr),
+                pc.is_in(t.column("mesh_b"), value_set=id_arr),
+            )
+        )
+
+    sliced = realism_table(sf_dir).map_batches(
+        slice_batch, batch_format="pyarrow"
+    ).to_pandas()
+    return {
+        (a, b): float(s)
+        for a, b, s in zip(
+            sliced["mesh_a"], sliced["mesh_b"], sliced["score"]
+        )
+    }
 
 
 def logsumexp_score(mesh_ids: list[str], score_lookup: dict, num_alerts: int):

@@ -592,20 +592,17 @@ def text_relations(sf_dir: str, text: str = DEMO_TEXT) -> dict:
     reference (realism_score.py loads its scores TSV once)."""
     import numpy as np
 
-    from .realism import logsumexp_score, realism_table
+    from .realism import logsumexp_score, realism_lookup
 
     annotations = annotate_text(text)
     curies = sorted({a["curie"] for a in annotations})
     mesh_ids = [c.split(":", 1)[1] for c in curies if c.startswith("MESH:")]
 
-    scores_df = realism_table(sf_dir)
+    # collect ONLY the query-relevant slice of the distributed
+    # pair-score table (a handful of ids per request); the full table
+    # never lands on the driver
     num_alerts = 1  # folded into the stored scores; lookup is absolute
-    lookup = {
-        (a, b): float(s)
-        for a, b, s in zip(
-            scores_df["mesh_a"], scores_df["mesh_b"], scores_df["score"]
-        )
-    }
+    lookup = realism_lookup(sf_dir, mesh_ids)
     scores, score_sum, classification = logsumexp_score(
         mesh_ids, lookup, num_alerts
     )

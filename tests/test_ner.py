@@ -119,3 +119,21 @@ def test_resolve_curie_grounds_names_and_geonames():
         (c, n) for c, n, _pc, _pn in GEONAME_TERMS if n not in NAME_TO_ID
     )
     assert sv.resolve_curie(geo_only[1]) == geo_only[0]
+
+
+def test_ner_exclude_stoplist_is_a_noop_on_the_lexicon():
+    """Pin the documented deviation (stages/ner.py:annotate): the
+    engine APPLIES the NER_EXCLUDE stoplist case-insensitively while
+    the reference only defines it (promed_ner.py:19). That deviation
+    stays a semantic no-op exactly as long as no lexicon surface name
+    is stoplisted — assert the intersection is empty so lexicon
+    growth cannot silently change NER output."""
+    from outbreak_kg_ray.config import NER_EXCLUDE
+    from outbreak_kg_ray.fixtures.lexicon import MENTION_LEXICON
+
+    lex_names = {row[1].lower() for row in MENTION_LEXICON}
+    stoplisted = lex_names & {x.lower() for x in NER_EXCLUDE}
+    assert stoplisted == set(), (
+        f"NER_EXCLUDE now intersects the lexicon {stoplisted!r}: the "
+        "engine-applied stoplist is no longer a no-op vs the reference"
+    )
