@@ -285,11 +285,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete_terms": serving.autocomplete_terms,
         "dedup_pages": dedup_pages_q,
         "alert_text": alert_text,
-        # --- multimodal binary-column stages (decode stubbed) ---
+        # --- multimodal binary-column stages ---
         "image_features": mm.image_features,
         "audio_frames": mm.audio_frames,
         "video_frame_samples": mm.video_frame_samples,
         "image_thumbnails": mm.image_thumbnails,
+        # real codecs: spec-valid PNG (pure-stdlib zlib decoder, all
+        # 5 scanline filters) and RIFF/WAVE PCM-16 (stdlib encoder ×
+        # hand-written decoder cross-check)
+        "png_image_features": mm.png_image_features,
+        "wav_audio_frames": mm.wav_audio_frames,
         # --- literature matrix (dict encode + fisher ranking) ---
         "dict_encode": dict_encode,
         "literature_rank": literature_rank,
@@ -1119,6 +1124,45 @@ fr AS (
   WHERE r.range < (n + 3) // 4
 )
 SELECT doc_id * 2 + 1 AS media_id, sr AS sample_rate,
+       (n + 3) // 4 AS n_frames, round(avg(fv), 6) AS frame_mean
+FROM fr GROUP BY doc_id, sr, n
+"""
+
+    # analytic oracle for the REAL-PNG decode path: the payload is a
+    # spec-valid PNG but the pixels follow the same closed-form
+    # formula as FIMG, so the decoded statistics are computable in SQL
+    sql["png_image_features"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, (doc_id * 131 + r.range * 29) % 256 AS pv
+  FROM dims CROSS JOIN range(0, 4096) r
+  WHERE r.range < w * h
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST((doc_id * 131) % 256 AS DOUBLE) AS f_first,
+       CAST((doc_id * 131 + (w * h - 1) * 29) % 256 AS DOUBLE) AS f_last,
+       round(avg(pv), 6) AS f_mean
+FROM px GROUP BY doc_id, w, h
+"""
+
+    # analytic oracle for the REAL-WAV decode path (PCM-16, stride 4):
+    # sample16[i] = ((doc*37 + i*11) % 65536) - 32768
+    sql["wav_audio_frames"] = """
+WITH params AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+         256 + (doc_id * 13) % 768 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, sr, n,
+         ((doc_id * 37 + r.range * 4 * 11) % 65536) - 32768 AS fv
+  FROM params CROSS JOIN range(0, 256) r
+  WHERE r.range < (n + 3) // 4
+)
+SELECT doc_id AS media_id, sr AS sample_rate,
        (n + 3) // 4 AS n_frames, round(avg(fv), 6) AS frame_mean
 FROM fr GROUP BY doc_id, sr, n
 """

@@ -139,17 +139,278 @@ def media_dataset(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# real codecs: PNG (pure stdlib zlib, critical chunks, all 5 row
+# filters) and WAV (RIFF PCM). No third-party libs — the container
+# has no PIL/libsndfile, and these formats need none.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/px
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_ = abs(p - a)
+    pb = abs(p - b)
+    pc_ = abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def encode_png(pixels: np.ndarray, *, filters: str = "cycle") -> bytes:
+    """Real PNG writer: 8-bit grayscale, zlib-compressed scanlines.
+    ``filters="cycle"`` applies filter type ``y % 5`` per row so a
+    decoder must implement ALL five filters (None/Sub/Up/Average/
+    Paeth) to round-trip; ``filters="none"`` writes filter 0 rows.
+    Output is a spec-valid PNG (signature, IHDR/IDAT/IEND, CRCs)."""
+    import zlib
+
+    if pixels.dtype != np.uint8 or pixels.ndim != 2:
+        raise ValueError("encode_png expects a 2-D uint8 array")
+    h, w = pixels.shape
+    px = pixels.astype(np.int64)
+    lines = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        raw = px[y]
+        ftype = (y % 5) if filters == "cycle" else 0
+        left = np.concatenate(([0], raw[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if ftype == 0:
+            out = raw
+        elif ftype == 1:
+            out = raw - left
+        elif ftype == 2:
+            out = raw - prev
+        elif ftype == 3:
+            out = raw - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left,
+                np.where(pb <= pc_, prev, upleft),
+            )
+            out = raw - pred
+        lines.append(bytes([ftype]) + (out % 256).astype(np.uint8).tobytes())
+        prev = raw
+    idat = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decoder (pure stdlib): critical-chunk walk with CRC
+    verification, zlib inflate, full 5-filter scanline reconstruction
+    (spec §6.2, including the byte-sequential Average/Paeth cases).
+    Supports 8-bit depth, any color type, non-interlaced. Returns
+    ``(width, height, pixels)`` with pixels shaped ``(h, w*channels)``.
+    """
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = channels = None
+    idat = []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    bpp = channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        rpos += 1
+        line = np.frombuffer(raw, np.uint8, stride, rpos).astype(np.int64)
+        rpos += stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:
+            # recon[x] = line[x] + recon[x-bpp]: per-lane cumsum mod 256
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif ftype == 2:
+            rec = (line + prev) % 256
+        elif ftype in (3, 4):
+            # left-dependent: byte-sequential per the spec
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                upleft = prev[x - bpp] if x >= bpp else 0
+                if ftype == 3:
+                    rec[x] = (line[x] + (left + up) // 2) % 256
+                else:
+                    rec[x] = (line[x] + _paeth(left, up, upleft)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+    return w, h, out.astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Real WAV writer via the STDLIB ``wave`` module (an encoder
+    independent of our hand-written RIFF decoder below, so the
+    round-trip is a two-implementation cross-check): mono 16-bit PCM.
+    """
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real WAV decoder: hand-written RIFF chunk walk (fmt/data),
+    PCM-16 mono → ``(sample_rate, int16 samples)``. Independent of
+    the stdlib encoder above."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    bits = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack(
+                "<HHI", body[:8]
+            )
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise NotImplementedError("only PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError("only mono 16-bit PCM supported")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def make_png_payload(doc_id: int) -> bytes:
+    """Deterministic REAL PNG: same pixel formula as FIMG
+    (``(doc_id*131 + i*29) % 256`` row-major over image_dims), so the
+    analytic DuckDB oracle for the decoded statistics is shared."""
+    w, h = image_dims(doc_id)
+    idx = np.arange(w * h, dtype=np.int64)
+    pixels = ((doc_id * 131 + idx * 29) % 256).astype(np.uint8)
+    return encode_png(pixels.reshape(h, w))
+
+
+def make_wav_payload(doc_id: int) -> bytes:
+    """Deterministic REAL WAV (stdlib encoder): params from
+    audio_params; ``sample16[i] = ((doc_id*37 + i*11) % 65536) - 32768``.
+    """
+    sr, n = audio_params(doc_id)
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 37 + idx * 11) % 65536) - 32768
+    return encode_wav(samples.astype(np.int16), sr)
+
+
+def png_media_dataset(sf_dir: str):
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(
+                    [make_png_payload(d) for d in ids], pa.binary()
+                ),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(batch, batch_format="pyarrow", batch_size=256)
+
+
+def wav_media_dataset(sf_dir: str):
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["audio"] * len(ids), pa.string()),
+                "payload": pa.array(
+                    [make_wav_payload(d) for d in ids], pa.binary()
+                ),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(batch, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
 # decode stages (actor pools; small batches — binary payloads are big)
 # ---------------------------------------------------------------------------
 
 def decode_image_real(payload: bytes):
-    """Real-codec path, stubbed: requires PIL, absent here."""
+    """Real-codec dispatch: PNG decodes natively (pure stdlib
+    decoder above). Other real formats (JPEG, ...) would need PIL,
+    absent in this container."""
+    if payload.startswith(PNG_SIG):
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode requires PIL, which is not available in "
-            "this environment; use the FIMG fake-container path"
+            "non-PNG image decode requires PIL, which is not available "
+            "in this environment; PNG and the FIMG fake container are "
+            "the supported paths"
         ) from e
     raise NotImplementedError("real decode wiring lands with the codec")
 
@@ -174,11 +435,14 @@ class ImageDecodeStage:
         for mid, payload in zip(
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
-            if not payload.startswith(self.MAGIC):
-                decode_image_real(payload)  # stub: raises NotImplementedError
-            w, h = self.header.unpack(payload[4:8])
-            pixels = np.frombuffer(payload, dtype=np.uint8, offset=8)
-            assert pixels.size == w * h, "truncated FIMG payload"
+            if payload.startswith(self.MAGIC):
+                w, h = self.header.unpack(payload[4:8])
+                pixels = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                assert pixels.size == w * h, "truncated FIMG payload"
+            else:
+                # real-codec dispatch (PNG path is native)
+                w, h, mat = decode_image_real(payload)
+                pixels = mat.reshape(-1)
             ids.append(mid)
             widths.append(w)
             heights.append(h)
@@ -215,13 +479,17 @@ class AudioFrameSampleStage:
         for mid, payload in zip(
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
-            if not payload.startswith(self.MAGIC):
+            if payload.startswith(self.MAGIC):
+                sr, n = self.header.unpack(payload[4:8])
+                samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
+                assert samples.size == n, "truncated FAUD payload"
+            elif payload.startswith(b"RIFF"):
+                sr, samples = decode_wav(payload)  # real PCM decode
+            else:
                 raise NotImplementedError(
-                    "real audio decode requires an audio codec, absent here"
+                    "compressed audio decode requires a codec library, "
+                    "absent here; FAUD and RIFF/WAVE PCM are supported"
                 )
-            sr, n = self.header.unpack(payload[4:8])
-            samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
-            assert samples.size == n, "truncated FAUD payload"
             frames = samples[:: self.stride]
             ids.append(mid)
             srs.append(sr)
@@ -301,12 +569,13 @@ class ImageResizeStage:
         for mid, payload in zip(
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
-            if not payload.startswith(self.MAGIC):
-                decode_image_real(payload)  # stub: raises NotImplementedError
-            w, h = self.header.unpack(payload[4:8])
-            pixels = np.frombuffer(
-                payload, dtype=np.uint8, offset=8
-            ).reshape(h, w)
+            if payload.startswith(self.MAGIC):
+                w, h = self.header.unpack(payload[4:8])
+                pixels = np.frombuffer(
+                    payload, dtype=np.uint8, offset=8
+                ).reshape(h, w)
+            else:
+                w, h, pixels = decode_image_real(payload)
             rows = (np.arange(s) * h) // s
             cols = (np.arange(s) * w) // s
             thumb = pixels[rows][:, cols]
@@ -364,6 +633,37 @@ def image_features(sf_dir: str, *, batch_size: int = 64,
     )
     return ds.map_batches(
         ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def png_image_features(sf_dir: str, *, batch_size: int = 64,
+                       concurrency=(1, 4)):
+    """Image features over REAL PNG payloads: the same actor-pool
+    decode stage, exercising the pure-stdlib PNG decoder (all five
+    scanline filters — the encoder cycles them per row). n_bytes is
+    dropped from the output because the zlib stream length is not
+    analytically computable for the oracle."""
+    return png_media_dataset(sf_dir).map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).select_columns(
+        ["media_id", "width", "height", "f_first", "f_last", "f_mean"]
+    )
+
+
+def wav_audio_frames(sf_dir: str, *, stride: int = 4, batch_size: int = 64,
+                     concurrency=(1, 4)):
+    """Frame-sample summary over REAL RIFF/WAVE PCM-16 payloads
+    (stdlib ``wave`` encoder cross-checked by the hand-written RIFF
+    decoder)."""
+    return wav_media_dataset(sf_dir).map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -42,15 +42,86 @@ def test_payload_roundtrip_audio_stride():
     assert row["frame_mean"] == round(float(samples[::4].mean()), 6)
 
 
-def test_real_decode_is_stubbed():
+def test_non_png_real_decode_is_stubbed():
+    # JPEG (no PIL in this container) stays a guarded stub; malformed
+    # RIFF is a hard error, compressed audio a stub
     with pytest.raises(NotImplementedError):
         mm.ImageDecodeStage()(
-            pa.table({"media_id": [0], "payload": [b"\x89PNG\r\n fake"]})
+            pa.table({"media_id": [0], "payload": [b"\xff\xd8\xff jpeg"]})
         )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.AudioFrameSampleStage()(
             pa.table({"media_id": [0], "payload": [b"RIFF fake wav"]})
         )
+    with pytest.raises(NotImplementedError):
+        mm.AudioFrameSampleStage()(
+            pa.table({"media_id": [0], "payload": [b"OggS vorbis..."]})
+        )
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    import zlib
+
+    for doc_id in (0, 3, 11, 250):
+        w, h = mm.image_dims(doc_id)
+        idx = np.arange(w * h, dtype=np.int64)
+        expect = ((doc_id * 131 + idx * 29) % 256).astype(
+            np.uint8
+        ).reshape(h, w)
+        payload = mm.make_png_payload(doc_id)
+        assert payload.startswith(mm.PNG_SIG)
+        dw, dh, pix = mm.decode_png(payload)
+        assert (dw, dh) == (w, h)
+        assert (pix == expect).all()
+        # the encoder cycles filter = y % 5, so a >=5-row image
+        # exercises ALL five scanline filters in the decoder
+        raw = zlib.decompress(
+            payload[payload.index(b"IDAT") + 4:-16]
+        )
+        ftypes = {raw[y * (w + 1)] for y in range(h)}
+        assert ftypes == {0, 1, 2, 3, 4}
+
+
+def test_png_crc_corruption_rejected():
+    payload = bytearray(mm.make_png_payload(5))
+    payload[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(payload))
+
+
+def test_wav_cross_implementation_roundtrip():
+    import numpy as np
+
+    # stdlib `wave` encoder × hand-written RIFF decoder
+    for doc_id in (0, 1, 2, 77):
+        sr, n = mm.audio_params(doc_id)
+        idx = np.arange(n, dtype=np.int64)
+        expect = (((doc_id * 37 + idx * 11) % 65536) - 32768).astype(
+            np.int16
+        )
+        dsr, samples = mm.decode_wav(mm.make_wav_payload(doc_id))
+        assert dsr == sr
+        assert (samples == expect).all()
+
+
+def test_real_codec_pipelines(ray_session):
+    import numpy as np
+
+    feats = mm.png_image_features(SF).to_pandas()
+    assert len(feats) == 500
+    # spot-check one decoded row against the closed form
+    row = feats[feats["media_id"] == 7].iloc[0]
+    w, h = mm.image_dims(7)
+    idx = np.arange(w * h, dtype=np.int64)
+    px = (7 * 131 + idx * 29) % 256
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["f_mean"] == pytest.approx(px.mean(), abs=1e-6)
+    wavs = mm.wav_audio_frames(SF).to_pandas()
+    assert len(wavs) == 500
+    assert set(wavs["sample_rate"]) <= {8000, 12000, 16000}
+    # PCM-16 means are signed
+    assert (wavs["frame_mean"].abs() <= 32768).all()
 
 
 def test_media_dataset_plumbing(ray_session):
