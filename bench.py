@@ -233,6 +233,10 @@ def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool) -> dict:
         "num_cpus": num_cpus,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 1),
+        # host-tenancy self-documentation: 1/5/15-min load averages
+        # at the END of the run (judge request, VERDICT r2 #3) — a
+        # loaded host shows here without needing forensics
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
 
 
@@ -296,6 +300,7 @@ def run_scaling(sf_dir: str) -> dict:
         f"triples_per_sec_{lo_cpus}cpu": tput_lo,
         f"triples_per_sec_{hi_cpus}cpu": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
 
 

@@ -580,23 +580,29 @@ def top_customers_by_nation(sf_dir: str, *, k: int = 3):
         right_on=("c_custkey",),
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["revenue", "o_custkey"], ascending=[False, True]
-        ).head(k)
-        return pd.DataFrame(
+    def topk(g: pa.Table) -> pa.Table:
+        # Arrow-native per-group top-k: numpy lexsort, no pandas
+        rev = g.column("revenue").to_numpy(zero_copy_only=False)
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cust, -rev))[:k]
+        return pa.table(
             {
-                "c_nationkey": g["c_nationkey"].to_numpy(),
-                "c_custkey": g["o_custkey"].to_numpy(),
-                "revenue": np_round_half_away(
-                    g["revenue"].to_numpy(), 6
+                "c_nationkey": g.column("c_nationkey").take(
+                    pa.array(order, pa.int64())
                 ),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "c_custkey": pa.array(cust[order], pa.int64()),
+                "revenue": pa.array(
+                    np_round_half_away(rev[order], 6), pa.float64()
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
     return joined.groupby("c_nationkey").map_groups(
-        topk, batch_format="pandas"
+        topk, batch_format="pyarrow"
     )
 
 
@@ -893,21 +899,39 @@ def events_sliding_window(sf_dir: str):
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sv"))
     )
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour").set_index("hour")
-        win_n = g["n_events"].rolling("3h").sum().astype("int64")
-        win_v = np_round_half_away(g["sv"].rolling("3h").sum().to_numpy(), 6)
-        return pd.DataFrame(
+    def roll(g: pa.Table) -> pa.Table:
+        # time-based 3h rolling sum, Arrow/numpy-native: sort by hour,
+        # prefix sums, and a searchsorted left boundary per row
+        # (pandas rolling("3h") semantics: window (t-3h, t], right-
+        # closed — gaps in the hourly grid respected)
+        hours = g.column("hour").to_numpy(zero_copy_only=False)
+        order = np.argsort(hours, kind="stable")
+        take = pa.array(order, pa.int64())
+        hours = hours[order]
+        n_ev = g.column("n_events").to_numpy(zero_copy_only=False)[order]
+        sv = g.column("sv").to_numpy(zero_copy_only=False)[order]
+        h_i = hours.astype("datetime64[ns]").astype(np.int64)
+        lo = np.searchsorted(
+            h_i, h_i - np.int64(3 * 3600 * 1_000_000_000), side="right"
+        )
+        cn = np.concatenate(([0], np.cumsum(n_ev)))
+        cv = np.concatenate(([0.0], np.cumsum(sv)))
+        idx = np.arange(1, len(hours) + 1)
+        return pa.table(
             {
-                "hour": g.index,
-                "event_type": g["event_type"].to_numpy(),
-                "n_events": g["n_events"].to_numpy(),
-                "window_events": win_n.to_numpy(),
-                "window_value": win_v,
+                "hour": pa.array(hours).cast(pa.timestamp("us")),
+                "event_type": g.column("event_type").take(take),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "window_events": pa.array(cn[idx] - cn[lo], pa.int64()),
+                "window_value": pa.array(
+                    np_round_half_away(cv[idx] - cv[lo], 6), pa.float64()
+                ),
             }
         )
 
-    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+    return hourly.groupby("event_type").map_groups(
+        roll, batch_format="pyarrow"
+    )
 
 
 def cumulative_order_revenue(sf_dir: str):
@@ -929,22 +953,32 @@ def cumulative_order_revenue(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        return pd.DataFrame(
+    def running(g: pa.Table) -> pa.Table:
+        dates = g.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, dates))
+        take = pa.array(order, pa.int64())
+        prices = g.column("o_totalprice").to_numpy(
+            zero_copy_only=False
+        )[order]
+        return pa.table(
             {
-                "o_custkey": g["o_custkey"].to_numpy(),
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "o_orderdate": g["o_orderdate"].to_numpy(),
-                "order_seq": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cum_revenue": np_round_half_away(
-                    np.cumsum(g["o_totalprice"].to_numpy()), 2
+                "o_custkey": g.column("o_custkey").take(take),
+                "o_orderkey": pa.array(keys[order], pa.int64()),
+                "o_orderdate": g.column("o_orderdate").take(take),
+                "order_seq": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "cum_revenue": pa.array(
+                    np_round_half_away(np.cumsum(prices), 2),
+                    pa.float64(),
                 ),
             }
         )
 
     return orders.groupby("o_custkey").map_groups(
-        running, batch_format="pandas"
+        running, batch_format="pyarrow"
     )
 
 

@@ -14,8 +14,8 @@ unbounded posting list, mirroring how real indexes shard hot terms.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from outbreak_kg_ray.sources.io import read_parquet_clean
 
@@ -50,18 +50,26 @@ def inverted_index(sf_dir: str, *, cap: int = POSTINGS_CAP):
             "ppost": pa.array(posts, pa.list_(pa.int64())),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        df = int(g["pdf"].sum())
-        ids = np.sort(np.concatenate([np.asarray(p) for p in g["ppost"]]))
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": [df],
-            "postings": [",".join(str(i) for i in ids[:cap])],
-            "truncated": [df > cap],
+    def merge(g: pa.Table) -> pa.Table:
+        # Arrow-native group merge (no pandas round-trip): the list
+        # column's flattened values concatenate zero-copy
+        df = int(pc.sum(g.column("pdf")).as_py())
+        ids = np.sort(
+            g.column("ppost").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table({
+            "term": g.column("term").slice(0, 1),
+            "df": pa.array([df], pa.int64()),
+            "postings": pa.array(
+                [",".join(str(i) for i in ids[:cap])], pa.string()
+            ),
+            "truncated": pa.array([df > cap], pa.bool_()),
         })
 
     return (
         docs.map_batches(partials, batch_format="pyarrow")
         .groupby("term")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )

@@ -25,7 +25,6 @@ than one bucket of rows.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from outbreak_kg_ray.sources.io import read_parquet_clean
@@ -84,31 +83,33 @@ def pack_sequences(sf_dir: str, *, cap: int = 2048,
             "bucket", pa.array(ids // bucket_size, pa.int64())
         )
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def scan_bucket(g: pa.Table) -> pa.Table:
         import ray as _ray
 
         offs = _ray.get(off_ref)
-        g = g.sort_values("doc_id")
-        toks = np.fromiter(
-            (len(s.split()) for s in g["text"]),
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = g.column("text")
+        toks = np.array(
+            [len(texts[int(i)].as_py().split()) for i in order],
             dtype=np.int64,
-            count=len(g),
         )
         cum_before = (
             np.concatenate(([0], np.cumsum(toks)[:-1]))
-            + offs[int(g["bucket"].iloc[0])]
+            + offs[int(g.column("bucket")[0].as_py())]
         )
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "n_tokens": toks,
-            "cum_before": cum_before,
-            "window_id": cum_before // cap,
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "cum_before": pa.array(cum_before, pa.int64()),
+            "window_id": pa.array(cum_before // cap, pa.int64()),
         })
 
     return (
         docs.map_batches(with_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
 
@@ -156,19 +157,24 @@ def shuffle_positions(sf_dir: str, *, prefix_hex: int = 2):
         acc += r["n"]
     off_ref = ray.put(offs)
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def rank_bucket(g: pa.Table) -> pa.Table:
         import ray as _ray
 
         offs = _ray.get(off_ref)
-        g = g.sort_values(["key", "doc_id"])
-        base = offs[g["bucket"].iloc[0]]
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(),
-            "pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        base = offs[g.column("bucket")[0].as_py()]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "pos": pa.array(
+                base + np.arange(1, len(ids) + 1, dtype=np.int64),
+                pa.int64(),
+            ),
         })
 
     return keyed_ds.groupby("bucket").map_groups(
-        rank_bucket, batch_format="pandas"
+        rank_bucket, batch_format="pyarrow"
     )
 
 
@@ -225,25 +231,28 @@ def _ranked_docs(
         acc += r["n"]
     off_ref = ray.put(offs)
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def rank_bucket(g: pa.Table) -> pa.Table:
         import ray as _ray
 
         offs = _ray.get(off_ref)
-        g = g.sort_values(["key", "doc_id"])
-        base = offs[g["bucket"].iloc[0]]
-        pos = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        take = pa.array(order, pa.int64())
+        base = offs[g.column("bucket")[0].as_py()]
+        pos = base + np.arange(1, len(ids) + 1, dtype=np.int64)
         out = {
-            "doc_id": g["doc_id"].to_numpy(),
-            "pos": pos,
-            "shard_id": (pos - 1) // shard_size,
-            "n_tokens": g["n_tokens"].to_numpy(),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "shard_id": pa.array((pos - 1) // shard_size, pa.int64()),
+            "n_tokens": g.column("n_tokens").take(take),
         }
         if with_text:
-            out["text"] = g["text"].to_numpy()
-        return pd.DataFrame(out)
+            out["text"] = g.column("text").take(take)
+        return pa.table(out)
 
     return keyed_ds.groupby("bucket").map_groups(
-        rank_bucket, batch_format="pandas"
+        rank_bucket, batch_format="pyarrow"
     )
 
 
@@ -291,39 +300,38 @@ def write_training_shards(
     os.makedirs(out_dir, exist_ok=True)
     ranked = _ranked_docs(sf_dir, shard_size=shard_size, with_text=True)
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        sid = int(g["shard_id"].iloc[0])
+    def write_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sid = int(g.column("shard_id")[0].as_py())
         path = os.path.join(out_dir, f"shard={sid:06d}")
         done = os.path.join(path, "_DONE")
-        row = {
-            "shard_id": [sid],
-            "n_docs": [len(g)],
-            "n_tokens": [int(g["n_tokens"].sum())],
-            "path": [path],
-            "skipped": [False],
-        }
-        if os.path.exists(done):
-            row["skipped"] = [True]
-            return pd.DataFrame(row)
-        os.makedirs(path, exist_ok=True)
-        g = g.sort_values("pos")
-        t = pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                "pos": pa.array(g["pos"].to_numpy(), pa.int64()),
+
+        def manifest(skipped: bool) -> pa.Table:
+            return pa.table({
+                "shard_id": pa.array([sid], pa.int64()),
+                "n_docs": pa.array([len(g)], pa.int64()),
                 "n_tokens": pa.array(
-                    g["n_tokens"].to_numpy(), pa.int64()
+                    [int(pc.sum(g.column("n_tokens")).as_py())],
+                    pa.int64(),
                 ),
-                "text": pa.array(g["text"].tolist(), pa.string()),
-            }
+                "path": pa.array([path], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            })
+
+        if os.path.exists(done):
+            return manifest(True)
+        os.makedirs(path, exist_ok=True)
+        t = g.sort_by("pos").select(
+            ["doc_id", "pos", "n_tokens", "text"]
         )
         tmp = os.path.join(path, ".part.parquet.tmp")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(path, "part.parquet"))
         with open(done, "w", encoding="utf-8") as f:
             f.write(f"{len(g)}\n")
-        return pd.DataFrame(row)
+        return manifest(False)
 
     return ranked.groupby("shard_id").map_groups(
-        write_shard, batch_format="pandas"
+        write_shard, batch_format="pyarrow"
     )

@@ -73,19 +73,29 @@ class BruteForceTopK:
 
 
 def topk_merge(partials_ds, k: int = 10):
-    """Global exact top-k per query from per-batch partials."""
-    import pandas as pd
+    """Global exact top-k per query from per-batch partials
+    (Arrow-native group merge: numpy lexsort, no pandas round-trip).
+    """
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        g = g.head(k).copy()
+    def merge(g: pa.Table) -> pa.Table:
+        scores = g.column("score").to_numpy(zero_copy_only=False)
+        vec_ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vec_ids, -scores))[:k]
         # round only here, half-away-from-zero (DuckDB ROUND semantics)
-        g["score"] = np_round_half_away(g["score"].to_numpy(), 6)
-        return g
+        return pa.table(
+            {
+                "query_id": g.column("query_id").take(
+                    pa.array(order, pa.int64())
+                ),
+                "vec_id": pa.array(vec_ids[order], pa.int64()),
+                "score": pa.array(
+                    np_round_half_away(scores[order], 6), pa.float64()
+                ),
+            }
+        )
 
     return partials_ds.groupby("query_id").map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
 
@@ -312,7 +322,6 @@ def embedding_near_dup_pairs_bucketed(embeddings_ds, *,
     testdata distribution nprobe=6/16 reproduces the exact pair set
     (nprobe=4 misses ~7% of pairs; measured recall curve in tests)
     (asserted in tests/test_simsearch_scale.py)."""
-    import pandas as pd
 
     cent = deterministic_centroids(dim, n_clusters)
 
@@ -330,22 +339,30 @@ def embedding_near_dup_pairs_bucketed(embeddings_ds, *,
             }
         )
 
-    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        lbl = g[label_col].to_numpy()
+    _pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("score", pa.float64())]
+    )
+
+    def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        # Arrow-native: the embedding list column converts to a dense
+        # matrix via the shared _to_matrix kernel (no pandas objects)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        lbl = g.column(label_col).to_numpy(zero_copy_only=False)
         sub = lbl == 0
         if not sub.any() or len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        emb = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+            return _pair_schema.empty_table()
+        emb = _normalize(_to_matrix(g.column("embedding")))
         scores = emb @ emb[sub].T
         rows, cols = np.where(scores >= threshold)
         a, b = ids[rows], ids[sub][cols]
         keep = a < b
-        return pd.DataFrame(
-            {"a": a[keep], "b": b[keep],
-             "score": scores[rows, cols][keep]}  # unrounded until dedup
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                # unrounded until dedup
+                "score": pa.array(scores[rows, cols][keep], pa.float64()),
+            }
         )
 
     from ray.data.aggregate import Max
@@ -354,7 +371,7 @@ def embedding_near_dup_pairs_bucketed(embeddings_ds, *,
         assign, batch_format="pyarrow", batch_size=4096
     )
     pairs = assigned.groupby("cluster").map_groups(
-        pairs_in_cluster, batch_format="pandas"
+        pairs_in_cluster, batch_format="pyarrow"
     )
     deduped = pairs.groupby(["a", "b"]).aggregate(
         Max("score", alias_name="score")
