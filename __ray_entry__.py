@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hand-written decoder cross-check)
         "png_image_features": mm.png_image_features,
         "wav_audio_frames": mm.wav_audio_frames,
+        "png_thumbnails": mm.png_thumbnails,
         # --- literature matrix (dict encode + fisher ranking) ---
         "dict_encode": dict_encode,
         "literature_rank": literature_rank,
@@ -1150,6 +1151,27 @@ FROM px GROUP BY doc_id, w, h
 
     # analytic oracle for the REAL-WAV decode path (PCM-16, stride 4):
     # sample16[i] = ((doc*37 + i*11) % 65536) - 32768
+    # real-PNG thumbnail path: same analytic cell formula as the
+    # FIMG thumbnails, media_id = doc_id
+    sql["png_thumbnails"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         (doc_id * 131 +
+          (((r.range // 8) * h // 8) * w + ((r.range % 8) * w // 8)) * 29
+         ) % 256 AS pv
+  FROM dims CROSS JOIN range(0, 64) r
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS thumb_w, CAST(8 AS BIGINT) AS thumb_h,
+       round(avg(pv), 6) AS thumb_mean,
+       CAST((doc_id * 131) % 256 AS DOUBLE) AS top_left
+FROM cells GROUP BY doc_id
+"""
+
     sql["wav_audio_frames"] = """
 WITH params AS (
   SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,

@@ -656,6 +656,20 @@ def png_image_features(sf_dir: str, *, batch_size: int = 64,
     )
 
 
+def png_thumbnails(sf_dir: str, *, size: int = 8, batch_size: int = 64,
+                   concurrency=(1, 4)):
+    """Nearest-neighbor thumbnails over REAL PNG payloads — the
+    resize kernel runs on the decoded (all-five-filters) pixel
+    matrix."""
+    return png_media_dataset(sf_dir).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def wav_audio_frames(sf_dir: str, *, stride: int = 4, batch_size: int = 64,
                      concurrency=(1, 4)):
     """Frame-sample summary over REAL RIFF/WAVE PCM-16 payloads
