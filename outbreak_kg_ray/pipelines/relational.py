@@ -556,7 +556,6 @@ def top_customers_by_nation(sf_dir: str, *, k: int = 3):
             "c_nationkey": pa.int32(), "c_custkey": pa.int64(),
             "revenue": pa.float64(), "rank": pa.int64(),
         })
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     num_partitions = _adaptive_join_partitions(
@@ -876,7 +875,6 @@ def events_sliding_window(sf_dir: str):
     bounded by the time range, not the event count; a year of hourly
     buckets is ~9k rows per type. The expensive exchange is the tiny
     hourly table, never raw events."""
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -946,7 +944,6 @@ def cumulative_order_revenue(sf_dir: str):
     engines accumulate in the same (o_orderdate, o_orderkey) order, so
     the cumsum is bit-stable across the oracle comparison.
     """
-    import pandas as pd
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -1389,7 +1386,6 @@ def user_top_event_type(sf_dir: str):
     Two combining aggregates: the raw stream collapses to
     (user, type, n) — users × types bounded — then a user-keyed
     map_groups picks the mode vectorized; group size ≤ #types."""
-    import pandas as pd
     from ray.data.aggregate import Count
 
     from outbreak_kg_ray.sources.io import read_parquet_clean
@@ -1402,20 +1398,21 @@ def user_top_event_type(sf_dir: str):
         .aggregate(Count(alias_name="n"))
     )
 
-    def mode(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n", "event_type"], ascending=[False, True]
-        ).head(1)
-        return pd.DataFrame(
+    def mode(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        best = int(np.lexsort((et, -n))[0])
+        take = pa.array([best], pa.int64())
+        return pa.table(
             {
-                "user_id": g["user_id"].to_numpy(),
-                "top_event_type": g["event_type"].to_numpy(),
-                "n": g["n"].to_numpy().astype("int64"),
+                "user_id": g.column("user_id").take(take),
+                "top_event_type": g.column("event_type").take(take),
+                "n": pa.array([int(n[best])], pa.int64()),
             }
         )
 
     return counts.groupby("user_id").map_groups(
-        mode, batch_format="pandas"
+        mode, batch_format="pyarrow"
     )
 
 
@@ -1427,7 +1424,6 @@ def events_type_value_quantiles(sf_dir: str):
     interpolation runs inside a type-keyed map_groups over that
     bounded histogram (group size ≤ distinct values), never over raw
     events.  Matches DuckDB ``quantile_cont`` (rank p·(n−1))."""
-    import pandas as pd
     from ray.data.aggregate import Count
 
     from outbreak_kg_ray.functions.rounding import round_half_away
@@ -1453,10 +1449,16 @@ def events_type_value_quantiles(sf_dir: str):
         .aggregate(Count(alias_name="freq"))
     )
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("value")
-        values = g["value"].to_numpy(dtype=np.float64)
-        cum = np.cumsum(g["freq"].to_numpy(dtype=np.int64))
+    def quantiles(g: pa.Table) -> pa.Table:
+        values = g.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        freqs = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(values, kind="stable")
+        values = values[order]
+        cum = np.cumsum(freqs[order])
         n = int(cum[-1])
 
         def q(p: float) -> float:
@@ -1468,17 +1470,17 @@ def events_type_value_quantiles(sf_dir: str):
             ]
             return round_half_away(lo_v + (hi_v - lo_v) * frac, 6)
 
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "q50": [q(0.5)],
-                "q90": [q(0.9)],
-                "q99": [q(0.99)],
+                "event_type": g.column("event_type").slice(0, 1),
+                "q50": pa.array([q(0.5)], pa.float64()),
+                "q90": pa.array([q(0.9)], pa.float64()),
+                "q99": pa.array([q(0.99)], pa.float64()),
             }
         )
 
     return hist.groupby("event_type").map_groups(
-        quantiles, batch_format="pandas"
+        quantiles, batch_format="pyarrow"
     )
 
 
@@ -1493,7 +1495,6 @@ def events_winsorized_mean(sf_dir: str, *, lo: float = 0.05,
     pass the other quantile ops share: the clipped mean is a weighted
     fold over the histogram, so no second corpus scan.  Quantile
     interpolation matches DuckDB ``quantile_cont`` (rank p·(n−1))."""
-    import pandas as pd
     from ray.data.aggregate import Count
 
     from outbreak_kg_ray.functions.rounding import round_half_away
@@ -1513,10 +1514,16 @@ def events_winsorized_mean(sf_dir: str, *, lo: float = 0.05,
         Count(alias_name="freq")
     )
 
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("value")
-        values = g["value"].to_numpy(dtype=np.float64)
-        freqs = g["freq"].to_numpy(dtype=np.int64)
+    def stats(g: pa.Table) -> pa.Table:
+        raw_v = g.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        raw_f = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(raw_v, kind="stable")
+        values = raw_v[order]
+        freqs = raw_f[order]
         cum = np.cumsum(freqs)
         n = int(cum[-1])
 
@@ -1533,18 +1540,20 @@ def events_winsorized_mean(sf_dir: str, *, lo: float = 0.05,
         qlo, qhi = q(lo), q(hi)
         clipped = np.clip(values, qlo, qhi)
         wmean = float((freqs * clipped).sum() / n)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "wins_mean": [round_half_away(wmean, 6)],
-                "qlo": [round_half_away(qlo, 6)],
-                "qhi": [round_half_away(qhi, 6)],
-                "n_events": [n],
+                "event_type": g.column("event_type").slice(0, 1),
+                "wins_mean": pa.array(
+                    [round_half_away(wmean, 6)], pa.float64()
+                ),
+                "qlo": pa.array([round_half_away(qlo, 6)], pa.float64()),
+                "qhi": pa.array([round_half_away(qhi, 6)], pa.float64()),
+                "n_events": pa.array([n], pa.int64()),
             }
         )
 
     return hist.groupby("event_type").map_groups(
-        stats, batch_format="pandas"
+        stats, batch_format="pyarrow"
     )
 
 
@@ -1997,7 +2006,6 @@ def lineitem_quantity_mad(sf_dir: str):
     from the first, costing zero extra passes.  Quantile
     interpolation matches DuckDB ``median`` (quantile_cont rank
     p·(n−1))."""
-    import pandas as pd
     from ray.data.aggregate import Count
 
     from outbreak_kg_ray.functions.rounding import round_half_away
@@ -2029,22 +2037,26 @@ def lineitem_quantity_mad(sf_dir: str):
         ]
         return float(lo_v + (hi_v - lo_v) * frac)
 
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["l_quantity"].to_numpy(dtype=np.float64)
-        f = g["freq"].to_numpy(dtype=np.int64)
+    def stats(g: pa.Table) -> pa.Table:
+        v = g.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        f = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         med = _median(v, f)
         mad = _median(np.abs(v - med), f)  # derived histogram: free
-        return pd.DataFrame(
+        return pa.table(
             {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "med": [round_half_away(med, 6)],
-                "mad": [round_half_away(mad, 6)],
-                "n_items": [int(f.sum())],
+                "l_returnflag": g.column("l_returnflag").slice(0, 1),
+                "med": pa.array([round_half_away(med, 6)], pa.float64()),
+                "mad": pa.array([round_half_away(mad, 6)], pa.float64()),
+                "n_items": pa.array([int(f.sum())], pa.int64()),
             }
         )
 
     return hist.groupby("l_returnflag").map_groups(
-        stats, batch_format="pandas"
+        stats, batch_format="pyarrow"
     )
 
 
@@ -2364,7 +2376,6 @@ def user_type_entropy(sf_dir: str):
     user-keyed ``map_groups`` folds entropy over each user's ≤|types|
     rows — the per-group input is the collapsed counts, never the
     event stream."""
-    import pandas as pd
     from ray.data.aggregate import Count
 
     from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
@@ -2382,24 +2393,26 @@ def user_type_entropy(sf_dir: str):
         Count(alias_name="c")
     )
 
-    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+    def entropy(g: pa.Table) -> pa.Table:
         from outbreak_kg_ray.functions.rounding import round_half_away
 
-        g = g.sort_values("event_type")  # deterministic fold order
-        c = g["c"].to_numpy(dtype=np.float64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )[np.argsort(et, kind="stable")]  # deterministic fold order
         n = c.sum()
         p = c / n
         h = round_half_away(float(-(p * np.log(p)).sum()), 6)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [int(n)],
-                "type_entropy": [h],
+                "user_id": g.column("user_id").slice(0, 1),
+                "n_events": pa.array([int(n)], pa.int64()),
+                "type_entropy": pa.array([h], pa.float64()),
             }
         )
 
     return counts.groupby("user_id").map_groups(
-        entropy, batch_format="pandas"
+        entropy, batch_format="pyarrow"
     )
 
 
