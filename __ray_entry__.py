@@ -305,6 +305,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": sketch.heavy_hitter_terms,
         "hll_distinct_tokens": sketch.hll_distinct_tokens,
         "distinct_token_count": sketch.distinct_token_count,
+        # grouped distinct: exact pair-collapse (SQL-checked) + the
+        # per-group HLL whose exchange is |types|x#blocks registers,
+        # independent of user cardinality (rows-only, e-bounded test)
+        "distinct_users_per_type": sketch.distinct_users_per_type,
+        "hll_users_per_type": sketch.hll_users_per_type,
+        # histogram-derived PERCENT_RANK window (distinct-value grain)
+        "events_value_percent_rank": relational.events_value_percent_rank,
         "quality_scores": docops.quality_scores,
         "readability_scores": docops.readability_scores,
         "lang_id": docops.lang_id,
@@ -1339,6 +1346,20 @@ GROUP BY gr.doc_id
 SELECT p_partkey, p_name FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+"""
+
+    sql["distinct_users_per_type"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+    # mirrors pipelines/relational.py:events_value_percent_rank —
+    # distinct-(type,value) grain of the PERCENT_RANK window
+    sql["events_value_percent_rank"] = """
+SELECT DISTINCT event_type, value,
+       round(percent_rank() OVER (
+           PARTITION BY event_type ORDER BY value), 6) AS pr
+FROM events
 """
 
     sql["distinct_token_count"] = """

@@ -2451,3 +2451,66 @@ def part_supplier_coverage(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def events_value_percent_rank(sf_dir: str):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY
+    value)`` — distinct (event_type, value) resolution.  The window
+    function done WITHOUT a per-row window: values have cent
+    granularity, so the (type, value) histogram is value-bounded; the
+    percent rank of every row with value v is ``rows_below(v) /
+    (n-1)``, read off the per-type cumulative counts.  The event
+    stream itself never re-shuffles — only the histogram does.
+    """
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import np_round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "event_type": pa.string(), "value": pa.float64(),
+        "pr": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    hist = ev.groupby(["event_type", "value"]).aggregate(
+        Count(alias_name="freq")
+    )
+
+    def pr(g: pa.Table) -> pa.Table:
+        vals = g.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        freqs = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        freqs = freqs[order]
+        cum = np.cumsum(freqs)
+        n = int(cum[-1])
+        below = cum - freqs
+        ranks = (
+            below / (n - 1) if n > 1
+            else np.zeros(len(vals), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()] * len(vals),
+                    pa.string(),
+                ),
+                "value": pa.array(vals, pa.float64()),
+                "pr": pa.array(
+                    np_round_half_away(ranks, 6), pa.float64()
+                ),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        pr, batch_format="pyarrow"
+    )

@@ -511,3 +511,109 @@ def kll_value_quantiles(sf_dir: str, ps=(0.5, 0.9, 0.99), *, k: int = 256):
     return pd.DataFrame(
         [{"p": p, "value_quantile_est": merged.quantile(p)} for p in ps]
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped distinct counts: exact (two-level groupby) + HLL per group
+# ---------------------------------------------------------------------------
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact distinct users per event type — the grouped COUNT
+    (DISTINCT) done scale-correctly: collapse to (event_type,
+    user_id) PAIRS first (a combining groupby whose cardinality is
+    the pair vocabulary, not the event stream), then count pairs per
+    type.  The raw event stream shuffles zero times."""
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {"event_type": pa.string(), "n_users": pa.int64()}
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    pairs = (
+        ev.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_users": t.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(pin, batch_format="pyarrow")
+    )
+
+
+def hll_users_per_type(sf_dir: str):
+    """Approximate distinct users per event type — the GROUPED HLL:
+    each batch folds its users into one 2^p register array PER TYPE
+    seen in the batch, the per-type partials max-merge in an
+    Arrow-native ``map_groups``, and the estimate finalizes per
+    group.
+
+    Scale shape: the exchange carries |types| × #blocks rows of
+    2^p bytes each — independent of user cardinality, which is the
+    entire point vs the exact pair-collapse (whose intermediate IS
+    the pair vocabulary).  At web scale (10^9 users × many types)
+    this is the only shape that keeps the shuffle flat."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {"event_type": pa.string(), "n_users_est": pa.int64()}
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        uids = t.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        out_t, out_r = [], []
+        for gi, g in enumerate(uniq):
+            registers = np.zeros(_HLL_M, dtype=np.uint8)
+            _hll_fold_tokens(
+                [str(u) for u in uids[inv == gi]], registers
+            )
+            out_t.append(str(g))
+            out_r.append(registers)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "registers": pa.array(
+                    out_r, pa.list_(pa.uint8(), _HLL_M)
+                ),
+            }
+        )
+
+    def estimate(g: pa.Table) -> pa.Table:
+        regs = np.asarray(
+            g.column("registers").combine_chunks().flatten()
+        ).reshape(len(g), _HLL_M)
+        merged = regs.max(axis=0)
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n_users_est": pa.array(
+                    [_hll_estimate(merged)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pyarrow")
+    )

@@ -122,3 +122,50 @@ def test_kll_sketch_merge_and_compaction():
         est = sk.quantile(p)
         rank = np.searchsorted(svals, est)
         assert abs(rank - p * len(data)) <= 0.08 * len(data)
+
+
+def test_grouped_distinct_exact_vs_hll(ray_session, sf_dir):
+    import duckdb
+
+    from outbreak_kg_ray.stages.sketch import (
+        distinct_users_per_type,
+        hll_users_per_type,
+    )
+
+    exact = (
+        distinct_users_per_type(sf_dir)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    ref = duckdb.sql(
+        f"""SELECT event_type, COUNT(DISTINCT user_id) AS n
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).df().set_index("event_type")["n"]
+    assert sorted(exact.index) == sorted(ref.index)
+    for t in ref.index:
+        assert exact[t] == ref[t]
+    # grouped HLL: every per-type estimate within 5% of exact
+    est = (
+        hll_users_per_type(sf_dir)
+        .to_pandas()
+        .set_index("event_type")["n_users_est"]
+    )
+    assert sorted(est.index) == sorted(ref.index)
+    for t in ref.index:
+        assert abs(est[t] - ref[t]) <= max(2, 0.05 * ref[t]), (
+            t, est[t], ref[t]
+        )
+
+
+def test_events_value_percent_rank_bounds(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.relational import (
+        events_value_percent_rank,
+    )
+
+    df = events_value_percent_rank(sf_dir).to_pandas()
+    # per type: pr starts at 0, never reaches above 1, monotone in value
+    for t, g in df.groupby("event_type"):
+        g = g.sort_values("value")
+        assert g["pr"].iloc[0] == 0.0
+        assert (g["pr"].diff().dropna() > 0).all()
+        assert g["pr"].iloc[-1] <= 1.0
