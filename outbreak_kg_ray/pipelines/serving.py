@@ -496,7 +496,6 @@ def autocomplete_terms(sf_dir: str, *, num_partitions: int = 8):
     rows whose key is unique (the overwhelming majority — alert
     archives are unique by construction) stream through untouched,
     and only the collision subset pays a per-group suffix pass."""
-    import pandas as pd
 
     from ray.data.aggregate import Count
 
@@ -519,14 +518,27 @@ def autocomplete_terms(sf_dir: str, *, num_partitions: int = 8):
     uniq = joined.filter(expr="_n == 1").drop_columns(["_n"])
     coll = joined.filter(expr="_n > 1").drop_columns(["_n"])
 
-    def suffix(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("curie", kind="mergesort").reset_index(drop=True)
-        base = g["key"].iloc[0]
-        g["key"] = [base if i == 0 else f"{base}_{i}"
-                    for i in range(len(g))]
-        return g
+    def suffix(g: pa.Table) -> pa.Table:
+        import numpy as np
 
-    suffixed = coll.groupby("key").map_groups(suffix, batch_format="pandas")
+        curies = g.column("curie").to_numpy(zero_copy_only=False)
+        order = np.argsort(curies, kind="stable")
+        take = pa.array(order, pa.int64())
+        base = g.column("key")[0].as_py()
+        keys = [base] + [
+            f"{base}_{i}" for i in range(1, len(curies))
+        ]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "curie": g.column("curie").take(take),
+                "labels": g.column("labels").take(take),
+            }
+        )
+
+    suffixed = coll.groupby("key").map_groups(
+        suffix, batch_format="pyarrow"
+    )
     return uniq.union(suffixed).select_columns(["key", "curie", "labels"])
 
 
@@ -652,7 +664,6 @@ def trending_terms_daily(sf_dir: str, *, k: int = 3):
     batch — no join, no global state); the (day, term) exchange is
     calendar × vocabulary bounded, and the top-k picks run per day
     inside map_groups."""
-    import pandas as pd
 
     from ray.data.aggregate import Count
 
@@ -701,17 +712,22 @@ def trending_terms_daily(sf_dir: str, *, k: int = 3):
         .aggregate(Count(alias_name="n"))
     )
 
-    def top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
+    def top(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        terms = g.column("term").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -n))[:k]
+        take = pa.array(order, pa.int64())
+        return pa.table(
             {
-                "day": g["day"].to_numpy(),
-                "term": g["term"].to_numpy(),
-                "n": g["n"].to_numpy().astype("int64"),
+                "day": g.column("day").take(take),
+                "term": g.column("term").take(take),
+                "n": pa.array(n[order], pa.int64()),
             }
         )
 
-    return counts.groupby("day").map_groups(top, batch_format="pandas")
+    return counts.groupby("day").map_groups(top, batch_format="pyarrow")
 
 
 def alert_hourly_timeline(sf_dir: str, *, window: int = 3):
@@ -911,7 +927,6 @@ def top_cooccurring_partners(sf_dir: str, *, k: int = 3):
     symmetrize + one entity-keyed map_groups (≤ |vocab| rows each)
     is the whole plan; ties rank by partner curie for cross-engine
     determinism."""
-    import pandas as pd
 
     from outbreak_kg_ray.pipelines import kg
 
@@ -940,16 +955,27 @@ def top_cooccurring_partners(sf_dir: str, *, k: int = 3):
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["n", "partner"], ascending=[False, True]
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = range(1, len(g) + 1)
-        return g[["entity", "partner", "n", "rank"]]
+    def topk(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        partners = g.column("partner").to_numpy(zero_copy_only=False)
+        order = np.lexsort((partners, -n))[:k]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "entity": g.column("entity").take(take),
+                "partner": g.column("partner").take(take),
+                "n": pa.array(n[order], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
 
     return (
         edges.map_batches(sym, batch_format="pyarrow")
         .groupby("entity")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
