@@ -2925,26 +2925,29 @@ def token_budget_cap(sf_dir: str, *, budget: int = 800):
             }
         )
 
-    def cap(g: pd.DataFrame) -> pd.DataFrame:
-        h = [
-            hashlib.md5(str(d).encode()).hexdigest() for d in g["doc_id"]
-        ]
-        g = g.assign(_h=h).sort_values(["_h", "doc_id"])
-        cum = g["n_tokens"].cumsum()
-        keep = (cum - g["n_tokens"] == 0) | (cum <= budget)
-        g = g[keep]
-        return pd.DataFrame(
+    def cap(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        h = np.array(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        )
+        order = np.lexsort((ids, h))
+        toks_o = toks[order]
+        cum = np.cumsum(toks_o)
+        keep = ((cum - toks_o) == 0) | (cum <= budget)
+        kept = pa.array(order[keep], pa.int64())
+        return pa.table(
             {
-                "source": g["source"].to_numpy(),
-                "doc_id": g["doc_id"].to_numpy(),
-                "n_tokens": g["n_tokens"].to_numpy(),
+                "source": g.column("source").take(kept),
+                "doc_id": g.column("doc_id").take(kept),
+                "n_tokens": g.column("n_tokens").take(kept),
             }
         )
 
     return (
         docs.map_batches(count_tokens, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(cap, batch_format="pandas")
+        .map_groups(cap, batch_format="pyarrow")
     )
 
 
@@ -3088,17 +3091,26 @@ def source_vocab_jaccard(sf_dir: str):
     }  # bounded by the source catalog
     sizes_ref = ray.put(sizes)
 
-    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        srcs = sorted(g["source"])
+    _tp_schema = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string())]
+    )
+
+    def token_pairs(g: pa.Table) -> pa.Table:
+        srcs = sorted(g.column("source").to_pylist())
         pairs = list(itertools.combinations(srcs, 2))
         if not pairs:
-            return pd.DataFrame({"src_a": [], "src_b": []}).astype(str)
+            return _tp_schema.empty_table()
         a, b = zip(*pairs)
-        return pd.DataFrame({"src_a": list(a), "src_b": list(b)})
+        return pa.table(
+            {
+                "src_a": pa.array(list(a), pa.string()),
+                "src_b": pa.array(list(b), pa.string()),
+            }
+        )
 
     inter = (
         st.groupby("w")
-        .map_groups(token_pairs, batch_format="pandas")
+        .map_groups(token_pairs, batch_format="pyarrow")
         .groupby(["src_a", "src_b"])
         .aggregate(Count(alias_name="inter"))
     )
