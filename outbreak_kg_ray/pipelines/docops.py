@@ -136,14 +136,14 @@ def prefix_block_jaccard(
             "pfx", pc.utf8_slice_codeunits(t.column("text"), 0, prefix_len)
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
         if len(g) >= 2:
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].tolist()
+            g = g.sort_by("doc_id")
+            ids = g.column("doc_id").to_pylist()
             shingles = [
                 {x[i : i + k] for i in range(len(x) - k + 1)}
-                for x in g["text"].tolist()
+                for x in g.column("text").to_pylist()
             ]
             for i in range(len(ids)):
                 si = shingles[i]
@@ -154,18 +154,18 @@ def prefix_block_jaccard(
                         out_a.append(ids[i])
                         out_b.append(ids[j])
                         out_j.append(round_half_away(inter / union, 6))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "jaccard": pd.Series(out_j, dtype="float64"),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
     return (
         docs.map_batches(add_block, batch_format="pyarrow")
         .groupby("pfx")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -182,25 +182,30 @@ def stratified_sample(sf_dir: str, *, per_stratum: int = 3):
     """
     import hashlib
 
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     docs = _documents(sf_dir, ("doc_id", "text", "lang"))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        h = [
-            hashlib.md5(str(d).encode()).hexdigest()
-            for d in g["doc_id"]
-        ]
-        g = g.assign(_h=h).sort_values(["_h", "doc_id"]).head(per_stratum)
-        return pd.DataFrame(
+    def pick(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        h = np.array(
+            [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        )
+        order = np.lexsort((ids, h))[:per_stratum]
+        take = pa.array(order, pa.int64())
+        return pa.table(
             {
-                "lang": g["lang"].to_numpy(),
-                "doc_id": g["doc_id"].to_numpy(),
-                "n_chars": g["text"].str.len().to_numpy().astype("int64"),
+                "lang": g.column("lang").take(take),
+                "doc_id": g.column("doc_id").take(take),
+                "n_chars": pc.utf8_length(
+                    g.column("text").take(take)
+                ).cast(pa.int64()),
             }
         )
 
-    return docs.groupby("lang").map_groups(pick, batch_format="pandas")
+    return docs.groupby("lang").map_groups(pick, batch_format="pyarrow")
 
 
 def _variants_ds(sf_dir: str, *, materialized: bool = False):
