@@ -29,7 +29,6 @@ Scale notes (documented partitioning assumptions):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -57,14 +56,16 @@ _ASOF_OUT = {
 }
 
 
-def _empty_asof() -> pd.DataFrame:
-    df = pd.DataFrame(
-        {c: pd.Series(dtype=t) for c, t in _ASOF_OUT.items()}
-    )
-    df["o_orderdate"] = pd.Series(dtype="datetime64[us]")
-    return df[
-        ["event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"]
-    ]
+def _empty_asof() -> pa.Table:
+    return pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+        ]
+    ).empty_table()
 
 
 def asof_join_events_orders(sf_dir: str):
@@ -122,40 +123,57 @@ def asof_join_events_orders(sf_dir: str):
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        ordr = g[g["side"] == 0]
-        evts = g[g["side"] == 1]
-        if ordr.empty or evts.empty:
+    def match(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        o_mask = side == 0
+        e_mask = side == 1
+        if not o_mask.any() or not e_mask.any():
             return _empty_asof()
-        # one order per date: max orderkey wins (deterministic tie-break)
-        ordr = (
-            ordr.sort_values(["ts", "o_orderkey"])
-            .groupby("ts", as_index=False)
-            .last()
-        )
-        odates = ordr["ts"].to_numpy()
-        idx = (
-            np.searchsorted(odates, evts["ts"].to_numpy(), side="right") - 1
-        )
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # one order per date: max orderkey wins (deterministic
+        # tie-break) — lexsort then keep the last row per date
+        o_ts = ts[o_mask]
+        o_key = okey[o_mask]
+        o_price = g.column("o_totalprice").to_numpy(
+            zero_copy_only=False
+        )[o_mask]
+        order = np.lexsort((o_key, o_ts))
+        o_ts, o_key, o_price = o_ts[order], o_key[order], o_price[order]
+        last = np.concatenate((o_ts[1:] != o_ts[:-1], [True]))
+        odates, okeys, oprices = o_ts[last], o_key[last], o_price[last]
+        e_ts = ts[e_mask]
+        idx = np.searchsorted(odates, e_ts, side="right") - 1
         keep = idx >= 0
-        evts = evts[keep]
-        idx = idx[keep]
-        if not len(evts):
+        if not keep.any():
             return _empty_asof()
-        return pd.DataFrame(
+        idx = idx[keep]
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)[
+            e_mask
+        ][keep]
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)[
+            e_mask
+        ][keep]
+        return pa.table(
             {
-                "event_id": evts["event_id"].to_numpy().astype("int64"),
-                "user_id": evts["user_id"].to_numpy(),
-                "o_orderkey": ordr["o_orderkey"]
-                .to_numpy()[idx]
-                .astype("int64"),
-                "o_orderdate": odates[idx],
-                "o_totalprice": ordr["o_totalprice"].to_numpy()[idx],
+                "event_id": pa.array(
+                    eid.astype(np.int64), pa.int64()
+                ),
+                "user_id": pa.array(uid),
+                "o_orderkey": pa.array(
+                    okeys[idx].astype(np.int64), pa.int64()
+                ),
+                "o_orderdate": pa.array(odates[idx]).cast(
+                    pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(
+                    oprices[idx], pa.float64()
+                ),
             }
         )
 
     return unioned.groupby("user_id").map_groups(
-        match, batch_format="pandas"
+        match, batch_format="pyarrow"
     )
 
 
@@ -176,23 +194,28 @@ def sessionize_events(sf_dir: str, *, gap_minutes: int = 30):
     )
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new_session = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
+    def assign(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        take = pa.array(order, pa.int64())
+        ts = ts[order]
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
             new_session[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "ts": ts,
-                "session_id": np.cumsum(new_session),
+                "event_id": g.column("event_id").take(take),
+                "user_id": g.column("user_id").take(take),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "session_id": pa.array(
+                    np.cumsum(new_session), pa.int64()
+                ),
             }
         )
 
     return events.groupby("user_id").map_groups(
-        assign, batch_format="pandas"
+        assign, batch_format="pyarrow"
     )
 
 
@@ -287,28 +310,34 @@ def funnel_stages(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
     )
 
-    def chain(g: pd.DataFrame) -> pd.DataFrame:
+    def chain(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        all_ts = g.column("ts").to_numpy(zero_copy_only=False)
         reached = np.zeros(len(_FUNNEL_STAGES), dtype=np.int64)
         t_prev = None
         for i, stage in enumerate(_FUNNEL_STAGES):
-            ts = g.loc[g["event_type"] == stage, "ts"].to_numpy()
+            ts = all_ts[et == stage]
             if t_prev is not None:
                 ts = ts[ts > t_prev]
             if len(ts) == 0:
                 break
             reached[i] = 1
             t_prev = ts.min()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "stage": np.arange(1, len(_FUNNEL_STAGES) + 1),
-                "event_type": list(_FUNNEL_STAGES),
-                "reached": reached,
+                "stage": pa.array(
+                    np.arange(1, len(_FUNNEL_STAGES) + 1), pa.int64()
+                ),
+                "event_type": pa.array(
+                    list(_FUNNEL_STAGES), pa.string()
+                ),
+                "reached": pa.array(reached, pa.int64()),
             }
         )
 
     out = (
         events.groupby("user_id")
-        .map_groups(chain, batch_format="pandas")
+        .map_groups(chain, batch_format="pyarrow")
         .groupby(["stage", "event_type"])
         .aggregate(Sum("reached", alias_name="n_users"))
     )
@@ -356,24 +385,37 @@ def event_transitions(sf_dir: str):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def partials(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        et = g["event_type"].to_numpy()
+    _tr_schema = pa.schema(
+        [("from_type", pa.string()), ("to_type", pa.string()),
+         ("c", pa.int64())]
+    )
+
+    def partials(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)[
+            np.lexsort((eid, ts))
+        ]
         if len(et) < 2:
-            return pd.DataFrame(
-                {"from_type": [], "to_type": [], "c": []}
-            ).astype({"from_type": str, "to_type": str, "c": "int64"})
-        pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
-        out = (
-            pairs.groupby(["from_type", "to_type"], sort=False)
-            .size()
-            .reset_index(name="c")
+            return _tr_schema.empty_table()
+        # one row per DISTINCT (from, to) pair for this user
+        pairs = np.char.add(
+            np.char.add(et[:-1].astype(str), "\x1f"),
+            et[1:].astype(str),
         )
-        return out
+        uniq, counts = np.unique(pairs, return_counts=True)
+        split = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "from_type": pa.array(split[:, 0], pa.string()),
+                "to_type": pa.array(split[:, 2], pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     agg = (
         events.groupby("user_id")
-        .map_groups(partials, batch_format="pandas")
+        .map_groups(partials, batch_format="pyarrow")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("c", alias_name="n_transitions"))
     )
@@ -423,28 +465,34 @@ def user_gap_stats(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
 
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    _gap_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_gaps", pa.int64()),
+         ("mean_gap_s", pa.float64()), ("max_gap_us", pa.int64())]
+    )
+
+    def stats(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = np.sort(
+            ts[np.lexsort((eid, ts))].astype("datetime64[us]")
+        ).astype(np.int64)
         if len(us) < 2:
-            return pd.DataFrame(
-                {"user_id": pd.Series([], dtype="int64"),
-                 "n_gaps": pd.Series([], dtype="int64"),
-                 "mean_gap_s": pd.Series([], dtype="float64"),
-                 "max_gap_us": pd.Series([], dtype="int64")}
-            )
+            return _gap_schema.empty_table()
         gaps = np.diff(us)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_gaps": [len(gaps)],
-                "mean_gap_s": [
-                    round_half_away(float(gaps.mean()) / 1e6, 6)
-                ],
-                "max_gap_us": [int(gaps.max())],
+                "user_id": g.column("user_id").slice(0, 1).cast(
+                    pa.int64()
+                ),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "mean_gap_s": pa.array(
+                    [round_half_away(float(gaps.mean()) / 1e6, 6)],
+                    pa.float64(),
+                ),
+                "max_gap_us": pa.array([int(gaps.max())], pa.int64()),
             }
         )
 
     return events.groupby("user_id").map_groups(
-        stats, batch_format="pandas"
+        stats, batch_format="pyarrow"
     )
