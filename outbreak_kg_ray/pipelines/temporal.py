@@ -364,7 +364,6 @@ def event_transitions(sf_dir: str):
     consecutive types) that emits per-group PARTIAL counts — one row
     per distinct (from, to) pair per user, never one per transition
     — into a type²-bounded grouped sum."""
-    import pandas as pd
 
     from ray.data.aggregate import Sum
 
@@ -446,7 +445,6 @@ def user_gap_stats(sf_dir: str):
     per-group sort/diff; gaps are exact int64 microseconds (no
     boundary-crossing semantics to mismatch), only the mean becomes
     a rounded float."""
-    import pandas as pd
 
     from outbreak_kg_ray.functions.rounding import round_half_away
     from outbreak_kg_ray.sources.io import (
