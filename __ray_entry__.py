@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped distinct: exact pair-collapse (SQL-checked) + the
         # per-group HLL whose exchange is |types|x#blocks registers,
         # independent of user cardinality (rows-only, e-bounded test)
+        # fuzzy self-join: edit-distance-1 name pairs via deletion-
+        # neighborhood blocking (no O(N^2) cross join)
+        "fuzzy_name_pairs": docops.fuzzy_name_pairs,
         "distinct_users_per_type": sketch.distinct_users_per_type,
         "hll_users_per_type": sketch.hll_users_per_type,
         # histogram-derived PERCENT_RANK window (distinct-value grain)
@@ -1346,6 +1349,17 @@ GROUP BY gr.doc_id
 SELECT p_partkey, p_name FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+"""
+
+    # mirrors pipelines/docops.py:spelling_variants — the oracle is
+    # the brute-force levenshtein cross join over the same top-V set
+    sql["fuzzy_name_pairs"] = """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM (SELECT DISTINCT c_name FROM customer) a
+JOIN (SELECT DISTINCT c_name FROM customer) b
+  ON a.c_name < b.c_name
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) = 1
 """
 
     sql["distinct_users_per_type"] = """

@@ -1203,3 +1203,34 @@ def test_oov_rate_distributed_cut_unchanged(ray_session, sf_dir):
     assert len(out) == 500
     assert (out["n_oov"] <= out["n_tokens"]).all()
     assert (out["oov_rate"] >= 0).all() and (out["oov_rate"] <= 1).all()
+
+
+def test_fuzzy_name_pairs_blocking_complete(ray_session, sf_dir):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-
+    force levenshtein=1 pair set (completeness: every distance-1 pair
+    shares a deletion key; soundness: verification kills
+    transpositions and distance-2 collisions)."""
+    import duckdb
+
+    from outbreak_kg_ray.pipelines.docops import (
+        _lev_le1,
+        fuzzy_name_pairs,
+    )
+
+    got = fuzzy_name_pairs(sf_dir).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM (SELECT DISTINCT c_name
+                  FROM '{sf_dir}/customer.parquet') a
+            JOIN (SELECT DISTINCT c_name
+                  FROM '{sf_dir}/customer.parquet') b
+              ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY 1, 2"""
+    ).df()
+    assert len(got) == len(exp) > 0
+    assert (got["name_a"].values == exp["name_a"].values).all()
+    assert (got["name_b"].values == exp["name_b"].values).all()
+    # _lev_le1 unit semantics
+    assert _lev_le1("abc", "abd") and _lev_le1("abc", "abcd")
+    assert _lev_le1("abc", "bc") and not _lev_le1("ab", "ba")
