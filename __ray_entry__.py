@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy self-join: edit-distance-1 name pairs via deletion-
         # neighborhood blocking (no O(N^2) cross join)
         "fuzzy_name_pairs": docops.fuzzy_name_pairs,
+        # A-priori market-basket rules over per-doc token sets
+        "association_rules": docops.association_rules,
         "distinct_users_per_type": sketch.distinct_users_per_type,
         "hll_users_per_type": sketch.hll_users_per_type,
         # histogram-derived PERCENT_RANK window (distinct-value grain)
@@ -1353,6 +1355,40 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 
     # mirrors pipelines/docops.py:spelling_variants — the oracle is
     # the brute-force levenshtein cross join over the same top-V set
+    # mirrors pipelines/docops.py:association_rules (min_support 0.05)
+    sql["association_rules"] = """
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT w, count(*) AS c FROM dt GROUP BY w),
+freq AS (SELECT w, c FROM df, n WHERE c >= ceil(0.05 * n.n)),
+pairs AS (
+  SELECT a.w AS wa, b.w AS wb, count(*) AS pc
+  FROM dt a
+  JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+  JOIN freq fa ON fa.w = a.w
+  JOIN freq fb ON fb.w = b.w
+  GROUP BY 1, 2
+),
+fp AS (SELECT wa, wb, pc FROM pairs, n WHERE pc >= ceil(0.05 * n.n)),
+dirs AS (
+  SELECT wa AS ant, wb AS cons, pc FROM fp
+  UNION ALL
+  SELECT wb AS ant, wa AS cons, pc FROM fp
+)
+SELECT d.ant, d.cons,
+       round(d.pc / n.n, 6) AS support,
+       round(d.pc / fa.c, 6) AS confidence,
+       round((d.pc * n.n) / (fa.c * fc.c), 6) AS lift
+FROM dirs d, n
+JOIN freq fa ON fa.w = d.ant
+JOIN freq fc ON fc.w = d.cons
+"""
+
     sql["fuzzy_name_pairs"] = """
 SELECT a.c_name AS name_a, b.c_name AS name_b
 FROM (SELECT DISTINCT c_name FROM customer) a

@@ -3253,3 +3253,148 @@ def fuzzy_name_pairs(sf_dir: str):
         .drop_columns(["_n"])
         .sort(["name_a", "name_b"])
     )
+
+
+def association_rules(sf_dir: str, *, min_support: float = 0.05):
+    """Market-basket association rules over per-document token sets:
+    directional rules ``ant → cons`` among frequent token pairs with
+    ``support = P(ant ∧ cons)``, ``confidence = P(cons | ant)`` and
+    ``lift = confidence / P(cons)`` — the classic A-priori mining
+    surface.
+
+    Scale shape: the A-priori property prunes BEFORE the pair
+    explosion — only tokens with ``df ≥ min_support · n_docs`` can
+    appear in a frequent pair, and that frequent-token set is
+    corpus-size INDEPENDENT (|frequent| ≤ tokens-per-doc /
+    min_support), so broadcasting it is bounded by construction.
+    Pair counting is then a per-batch combiner (one row per distinct
+    pair per batch) into a |frequent|²-bounded grouped sum; the doc
+    stream shuffles zero times."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    out_schema = {
+        "ant": pa.string(), "cons": pa.string(),
+        "support": pa.float64(), "confidence": pa.float64(),
+        "lift": pa.float64(),
+    }
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty_dataset(out_schema)
+    min_cnt = max(1, math.ceil(min_support * n_docs))
+
+    docs = _documents(sf_dir, ("doc_id", "text"))
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        # per-batch DISTINCT (token, +1 doc) partials for the df count
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            for w in set(tokenize(x)):
+                if w:
+                    c[w] += 1
+        return pa.table(
+            {
+                "w": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_ds = (
+        docs.map_batches(doc_tokens, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w" not in t.column_names:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc_
+
+        return t.filter(
+            pc_.greater_equal(t.column("c"), pa.scalar(min_cnt))
+        )
+
+    # frequent-token df map: |frequent| <= tokens_per_doc/min_support,
+    # corpus-size independent -> broadcastable by construction
+    freq_rows = df_ds.map_batches(
+        hot_only, batch_format="pyarrow"
+    ).take_all()
+    freq_df = {r["w"]: int(r["c"]) for r in freq_rows}
+    if not freq_df:
+        return empty_dataset(out_schema)
+    freq_ref = ray.put(freq_df)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        fd = ray.get(freq_ref)
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            ws = sorted(w for w in set(tokenize(x)) if w in fd)
+            for a, b in combinations(ws, 2):
+                c[(a, b)] += 1
+        if not c:
+            return pa.table(
+                {"wa": pa.array([], pa.string()),
+                 "wb": pa.array([], pa.string()),
+                 "pc": pa.array([], pa.int64())}
+            )
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "wa": pa.array([k[0] for k in ks], pa.string()),
+                "wb": pa.array([k[1] for k in ks], pa.string()),
+                "pc": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    pair_ds = (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["wa", "wb"])
+        .aggregate(Sum("pc", alias_name="pc"))
+    )
+
+    def rules(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "wa" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        fd = ray.get(freq_ref)
+        ants, conss, sups, confs, lifts = [], [], [], [], []
+        for wa, wb, pc_n in zip(
+            t.column("wa").to_pylist(), t.column("wb").to_pylist(),
+            t.column("pc").to_pylist(),
+        ):
+            if pc_n < min_cnt:
+                continue
+            sup = pc_n / n_docs
+            for ant, cons in ((wa, wb), (wb, wa)):
+                conf = pc_n / fd[ant]
+                ants.append(ant)
+                conss.append(cons)
+                sups.append(round_half_away(sup, 6))
+                confs.append(round_half_away(conf, 6))
+                lifts.append(
+                    round_half_away(conf * n_docs / fd[cons], 6)
+                )
+        return pa.table(
+            {
+                "ant": pa.array(ants, pa.string()),
+                "cons": pa.array(conss, pa.string()),
+                "support": pa.array(sups, pa.float64()),
+                "confidence": pa.array(confs, pa.float64()),
+                "lift": pa.array(lifts, pa.float64()),
+            }
+        )
+
+    return pair_ds.map_batches(
+        rules, batch_format="pyarrow"
+    ).sort(["ant", "cons"])

@@ -1234,3 +1234,19 @@ def test_fuzzy_name_pairs_blocking_complete(ray_session, sf_dir):
     # _lev_le1 unit semantics
     assert _lev_le1("abc", "abd") and _lev_le1("abc", "abcd")
     assert _lev_le1("abc", "bc") and not _lev_le1("ab", "ba")
+
+
+def test_association_rules_invariants(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.docops import association_rules
+
+    df = association_rules(sf_dir).to_pandas()
+    assert len(df) > 0 and len(df) % 2 == 0  # both directions emitted
+    # probability bounds
+    assert ((df["support"] > 0) & (df["support"] <= 1)).all()
+    assert ((df["confidence"] >= df["support"] - 1e-9)).all()
+    assert (df["confidence"] <= 1 + 1e-9).all()
+    assert (df["lift"] > 0).all()
+    # direction symmetry: support is identical for (a->b) and (b->a)
+    fwd = df.set_index(["ant", "cons"])["support"]
+    rev = df.set_index(["cons", "ant"])["support"]
+    assert (fwd.sort_index().values == rev.sort_index().values).all()
