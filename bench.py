@@ -119,6 +119,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from outbreak_kg_ray.pipelines import docops, realism, relational
     from outbreak_kg_ray.pipelines import graph, temporal, webcrawl
     from outbreak_kg_ray.stages import bloom, kmeans, pack
+
+    def _mm():
+        from outbreak_kg_ray.stages import multimodal
+
+        return multimodal
+
+    def _sketch():
+        from outbreak_kg_ray.stages import sketch
+
+        return sketch
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -167,6 +177,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "readability_scores": lambda: docops.readability_scores(sf_dir),
         "order_priority_return_rate": lambda: (
             relational.order_priority_return_rate(sf_dir)
+        ),
+        # round-3 additions
+        "png_image_features": lambda: _mm().png_image_features(sf_dir),
+        "wav_audio_frames": lambda: _mm().wav_audio_frames(sf_dir),
+        "fuzzy_name_pairs": lambda: docops.fuzzy_name_pairs(sf_dir),
+        "association_rules": lambda: docops.association_rules(sf_dir),
+        "events_value_percent_rank": lambda: (
+            relational.events_value_percent_rank(sf_dir)
+        ),
+        "hll_users_per_type": lambda: _sketch().hll_users_per_type(
+            sf_dir
         ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
