@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": docops.fuzzy_name_pairs,
         # A-priori market-basket rules over per-doc token sets
         "association_rules": docops.association_rules,
+        # Efraimidis-Spirakis weighted sampling (deterministic u)
+        "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
         "hll_users_per_type": sketch.hll_users_per_type,
         # histogram-derived PERCENT_RANK window (distinct-value grain)
@@ -1356,6 +1358,21 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
     # mirrors pipelines/docops.py:spelling_variants — the oracle is
     # the brute-force levenshtein cross join over the same top-V set
     # mirrors pipelines/docops.py:association_rules (min_support 0.05)
+    # mirrors pipelines/docops.py:weighted_sample — A-ES key with
+    # the same md5-derived deterministic uniform
+    sql["weighted_sample"] = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             ::UBIGINT) / power(16, 12)) / n_chars AS pri
+  FROM documents WHERE n_chars > 0
+  UNION ALL
+  SELECT doc_id, n_chars, '-infinity'::DOUBLE AS pri
+  FROM documents WHERE n_chars <= 0
+)
+ORDER BY pri DESC, doc_id LIMIT 100
+"""
+
     sql["association_rules"] = """
 WITH dt AS (
   SELECT DISTINCT doc_id,

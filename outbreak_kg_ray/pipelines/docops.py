@@ -3398,3 +3398,56 @@ def association_rules(sf_dir: str, *, min_support: float = 0.05):
     return pair_ds.map_batches(
         rules, batch_format="pyarrow"
     ).sort(["ant", "cons"])
+
+
+def weighted_sample(sf_dir: str, *, k: int = 100):
+    """Weighted sampling WITHOUT replacement by document length —
+    the Efraimidis–Spirakis (A-ES) reservoir scheme made
+    deterministic: each doc draws a reproducible uniform
+    ``u = md5(doc_id)[:12] / 16^12`` and is ranked by the A-ES key
+    ``ln(u) / w`` (monotone transform of ``u^(1/w)``), so
+    P(selection) is proportional to weight while runs and engines
+    agree exactly.
+
+    Scale shape: one streamed pass computes keys per batch, then a
+    distributed sort + limit takes the global top-k — the standard
+    distributed reservoir (per-block partial top-k folded by the
+    range sort); nothing corpus-sized reaches the driver."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = {"doc_id": pa.int64(), "n_chars": pa.int64()}
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    docs = _documents(sf_dir, ("doc_id", "n_chars"))
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        u = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16)
+                for d in ids
+            ],
+            dtype=np.float64,
+        ) / float(16**12)
+        pri = np.where(w > 0, np.log(u) / w, -np.inf)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "_pri": pa.array(pri, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(key, batch_format="pyarrow")
+        .sort(["_pri", "doc_id"], descending=[True, False])
+        .limit(k)
+        .drop_columns(["_pri"])
+    )

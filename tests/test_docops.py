@@ -1250,3 +1250,18 @@ def test_association_rules_invariants(ray_session, sf_dir):
     fwd = df.set_index(["ant", "cons"])["support"]
     rev = df.set_index(["cons", "ant"])["support"]
     assert (fwd.sort_index().values == rev.sort_index().values).all()
+
+
+def test_weighted_sample_biased_toward_long_docs(ray_session, sf_dir):
+    import duckdb
+
+    from outbreak_kg_ray.pipelines.docops import weighted_sample
+
+    got = weighted_sample(sf_dir, k=50).to_pandas()
+    assert len(got) == 50 and got["doc_id"].is_unique
+    # weighting invariant: the sampled mean length exceeds the corpus
+    # mean (selection probability is proportional to n_chars)
+    corpus_mean = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
