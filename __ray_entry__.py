@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": webcrawl.host_stats,
         "url_blocklist_filter": webcrawl.url_blocklist_filter,
         "lineitem_quantity_mad": relational.lineitem_quantity_mad,
+        # schema-wide referential-integrity audit (anti-join family)
+        "fk_integrity_audit": relational.fk_integrity_audit,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1405,6 +1407,33 @@ FROM dirs d, n
 JOIN freq fa ON fa.w = d.ant
 JOIN freq fc ON fc.w = d.cons
 """
+
+    # mirrors pipelines/relational.py:fk_integrity_audit
+    parts_sql = []
+    for name, child, fk, parent, pk in (
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ):
+        parts_sql.append(f"""
+SELECT '{name}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_rows,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+        )) AS n_orphans""")
+    sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
 
     sql["fuzzy_name_pairs"] = """
 SELECT a.c_name AS name_a, b.c_name AS name_b

@@ -2514,3 +2514,104 @@ def events_value_percent_rank(sf_dir: str):
     return hist.groupby("event_type").map_groups(
         pr, batch_format="pyarrow"
     )
+
+
+_FK_RELATIONS = (
+    # (name, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the whole schema: one row
+    per FK relation with the child row count and the number of
+    ORPHAN rows (fk value absent from the parent) — the data-quality
+    gate every ingest runs before trusting a new drop.
+
+    Scale shape per relation: the child collapses to (fk, row_count)
+    FIRST (combining groupby bounded by the key vocabulary), the
+    orphan check is a broadcast membership test against the parent
+    KEY COLUMN (dimension-bounded for every relation here; for a
+    fact→fact relation swap in the hash anti-join used by
+    customers_without_orders), and only per-relation scalars reach
+    the driver."""
+    import pyarrow.parquet as pq_
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    names, n_rows_l, n_orphans_l = [], [], []
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        child_path = f"{sf_dir}/{child}.parquet"
+        n_child = pq_.read_metadata(child_path).num_rows
+        names.append(name)
+        n_rows_l.append(n_child)
+        if n_child == 0:
+            n_orphans_l.append(0)
+            continue
+        parent_keys = pq_.read_table(
+            f"{sf_dir}/{parent}.parquet", columns=[pk]
+        ).column(pk)
+        pk_ref = ray.put(
+            np.sort(parent_keys.to_numpy(zero_copy_only=False))
+        )
+        fk_counts = (
+            read_parquet_clean(child_path, columns=[fk])
+            .groupby(fk)
+            .aggregate(Count(alias_name="c"))
+        )
+
+        def orphan_partial(t: pa.Table, _fk=fk) -> pa.Table:
+            if len(t) == 0 or _fk not in t.column_names:
+                return pa.table(
+                    {"orphans": pa.array([], pa.int64())}
+                )
+            keys = np.sort(ray.get(pk_ref))
+            vals = t.column(_fk).to_numpy(zero_copy_only=False)
+            cnts = t.column("c").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, vals)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            present = (
+                keys[pos_c] == vals if len(keys)
+                else np.zeros(len(vals), dtype=bool)
+            )
+            return pa.table(
+                {
+                    "orphans": pa.array(
+                        [int(cnts[~present].sum())], pa.int64()
+                    )
+                }
+            )
+
+        total = (
+            fk_counts.map_batches(
+                orphan_partial, batch_format="pyarrow"
+            ).sum("orphans")
+        )
+        n_orphans_l.append(int(total or 0))
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "relation": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows_l, pa.int64()),
+                "n_orphans": pa.array(n_orphans_l, pa.int64()),
+            }
+        )
+    )

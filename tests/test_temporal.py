@@ -1028,3 +1028,41 @@ def test_events_winsorized_mean_bounds(ray_session, sf_dir):
     # degenerate clip (lo=hi=median) collapses to the median
     med = events_winsorized_mean(sf_dir, lo=0.5, hi=0.5).to_pandas()
     assert (med["wins_mean"] == med["qlo"]).all()
+
+
+def test_fk_integrity_audit_detects_orphans(ray_session, sf_dir, tmp_path):
+    """Clean corpus → zero orphans everywhere; corrupting a child FK
+    must surface in exactly that relation's orphan count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.relational import fk_integrity_audit
+
+    clean = fk_integrity_audit(sf_dir).to_pandas()
+    assert len(clean) == 7
+    assert (clean["n_orphans"] == 0).all()
+    assert (clean["n_rows"] > 0).all()
+
+    # corrupt: point 3 orders at a non-existent customer
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    orders = pq.read_table(str(d / "orders.parquet"))
+    cust = orders.column("o_custkey").to_pylist()
+    cust[:3] = [99999999, 99999998, 99999997]
+    orders = orders.set_column(
+        orders.column_names.index("o_custkey"), "o_custkey",
+        pa.array(cust, orders.column("o_custkey").type),
+    )
+    pq.write_table(orders, str(d / "orders.parquet"))
+    bad = (
+        fk_integrity_audit(str(d))
+        .to_pandas()
+        .set_index("relation")["n_orphans"]
+    )
+    assert bad["orders.o_custkey->customer"] == 3
+    assert bad["customer.c_nationkey->nation"] == 0
