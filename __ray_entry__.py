@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_mad": relational.lineitem_quantity_mad,
         # schema-wide referential-integrity audit (anti-join family)
         "fk_integrity_audit": relational.fk_integrity_audit,
+        # windowed COUNT(DISTINCT): trailing-3h active users
+        "rolling_active_users": relational.rolling_active_users,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1434,6 +1436,17 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:rolling_active_users
+    sql["rolling_active_users"] = """
+WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+pairs AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+          FROM events)
+SELECT hrs.h AS hour, count(DISTINCT p.user_id) AS active_users
+FROM hrs JOIN pairs p
+  ON p.h <= hrs.h AND p.h > hrs.h - INTERVAL 3 HOUR
+GROUP BY 1
+"""
 
     sql["fuzzy_name_pairs"] = """
 SELECT a.c_name AS name_a, b.c_name AS name_b

@@ -2615,3 +2615,108 @@ def fk_integrity_audit(sf_dir: str):
             }
         )
     )
+
+
+def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
+    """Distinct active users per trailing ``window_hours``-hour
+    window, one row per event hour — the windowed COUNT(DISTINCT)
+    that plain rolling sums cannot express (distinct does not
+    decompose over window slides).
+
+    Scale shape: the event stream collapses to DISTINCT (hour, user)
+    pairs first (combining groupby bounded by hours × active users);
+    each pair then fans out to the ≤ ``window_hours`` window-ends it
+    contributes to (a streaming flat map), and a second pair-collapse
+    + count yields the per-window distinct — two bounded exchanges,
+    no per-window set materialization. Window-ends are filtered to
+    hours actually present (calendar-bounded broadcast)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {"hour": pa.timestamp("us"), "active_users": pa.int64()}
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": pc.floor_temporal(
+                    t.column("ts").cast(pa.timestamp("us")), unit="hour"
+                ),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["h", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # two consumers: hour catalog + window fanout
+    )
+
+    # calendar-bounded hour catalog (one timestamp per active hour)
+    hour_rows = (
+        pairs.groupby("h").aggregate(Count(alias_name="_n")).take_all()
+    )
+    hours = np.sort(
+        np.array([r["h"] for r in hour_rows], dtype="datetime64[us]")
+    )
+    hours_ref = ray.put(hours.astype(np.int64))
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "h" not in t.column_names:
+            return pa.table(
+                {"w": pa.array([], pa.timestamp("us")),
+                 "user_id": pa.array([], pa.int64())}
+            )
+        valid = ray.get(hours_ref)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        hour_us = np.int64(3600 * 1_000_000)
+        ws, us_ = [], []
+        for k in range(window_hours):
+            w = h + k * hour_us
+            pos = np.searchsorted(valid, w)
+            pos_c = np.minimum(pos, len(valid) - 1)
+            present = valid[pos_c] == w
+            ws.append(w[present])
+            us_.append(uid[present])
+        return pa.table(
+            {
+                "w": pa.array(
+                    np.concatenate(ws).astype("datetime64[us]")
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.concatenate(us_)),
+            }
+        )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        return pa.table(
+            {
+                "hour": t.column("w").cast(pa.timestamp("us")),
+                "active_users": t.column("active_users").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["w", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("w")
+        .aggregate(Count(alias_name="active_users"))
+        .map_batches(pin, batch_format="pyarrow")
+    )
