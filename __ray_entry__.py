@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": relational.fk_integrity_audit,
         # windowed COUNT(DISTINCT): trailing-3h active users
         "rolling_active_users": relational.rolling_active_users,
+        # CDC last-writer-wins compaction + two-pass feature scaling
+        "latest_event_per_user": relational.latest_event_per_user,
+        "zscore_features": relational.zscore_features,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1436,6 +1439,28 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:latest_event_per_user
+    sql["latest_event_per_user"] = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+    # mirrors pipelines/relational.py:zscore_features (stddev_pop)
+    sql["zscore_features"] = """
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd
+                  ELSE 0 END, 6) AS zscore
+FROM events e JOIN st ON st.event_type = e.event_type
+"""
 
     # mirrors pipelines/relational.py:rolling_active_users
     sql["rolling_active_users"] = """

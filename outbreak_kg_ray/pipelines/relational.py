@@ -2720,3 +2720,141 @@ def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
         .aggregate(Count(alias_name="active_users"))
         .map_batches(pin, batch_format="pyarrow")
     )
+
+
+def latest_event_per_user(sf_dir: str):
+    """Change-log compaction: the LAST event per user by (ts,
+    event_id) — the last-writer-wins upsert materialization every
+    CDC/state pipeline runs.
+
+    Shape: ONE hash shuffle by user, then an argmax per group (no
+    sort of the whole history — a single vectorized lexsort pick)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "user_id": pa.int64(), "event_id": pa.int64(),
+        "ts": pa.timestamp("us"), "event_type": pa.string(),
+        "value": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def last(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        best = int(np.lexsort((eid, ts))[-1])
+        take = pa.array([best], pa.int64())
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(take).cast(
+                    pa.int64()
+                ),
+                "event_id": g.column("event_id").take(take).cast(
+                    pa.int64()
+                ),
+                "ts": g.column("ts").take(take).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": g.column("event_type").take(take),
+                "value": g.column("value").take(take).cast(
+                    pa.float64()
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(
+        last, batch_format="pyarrow"
+    )
+
+
+def zscore_features(sf_dir: str):
+    """Per-type z-score normalization of events.value — the two-pass
+    feature-scaling stage of an ML data pipeline: pass 1 computes
+    per-type (n, Σx, Σx²) via a combining aggregate (type-vocabulary
+    bounded), pass 2 streams the transform with the tiny moment
+    table broadcast. The event stream itself never shuffles.
+
+    σ uses the population formula (√(E[x²] − E[x]²)), matching the
+    oracle's ``stddev_pop``."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.functions.rounding import np_round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "event_id": pa.int64(), "event_type": pa.string(),
+        "value": pa.float64(), "zscore": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        s1 = np.zeros(len(uniq))
+        s2 = np.zeros(len(uniq))
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s1, inv, v)
+        np.add.at(s2, inv, v * v)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.float64()),
+                "s2": pa.array(s2, pa.float64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .take_all()
+    )  # type-vocabulary bounded
+    stats = {}
+    for r in rows:
+        mu = r["s1"] / r["n"]
+        var = max(r["s2"] / r["n"] - mu * mu, 0.0)
+        stats[r["event_type"]] = (mu, float(np.sqrt(var)))
+    stats_ref = ray.put(stats)
+
+    def transform(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        mu = np.array([st[x][0] for x in et])
+        sd = np.array([st[x][1] for x in et])
+        z = np.where(sd > 0, (v - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "value": pa.array(v, pa.float64()),
+                "zscore": pa.array(
+                    np_round_half_away(z, 6), pa.float64()
+                ),
+            }
+        )
+
+    return ev.map_batches(transform, batch_format="pyarrow")
