@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": docops.fuzzy_name_pairs,
         # A-priori market-basket rules over per-doc token sets
         "association_rules": docops.association_rules,
+        # entity-resolution clusters over the fuzzy pairs (CC reuse)
+        "name_clusters": docops.name_clusters,
         # Efraimidis-Spirakis weighted sampling (deterministic u)
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
@@ -1481,6 +1483,22 @@ JOIN (SELECT DISTINCT c_name FROM customer) b
 WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
   AND levenshtein(a.c_name, b.c_name) = 1
 """
+
+    # mirrors pipelines/docops.py:name_clusters — min-label closure
+    # over the fuzzy_name_pairs edge set
+    sql["name_clusters"] = f"""
+WITH RECURSIVE fz AS ({sql["fuzzy_name_pairs"]}),
+edges(s, d) AS (
+  SELECT name_a, name_b FROM fz UNION SELECT name_b, name_a FROM fz
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS name, min(m) AS cluster FROM reach GROUP BY n
+"""
+
 
     sql["distinct_users_per_type"] = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users

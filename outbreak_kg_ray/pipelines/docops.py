@@ -3451,3 +3451,34 @@ def weighted_sample(sf_dir: str, *, k: int = 100):
         .limit(k)
         .drop_columns(["_pri"])
     )
+
+
+def name_clusters(sf_dir: str):
+    """Entity-resolution clusters: connected components over the
+    edit-distance-1 name pairs (``fuzzy_name_pairs``) — every name in
+    at least one pair labeled with its component's MIN name.  The
+    composition of the round-3 fuzzy join with the existing
+    distributed min-label propagation (stages/dedup.py:
+    connected_components); pairs-bounded, the name corpus itself
+    never re-enters."""
+    import pyarrow as pa
+
+    out_schema = {"name": pa.string(), "cluster": pa.string()}
+    if parquet_rows(f"{sf_dir}/customer.parquet") == 0:
+        return empty_dataset(out_schema)
+    pairs = fuzzy_name_pairs(sf_dir)
+    labeled = dd.connected_components(
+        pairs, a_col="name_a", b_col="name_b"
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "node" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        return pa.table(
+            {
+                "name": t.column("node"),
+                "cluster": t.column("label"),
+            }
+        )
+
+    return labeled.map_batches(pin, batch_format="pyarrow").sort("name")
