@@ -1066,3 +1066,61 @@ def test_fk_integrity_audit_detects_orphans(ray_session, sf_dir, tmp_path):
     )
     assert bad["orders.o_custkey->customer"] == 3
     assert bad["customer.c_nationkey->nation"] == 0
+
+
+def test_rolling_active_users_brute_force(ray_session, sf_dir):
+    import duckdb
+
+    from outbreak_kg_ray.pipelines.relational import rolling_active_users
+
+    got = (
+        rolling_active_users(sf_dir)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS h
+                         FROM '{sf_dir}/events.parquet')
+            SELECT hrs.h AS hour, count(DISTINCT e.user_id) AS n
+            FROM hrs JOIN '{sf_dir}/events.parquet' e
+              ON date_trunc('hour', e.ts) <= hrs.h
+             AND date_trunc('hour', e.ts) > hrs.h - INTERVAL 3 HOUR
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["active_users"].values == exp["n"].values).all()
+    # windowed distinct >= the single-hour distinct everywhere
+    single = duckdb.sql(
+        f"""SELECT date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert (got["active_users"].values >= single["n"].values).all()
+
+
+def test_latest_event_and_zscore(ray_session, sf_dir):
+    import duckdb
+
+    from outbreak_kg_ray.pipelines.relational import (
+        latest_event_per_user,
+        zscore_features,
+    )
+
+    latest = latest_event_per_user(sf_dir).to_pandas()
+    assert latest["user_id"].is_unique
+    # each user's row really is their max-(ts, event_id) event
+    ev = duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/events.parquet'"
+    ).df()
+    for _, r in latest.head(5).iterrows():
+        g = ev[ev["user_id"] == r["user_id"]].sort_values(
+            ["ts", "event_id"]
+        )
+        assert g.iloc[-1]["event_id"] == r["event_id"]
+
+    z = zscore_features(sf_dir).to_pandas()
+    # per type: mean(z) ~ 0, std(z) ~ 1 (population)
+    for _, g in z.groupby("event_type"):
+        assert abs(g["zscore"].mean()) < 1e-3
+        assert abs(g["zscore"].std(ddof=0) - 1.0) < 1e-3
