@@ -3209,10 +3209,14 @@ def fuzzy_name_pairs(sf_dir: str):
     def variants(t: pa.Table) -> pa.Table:
         keys, out = [], []
         for w in t.column("c_name").to_pylist():
-            keys.append(w)
-            out.append(w)
+            # DISTINCT keys per name: deleting any char of an equal-
+            # char run yields the same key (zero-padded ids), and
+            # duplicate rows only inflate the exchange
+            ks = {w}
             for i in range(len(w)):
-                keys.append(w[:i] + w[i + 1:])
+                ks.add(w[:i] + w[i + 1:])
+            for k in ks:
+                keys.append(k)
                 out.append(w)
         return pa.table(
             {
@@ -3221,22 +3225,34 @@ def fuzzy_name_pairs(sf_dir: str):
             }
         )
 
-    _pair_schema = pa.schema(
-        [("name_a", pa.string()), ("name_b", pa.string())]
-    )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ws = sorted(set(g.column("w").to_pylist()))
-        if len(ws) < 2:
-            return _pair_schema.empty_table()
+    def bucket_pairs_batch(t: pa.Table) -> pa.Table:
+        # one Python call per BATCH of buckets (not per bucket): the
+        # Unique aggregate collapses each key to its member list, so
+        # the per-group function-call overhead of map_groups over
+        # ~N x len tiny buckets disappears; total pair work stays
+        # Σ bucket² with exact edit-distance verification inline
         a_out, b_out = [], []
-        for i in range(len(ws)):
-            for j in range(i + 1, len(ws)):
-                if abs(len(ws[i]) - len(ws[j])) <= 1 and _lev_le1(
-                    ws[i], ws[j]
-                ):
-                    a_out.append(ws[i])
-                    b_out.append(ws[j])
+        col = "ws" if "ws" in t.column_names else None
+        if col is None or len(t) == 0:
+            return pa.table(
+                {
+                    "name_a": pa.array([], pa.string()),
+                    "name_b": pa.array([], pa.string()),
+                }
+            )
+        for members in t.column(col).to_pylist():
+            ws = sorted(set(members))
+            if len(ws) < 2:
+                continue
+            for i in range(len(ws)):
+                wi = ws[i]
+                li = len(wi)
+                for j in range(i + 1, len(ws)):
+                    if abs(li - len(ws[j])) <= 1 and _lev_le1(
+                        wi, ws[j]
+                    ):
+                        a_out.append(wi)
+                        b_out.append(ws[j])
         return pa.table(
             {
                 "name_a": pa.array(a_out, pa.string()),
@@ -3244,10 +3260,13 @@ def fuzzy_name_pairs(sf_dir: str):
             }
         )
 
+    from ray.data.aggregate import Unique
+
     return (
         names.map_batches(variants, batch_format="pyarrow")
         .groupby("key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .aggregate(Unique("w", alias_name="ws"))
+        .map_batches(bucket_pairs_batch, batch_format="pyarrow")
         .groupby(["name_a", "name_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
