@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": docops.association_rules,
         # entity-resolution clusters over the fuzzy pairs (CC reuse)
         "name_clusters": docops.name_clusters,
+        # hybrid sparse+dense retrieval via reciprocal-rank fusion
+        "hybrid_rrf_topk": docops.hybrid_rrf_topk,
         # Efraimidis-Spirakis weighted sampling (deterministic u)
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
@@ -2602,6 +2604,31 @@ FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+
+    # mirrors pipelines/docops.py:hybrid_rrf_topk (c = 60, k = 10):
+    # RRF over the bm25_topk ranking and ANN query 0's ranking
+    sql["hybrid_rrf_topk"] = f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({sql["bm25_topk"]})
+),
+an AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS r
+  FROM ({sql["ann_topk"]})
+  WHERE query_id = 0
+),
+fused AS (
+  SELECT doc_id, 1.0 / (60 + r) AS s, 1 AS src FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS s, 2 AS src FROM an
+)
+SELECT doc_id, round(sum(s), 6) AS rrf_score,
+       bool_or(src = 1) AS in_bm25, bool_or(src = 2) AS in_ann
+FROM fused GROUP BY doc_id
+"""
+
 
     # fixed-round 2-core peeling; unrolled degree/keep/prune rounds
     # mirror pipelines/graph.py:kcore

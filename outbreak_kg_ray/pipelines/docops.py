@@ -3501,3 +3501,60 @@ def name_clusters(sf_dir: str):
         )
 
     return labeled.map_batches(pin, batch_format="pyarrow").sort("name")
+
+
+def hybrid_rrf_topk(sf_dir: str, *, k: int = 10, c: int = 60):
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.)
+    of the BM25 keyword ranking and the dense cosine ranking for the
+    deterministic demo query (ANN query_id 0) —
+    ``score(d) = Σ_lists 1/(c + rank_d)``, the standard
+    score-scale-free way to blend sparse and dense retrieval.
+
+    Scale shape: BOTH input rankings are full distributed pipelines
+    (BM25's two-pass scalar broadcast; ANN's partial-top-k combiner);
+    the fusion itself touches only the two k-row result lists —
+    k-bounded driver work by construction, like every serving-side
+    top-k assembly here."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    out_schema = {
+        "doc_id": pa.int64(), "rrf_score": pa.float64(),
+        "in_bm25": pa.bool_(), "in_ann": pa.bool_(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    from ..functions.rounding import round_half_away
+
+    bm25 = bm25_topk(sf_dir, k=k).to_pandas()
+    ann = ann_topk(sf_dir).to_pandas()
+    ann = ann[ann["query_id"] == ann["query_id"].min()].head(k)
+
+    scores: dict[int, float] = {}
+    seen_bm25, seen_ann = set(), set()
+    for rank, d in enumerate(bm25["doc_id"], start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (c + rank)
+        seen_bm25.add(int(d))
+    for rank, d in enumerate(ann["vec_id"], start=1):
+        scores[int(d)] = scores.get(int(d), 0.0) + 1.0 / (c + rank)
+        seen_ann.add(int(d))
+    ids = sorted(scores, key=lambda d: (-scores[d], d))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rrf_score": pa.array(
+                    [round_half_away(scores[d], 6) for d in ids],
+                    pa.float64(),
+                ),
+                "in_bm25": pa.array(
+                    [d in seen_bm25 for d in ids], pa.bool_()
+                ),
+                "in_ann": pa.array(
+                    [d in seen_ann for d in ids], pa.bool_()
+                ),
+            }
+        )
+    )
