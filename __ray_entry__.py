@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": graph.bfs_distances,
         "retention_cohorts": relational.retention_cohorts,
         "kcore": graph.kcore,
+        "two_hop_neighbors": graph.two_hop_neighbors,
         "degree_histogram": graph.degree_histogram,
         "funnel_stages": temporal.funnel_stages,
         "dsir_weights": docops.dsir_weights,
@@ -2445,6 +2446,17 @@ FROM (SELECT a AS v FROM tri
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY v"""
+    )
+
+    # mirrors pipelines/graph.py:two_hop_neighbors — adjacency square
+    sql["two_hop_neighbors"] = (
+        graph_edges
+        + """
+SELECT u AS curie, count(*) AS n_two_hop FROM (
+  SELECT DISTINCT e1.u, e2.v AS w
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  WHERE e2.v <> e1.u
+) GROUP BY u"""
     )
 
     # degree distribution of the co-occurrence graph.

@@ -848,3 +848,70 @@ def degree_histogram(sf_dir: str, products=None):
         )
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def two_hop_neighbors(sf_dir: str):
+    """Distinct 2-hop neighborhood size per node over the undirected
+    co-occurrence graph (paths u→m→w with w ≠ u, direct links
+    irrelevant) — one step of the adjacency-matrix square, the
+    building block of friend-of-friend / related-entity expansion.
+
+    Scale shape: ONE distributed self-join of the symmetric edge list
+    on the middle node (fan-out bounded by Σ degree(m)² — salt hub
+    nodes if a power-law graph makes that skew), then a distinct
+    pair-collapse and a per-source count. Lexicon-bounded here;
+    partitioning assumption documented for web-scale graphs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {"curie": pa.string(), "n_two_hop": pa.int64()}
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    edges = symmetric_cooccurrence_edges(sf_dir).materialize()
+    n_parts = _join_partitions(_edge_count(edges))
+    hop2 = edges.join(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"m": t.column("u"), "w": t.column("v")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "inner",
+        n_parts,
+        on=("v",),
+        right_on=("m",),
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "u" not in t.column_names:
+            return pa.table(
+                {"u": pa.array([], pa.string()),
+                 "w": pa.array([], pa.string())}
+            )
+        t = t.filter(pc.not_equal(t.column("u"), t.column("w")))
+        return pa.table({"u": t.column("u"), "w": t.column("w")})
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "u" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        return pa.table(
+            {
+                "curie": t.column("u"),
+                "n_two_hop": t.column("n_two_hop").cast(pa.int64()),
+            }
+        )
+
+    return (
+        hop2.map_batches(ends, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("u")
+        .aggregate(Count(alias_name="n_two_hop"))
+        .map_batches(pin, batch_format="pyarrow")
+    )
