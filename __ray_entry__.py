@@ -454,6 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC last-writer-wins compaction + two-pass feature scaling
         "latest_event_per_user": relational.latest_event_per_user,
         "zscore_features": relational.zscore_features,
+        # gaps-and-islands session rollup + grouped OLS trend
+        "session_summaries": temporal.session_summaries,
+        "events_value_trend": relational.events_value_trend,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1465,6 +1468,39 @@ SELECT e.event_id, e.event_type, e.value,
        round(CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd
                   ELSE 0 END, 6) AS zscore
 FROM events e JOIN st ON st.event_type = e.event_type
+"""
+
+    # mirrors pipelines/temporal.py:session_summaries (30-min gap)
+    sql["session_summaries"] = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS t_start, max(ts) AS t_end,
+       count(*) AS n_events,
+       epoch(max(ts) - min(ts)) AS duration_s
+FROM sid GROUP BY 1, 2
+"""
+
+    # mirrors pipelines/relational.py:events_value_trend — grouped
+    # OLS from the same centered-epoch moments (t0 = 2024-01-01)
+    sql["events_value_trend"] = """
+SELECT event_type, count(*) AS n,
+       round(regr_slope(value, epoch(ts) - 1704067200) * 1e6, 6)
+         AS slope_e6,
+       round(regr_intercept(value, epoch(ts) - 1704067200), 2)
+         AS intercept
+FROM events GROUP BY 1
 """
 
     # mirrors pipelines/relational.py:rolling_active_users

@@ -2858,3 +2858,98 @@ def zscore_features(sf_dir: str):
         )
 
     return ev.map_batches(transform, batch_format="pyarrow")
+
+
+def events_value_trend(sf_dir: str):
+    """Per-type OLS trend of events.value over time — grouped linear
+    regression ``slope = cov(t, v) / var(t)`` computed ENTIRELY from
+    algebraic moment partials (n, Σt, Σv, Σtv, Σt²): one combining
+    aggregate bounded by the type vocabulary, zero event shuffle.
+    Time is epoch seconds; slope is value-units per second, matching
+    the oracle's ``regr_slope``."""
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "event_type": pa.string(), "n": pa.int64(),
+        "slope_e6": pa.float64(), "intercept": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        # centered at 2024-01-01 (fixed constant, mirrored in the
+        # oracle): keeps the t moments ~1e6 instead of ~1.7e9, so the
+        # cov/var cancellation stays far from float53 precision
+        secs = (
+            t.column("ts").to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]"
+            ).astype(np.int64) / 1e6
+            - 1704067200.0
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        uniq, inv = np.unique(et, return_inverse=True)
+        out = {
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+        }
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        out["n"] = pa.array(n, pa.int64())
+        for name, arr in (
+            ("st", secs), ("sv", v), ("stv", secs * v),
+            ("stt", secs * secs),
+        ):
+            acc = np.zeros(len(uniq))
+            np.add.at(acc, inv, arr)
+            out[name] = pa.array(acc, pa.float64())
+        return pa.table(out)
+
+    rows = (
+        ev.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("st", alias_name="st"),
+            Sum("sv", alias_name="sv"), Sum("stv", alias_name="stv"),
+            Sum("stt", alias_name="stt"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        sv = t.column("sv").to_numpy(zero_copy_only=False)
+        stv = t.column("stv").to_numpy(zero_copy_only=False)
+        stt = t.column("stt").to_numpy(zero_copy_only=False)
+        cov = stv / n - (st / n) * (sv / n)
+        var = stt / n - (st / n) ** 2
+        slope = np.where(var > 0, cov / np.where(var > 0, var, 1.0), 0.0)
+        intercept = sv / n - slope * (st / n)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "slope_e6": pa.array(
+                    [round_half_away(x, 6) for x in slope * 1e6],
+                    pa.float64(),
+                ),
+                "intercept": pa.array(
+                    [round_half_away(x, 2) for x in intercept],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return rows.map_batches(finish, batch_format="pyarrow")

@@ -494,3 +494,53 @@ def user_gap_stats(sf_dir: str):
     return events.groupby("user_id").map_groups(
         stats, batch_format="pyarrow"
     )
+
+
+def session_summaries(sf_dir: str, *, gap_minutes: int = 30):
+    """Gaps-and-islands rollup: one row per (user, session) with
+    start/end timestamps, event count and duration — the session
+    summary table sessionization exists to feed.
+
+    Shape: the sessionizer's ONE user-keyed shuffle, then a
+    per-group vectorized pass that both assigns session ids and
+    reduces them to summaries in the same group visit (no second
+    shuffle: session ids never leave the group)."""
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def summarize(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
+        sid = np.cumsum(new_session)
+        uniq = np.unique(sid)
+        starts = np.searchsorted(sid, uniq, side="left")
+        ends = np.searchsorted(sid, uniq, side="right") - 1
+        t_start = ts[starts].astype("datetime64[us]")
+        t_end = ts[ends].astype("datetime64[us]")
+        dur_s = (
+            (t_end.astype(np.int64) - t_start.astype(np.int64)) / 1e6
+        )
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(uniq), pa.int64()),
+                "session_id": pa.array(uniq, pa.int64()),
+                "t_start": pa.array(t_start).cast(pa.timestamp("us")),
+                "t_end": pa.array(t_end).cast(pa.timestamp("us")),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype(np.int64), pa.int64()
+                ),
+                "duration_s": pa.array(dur_s, pa.float64()),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(
+        summarize, batch_format="pyarrow"
+    )
