@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clusters": docops.name_clusters,
         # hybrid sparse+dense retrieval via reciprocal-rank fusion
         "hybrid_rrf_topk": docops.hybrid_rrf_topk,
+        # diversified ranking: global top-k with a per-lang quota
+        "diversified_topk": docops.diversified_topk,
         # Efraimidis-Spirakis weighted sampling (deterministic u)
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
@@ -876,6 +878,21 @@ SELECT doc_id, nt AS n_tokens,
                       ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END) / 8.0,
                      1.0) * 0.2, 6) AS quality
 FROM s
+"""
+
+    # mirrors pipelines/docops.py:diversified_topk (k=10, quota 2)
+    sql["diversified_topk"] = f"""
+WITH q AS (
+  SELECT qs.doc_id, d.lang, qs.quality,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY qs.quality DESC, qs.doc_id) AS rn
+  FROM ({sql["quality_scores"]}) qs
+  JOIN documents d ON d.doc_id = qs.doc_id
+)
+SELECT doc_id, lang, quality,
+       row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+FROM q WHERE rn <= 2
+ORDER BY quality DESC, doc_id LIMIT 10
 """
 
     sql["readability_scores"] = r"""

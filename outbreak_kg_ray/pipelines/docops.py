@@ -3558,3 +3558,67 @@ def hybrid_rrf_topk(sf_dir: str, *, k: int = 10, c: int = 60):
             }
         )
     )
+
+
+def diversified_topk(sf_dir: str, *, k: int = 10, per_group: int = 2):
+    """Result diversification: global top-``k`` documents by quality
+    with AT MOST ``per_group`` per language — the constrained ranking
+    a curation UI or mixture builder needs (pure score ranking lets
+    one dominant language fill the whole list).
+
+    Scale shape: quality scoring streams; the per-language quota is
+    a grouped top-``per_group`` (group-bounded work after one hash
+    shuffle of (lang, score) PAIRS — the text never moves); only
+    |langs| × per_group finalists enter the global sort+limit."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = {
+        "doc_id": pa.int64(), "lang": pa.string(),
+        "quality": pa.float64(), "rank": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    scores = quality_scores(sf_dir).select_columns(
+        ["doc_id", "quality"]
+    )
+    langs = _documents(sf_dir, ("doc_id", "lang"))
+    nparts = 4
+    joined = scores.join(langs, "inner", nparts, on=("doc_id",))
+
+    def quota(g: pa.Table) -> pa.Table:
+        q = g.column("quality").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q))[:per_group]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").take(take).cast(
+                    pa.int64()
+                ),
+                "lang": g.column("lang").take(take),
+                "quality": g.column("quality").take(take).cast(
+                    pa.float64()
+                ),
+            }
+        )
+
+    finalists = joined.groupby("lang").map_groups(
+        quota, batch_format="pyarrow"
+    )
+
+    def with_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank",
+            pa.array(
+                np.arange(1, len(t) + 1, dtype=np.int64), pa.int64()
+            ),
+        )
+
+    return (
+        finalists.sort(["quality", "doc_id"], descending=[True, False])
+        .limit(k)
+        .repartition(1)
+        .map_batches(with_rank, batch_format="pyarrow", batch_size=None)
+    )
