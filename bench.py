@@ -189,6 +189,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "hll_users_per_type": lambda: _sketch().hll_users_per_type(
             sf_dir
         ),
+        "session_summaries": lambda: temporal.session_summaries(sf_dir),
+        "rolling_active_users": lambda: (
+            relational.rolling_active_users(sf_dir)
+        ),
+        "fk_integrity_audit": lambda: relational.fk_integrity_audit(
+            sf_dir
+        ),
+        "diversified_topk": lambda: docops.diversified_topk(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
