@@ -2541,80 +2541,111 @@ def fk_integrity_audit(sf_dir: str):
     ORPHAN rows (fk value absent from the parent) — the data-quality
     gate every ingest runs before trusting a new drop.
 
-    Scale shape per relation: the child collapses to (fk, row_count)
-    FIRST (combining groupby bounded by the key vocabulary), the
-    orphan check is a broadcast membership test against the parent
-    KEY COLUMN (dimension-bounded for every relation here; for a
-    fact→fact relation swap in the hash anti-join used by
-    customers_without_orders), and only per-relation scalars reach
-    the driver."""
+    Scale shape: ZERO shuffles. Each child table is read ONCE (all
+    its FK columns in one pass — lineitem carries three relations in
+    a single scan); every batch tests membership directly against
+    the broadcast sorted parent key columns (one ray.put holding
+    every dimension's keys) and emits per-relation orphan COUNTS, so
+    the only exchange is a ≤7-group scalar sum. A fact→fact relation
+    would swap in the hash anti-join used by
+    customers_without_orders; every parent here is a dimension."""
     import pyarrow.parquet as pq_
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from outbreak_kg_ray.sources.io import read_parquet_clean
 
-    names, n_rows_l, n_orphans_l = [], [], []
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, child, fk, parent, pk in _FK_RELATIONS:
+        by_child.setdefault(child, []).append((name, fk, parent, pk))
+
+    parent_keys = {}
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        parent_keys[name] = np.sort(
+            pq_.read_table(f"{sf_dir}/{parent}.parquet", columns=[pk])
+            .column(pk)
+            .to_numpy(zero_copy_only=False)
+        )
+    keys_ref = ray.put(parent_keys)
+
+    names, n_rows_l = [], []
+    per_child_ds = []
+    for child, rels in by_child.items():
         child_path = f"{sf_dir}/{child}.parquet"
         n_child = pq_.read_metadata(child_path).num_rows
-        names.append(name)
-        n_rows_l.append(n_child)
+        for name, _fk, _parent, _pk in rels:
+            names.append(name)
+            n_rows_l.append(n_child)
         if n_child == 0:
-            n_orphans_l.append(0)
             continue
-        parent_keys = pq_.read_table(
-            f"{sf_dir}/{parent}.parquet", columns=[pk]
-        ).column(pk)
-        pk_ref = ray.put(
-            np.sort(parent_keys.to_numpy(zero_copy_only=False))
-        )
-        fk_counts = (
-            read_parquet_clean(child_path, columns=[fk])
-            .groupby(fk)
-            .aggregate(Count(alias_name="c"))
-        )
+        fk_cols = [fk for _n, fk, _p, _k in rels]
+        rel_names = [n for n, _fk, _p, _k in rels]
 
-        def orphan_partial(t: pa.Table, _fk=fk) -> pa.Table:
-            if len(t) == 0 or _fk not in t.column_names:
-                return pa.table(
-                    {"orphans": pa.array([], pa.int64())}
-                )
-            keys = np.sort(ray.get(pk_ref))
-            vals = t.column(_fk).to_numpy(zero_copy_only=False)
-            cnts = t.column("c").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys, vals)
-            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-            present = (
-                keys[pos_c] == vals if len(keys)
-                else np.zeros(len(vals), dtype=bool)
-            )
+        def orphan_partials(t: pa.Table, _cols=tuple(fk_cols),
+                            _rels=tuple(rel_names)) -> pa.Table:
+            pk_map = ray.get(keys_ref)
+            out_r, out_o = [], []
+            for rel, col in zip(_rels, _cols):
+                keys = pk_map[rel]
+                vals = t.column(col).to_numpy(zero_copy_only=False)
+                if len(keys):
+                    pos = np.minimum(
+                        np.searchsorted(keys, vals), len(keys) - 1
+                    )
+                    n_orphan = int((keys[pos] != vals).sum())
+                else:
+                    n_orphan = len(vals)
+                out_r.append(rel)
+                out_o.append(n_orphan)
             return pa.table(
                 {
-                    "orphans": pa.array(
-                        [int(cnts[~present].sum())], pa.int64()
-                    )
+                    "rel": pa.array(out_r, pa.string()),
+                    "orphans": pa.array(out_o, pa.int64()),
                 }
             )
 
-        total = (
-            fk_counts.map_batches(
-                orphan_partial, batch_format="pyarrow"
-            ).sum("orphans")
+        per_child_ds.append(
+            read_parquet_clean(
+                child_path, columns=fk_cols
+            ).map_batches(orphan_partials, batch_format="pyarrow")
         )
-        n_orphans_l.append(int(total or 0))
+
+    n_orphans = {name: 0 for name in names}
+    if per_child_ds:
+        # the per-child pipelines are independent; drive them
+        # CONCURRENTLY (a Ray Data union serializes branch execution
+        # in 2.49 — measured 9.1 s vs 4.2 s sequential vs ~2 s
+        # threaded on sf0.1) and fold the ≤ #batches × #relations
+        # partial rows driver-side
+        from concurrent.futures import ThreadPoolExecutor
+
+        def drain(d):
+            return d.take_all()
+
+        with ThreadPoolExecutor(max_workers=len(per_child_ds)) as ex:
+            for rows in ex.map(drain, per_child_ds):
+                for r in rows:
+                    n_orphans[r["rel"]] += int(r["orphans"] or 0)
 
     import ray.data as rd
 
+    order = np.argsort(np.array(names, dtype=object), kind="stable")
     return rd.from_arrow(
         pa.table(
             {
-                "relation": pa.array(names, pa.string()),
-                "n_rows": pa.array(n_rows_l, pa.int64()),
-                "n_orphans": pa.array(n_orphans_l, pa.int64()),
+                "relation": pa.array(
+                    [names[i] for i in order], pa.string()
+                ),
+                "n_rows": pa.array(
+                    [n_rows_l[i] for i in order], pa.int64()
+                ),
+                "n_orphans": pa.array(
+                    [n_orphans[names[i]] for i in order], pa.int64()
+                ),
             }
         )
     )
+
 
 
 def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
