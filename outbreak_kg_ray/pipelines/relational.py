@@ -2675,12 +2675,24 @@ def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
     )
 
     def to_pairs(t: pa.Table) -> pa.Table:
+        # batch-local DISTINCT combiner: events arrive roughly
+        # time-ordered, so a batch spans few hours and dedup inside
+        # the batch cuts the (hour, user) exchange ~10x before the
+        # global collapse
+        h = pc.floor_temporal(
+            t.column("ts").cast(pa.timestamp("us")), unit="hour"
+        ).to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        pairs = np.stack(
+            [h.astype(np.int64), uid.astype(np.int64)], axis=1
+        )
+        uniq = np.unique(pairs, axis=0)
         return pa.table(
             {
-                "h": pc.floor_temporal(
-                    t.column("ts").cast(pa.timestamp("us")), unit="hour"
-                ),
-                "user_id": t.column("user_id"),
+                "h": pa.array(
+                    uniq[:, 0].astype("datetime64[us]")
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
             }
         )
 
