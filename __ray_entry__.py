@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
         "hll_users_per_type": sketch.hll_users_per_type,
+        # grouped KLL quantiles (rows-only; exact twin pins e-bounds)
+        "kll_value_quantiles_by_type": (
+            sketch.kll_value_quantiles_by_type),
         # histogram-derived PERCENT_RANK window (distinct-value grain)
         "events_value_percent_rank": relational.events_value_percent_rank,
         "quality_scores": docops.quality_scores,

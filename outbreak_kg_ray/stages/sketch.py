@@ -617,3 +617,79 @@ def hll_users_per_type(sf_dir: str):
         .groupby("event_type")
         .map_groups(estimate, batch_format="pyarrow")
     )
+
+
+def kll_value_quantiles_by_type(sf_dir: str, *, k: int = 256,
+                                ps: tuple = (0.5, 0.9, 0.99)):
+    """GROUPED approximate quantiles: one KLL sketch per event type,
+    built from per-batch per-type sketch partials and merged
+    per group — the grouped twin of ``kll_value_quantiles`` (global)
+    and ``hll_users_per_type`` (grouped distinct).
+
+    Scale shape: each batch emits its per-type compactor levels (a
+    few hundred rows per type per batch, independent of batch value
+    cardinality); the per-type merge happens in an Arrow-native
+    ``map_groups`` over #types groups. Exact per-type quantiles
+    (``events_type_value_quantiles``) pin the estimates in tests —
+    this estimator exists for value domains too wide for the exact
+    histogram."""
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+    )
+
+    out_schema = {
+        "event_type": pa.string(), "p": pa.float64(),
+        "value_quantile_est": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def sketch_block(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et, return_inverse=True)
+        types, lvls, vals = [], [], []
+        for gi, g in enumerate(uniq):
+            sk = KllSketch(k)
+            sk.insert_many(v[inv == gi])
+            for lvl, items in enumerate(sk.levels):
+                types.extend([str(g)] * len(items))
+                lvls.extend([lvl] * len(items))
+                vals.extend(items)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "level": pa.array(lvls, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    parts = ev.map_batches(
+        sketch_block, batch_format="pyarrow", batch_size=None
+    )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        sk.merge_rows(
+            g.column("level").to_numpy(zero_copy_only=False),
+            g.column("value").to_numpy(zero_copy_only=False),
+        )
+        et = g.column("event_type")[0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(ps), pa.string()),
+                "p": pa.array(list(ps), pa.float64()),
+                "value_quantile_est": pa.array(
+                    [sk.quantile(p) for p in ps], pa.float64()
+                ),
+            }
+        )
+
+    return parts.groupby("event_type").map_groups(
+        merge_group, batch_format="pyarrow"
+    )

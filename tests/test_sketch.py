@@ -169,3 +169,32 @@ def test_events_value_percent_rank_bounds(ray_session, sf_dir):
         assert g["pr"].iloc[0] == 0.0
         assert (g["pr"].diff().dropna() > 0).all()
         assert g["pr"].iloc[-1] <= 1.0
+
+
+def test_grouped_kll_quantiles_near_exact(ray_session, sf_dir):
+    import duckdb
+
+    from outbreak_kg_ray.stages.sketch import (
+        kll_value_quantiles_by_type,
+    )
+
+    import numpy as np
+
+    est = kll_value_quantiles_by_type(sf_dir).to_pandas()
+    vals = duckdb.sql(
+        f"""SELECT event_type, value
+            FROM '{sf_dir}/events.parquet'"""
+    ).df()
+    by_type = {
+        t: np.sort(g["value"].to_numpy())
+        for t, g in vals.groupby("event_type")
+    }
+    assert set(est["event_type"]) == set(by_type)
+    for _, r in est.iterrows():
+        sv = by_type[r["event_type"]]
+        # KLL guarantees bounded RANK error (~O(1/k)); a fat tail
+        # can amplify the VALUE gap at p99, so assert on rank
+        rank = np.searchsorted(sv, r["value_quantile_est"])
+        assert abs(rank - r["p"] * len(sv)) <= 0.08 * len(sv), (
+            r["event_type"], r["p"], rank, len(sv)
+        )
