@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": docops.hybrid_rrf_topk,
         # diversified ranking: global top-k with a per-lang quota
         "diversified_topk": docops.diversified_topk,
+        # conjunctive boolean retrieval + length concentration audit
+        "boolean_and_search": docops.boolean_and_search,
+        "length_lorenz_deciles": docops.length_lorenz_deciles,
         # Efraimidis-Spirakis weighted sampling (deterministic u)
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
@@ -1236,6 +1239,31 @@ fr AS (
 SELECT doc_id AS media_id, sr AS sample_rate,
        (n + 3) // 4 AS n_frames, round(avg(fv), 6) AS frame_mean
 FROM fr GROUP BY doc_id, sr, n
+"""
+
+    # mirrors pipelines/docops.py:boolean_and_search
+    sql["boolean_and_search"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(3 AS BIGINT) AS n_terms_hit FROM toks
+WHERE list_contains(ws, 'spark') AND list_contains(ws, 'join')
+  AND list_contains(ws, 'window')
+"""
+
+    # mirrors pipelines/docops.py:length_lorenz_deciles (ntile(10))
+    sql["length_lorenz_deciles"] = """
+WITH r AS (
+  SELECT n_chars, ntile(10) OVER (ORDER BY n_chars) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n_docs,
+       round(sum(n_chars)
+             / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents),
+             6) AS chars_share
+FROM r GROUP BY decile
 """
 
     sql["lang_id"] = r"""

@@ -3622,3 +3622,123 @@ def diversified_topk(sf_dir: str, *, k: int = 10, per_group: int = 2):
         .repartition(1)
         .map_batches(with_rank, batch_format="pyarrow", batch_size=None)
     )
+
+
+def boolean_and_search(sf_dir: str,
+                       terms: tuple = ("spark", "join", "window")):
+    """Conjunctive boolean retrieval: documents containing ALL query
+    terms — the AND face of the retrieval family (BM25 ranks, this
+    filters). Pure streaming: the tiny term set broadcasts via
+    closure, each batch tests membership vectorized per term
+    (np.isin over the batch's token sets), zero shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.decontam import tokenize
+
+    out_schema = {"doc_id": pa.int64(), "n_terms_hit": pa.int64()}
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+    tset = tuple(terms)
+
+    def hits(t: pa.Table) -> pa.Table:
+        ids, nhit = [], []
+        for d, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = set(tokenize(x))
+            n = sum(1 for w in tset if w in toks)
+            if n == len(tset):
+                ids.append(d)
+                nhit.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_terms_hit": pa.array(nhit, pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(
+        hits, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+def length_lorenz_deciles(sf_dir: str):
+    """Concentration profile (Lorenz curve at decile grain): docs
+    sorted by length ascending, what share of total characters does
+    each population decile hold — the "top 10% of docs are 40% of
+    the tokens" audit that sizes dedup and curriculum decisions.
+
+    Scale shape: the corpus collapses to a (n_chars, count, sum)
+    histogram FIRST (value-bounded combining groupby); the decile
+    split is computed from the bounded histogram's cumulative counts
+    driver-side — ntile semantics (first deciles take the extra
+    rows), with intra-value splits prorated by row count so the
+    result matches the SQL window exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.rounding import round_half_away
+
+    out_schema = {
+        "decile": pa.int64(), "n_docs": pa.int64(),
+        "chars_share": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    hist_rows = (
+        _documents(sf_dir, ("doc_id", "n_chars"))
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )  # value-bounded
+    vals = np.array([r["n_chars"] for r in hist_rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    total_chars = float((vals * cnts).sum())
+    size, rem = divmod(n, 10)
+    decile_sizes = np.array(
+        [size + 1 if i < rem else size for i in range(10)],
+        dtype=np.int64,
+    )
+    bounds = np.cumsum(decile_sizes)
+    # expand histogram rows across decile boundaries (prorated)
+    out_docs = np.zeros(10, dtype=np.int64)
+    out_chars = np.zeros(10)
+    pos = 0  # rows consumed so far
+    d = 0
+    for v, c in zip(vals, cnts):
+        remaining = int(c)
+        while remaining > 0:
+            room = int(bounds[d] - pos)
+            take = min(room, remaining)
+            out_docs[d] += take
+            out_chars[d] += float(v) * take
+            pos += take
+            remaining -= take
+            if pos == bounds[d] and d < 9:
+                d += 1
+    return rd.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array(
+                    np.arange(1, 11, dtype=np.int64), pa.int64()
+                ),
+                "n_docs": pa.array(out_docs, pa.int64()),
+                "chars_share": pa.array(
+                    [
+                        round_half_away(
+                            x / total_chars if total_chars else 0.0, 6
+                        )
+                        for x in out_chars
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
