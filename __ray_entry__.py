@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": relational.retention_cohorts,
         "kcore": graph.kcore,
         "two_hop_neighbors": graph.two_hop_neighbors,
+        "degree_assortativity": graph.degree_assortativity,
         "degree_histogram": graph.degree_histogram,
         "funnel_stages": temporal.funnel_stages,
         "dsir_weights": docops.dsir_weights,
@@ -2541,6 +2542,29 @@ SELECT u AS curie, count(*) AS n_two_hop FROM (
   FROM e e1 JOIN e e2 ON e1.v = e2.u
   WHERE e2.v <> e1.u
 ) GROUP BY u"""
+    )
+
+    # mirrors pipelines/graph.py:degree_assortativity — Pearson corr
+    # of endpoint degrees over the symmetric edges, same moment form
+    sql["degree_assortativity"] = (
+        graph_edges
+        + """,
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT n AS n_edges,
+       round((sxy / n - (sx / n) * (sy / n))
+             / sqrt((sxx / n - (sx / n) * (sx / n))
+                    * (syy / n - (sy / n) * (sy / n))), 6)
+         AS assortativity
+FROM m"""
     )
 
     # degree distribution of the co-occurrence graph.

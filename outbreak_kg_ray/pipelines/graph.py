@@ -915,3 +915,83 @@ def two_hop_neighbors(sf_dir: str):
         .aggregate(Count(alias_name="n_two_hop"))
         .map_batches(pin, batch_format="pyarrow")
     )
+
+
+def degree_assortativity(sf_dir: str):
+    """Degree assortativity coefficient of the co-occurrence graph —
+    the Pearson correlation of endpoint degrees over (directed
+    symmetric) edges, the one-scalar summary of hub-hub vs
+    hub-leaf mixing (Newman 2002).
+
+    Scale shape: degrees come from one edge groupby (node-bounded);
+    each edge picks up its endpoint degrees via TWO broadcast
+    lookups (the degree table is node-vocabulary bounded — for a
+    web-scale graph swap in two hash joins); the correlation itself
+    is a single algebraic moment aggregate (n, Σx, Σy, Σxy, Σx²,
+    Σy²), so nothing corpus-sized reaches the driver."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "n_edges": pa.int64(), "assortativity": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    edges = symmetric_cooccurrence_edges(sf_dir).materialize()
+    deg_rows = (
+        edges.groupby("u").aggregate(Count(alias_name="d")).take_all()
+    )  # node-vocabulary bounded
+    deg = {r["u"]: int(r["d"]) for r in deg_rows}
+    deg_ref = ray.put(deg)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dm = ray.get(deg_ref)
+        x = np.array(
+            [dm[u] for u in t.column("u").to_pylist()], dtype=np.float64
+        )
+        y = np.array(
+            [dm[v] for v in t.column("v").to_pylist()], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+            }
+        )
+
+    rows = (
+        edges.map_batches(moments, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        )
+        .take_all()
+    )
+    r = rows[0]
+    n = float(r["n"])
+    cov = r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)
+    vx = r["sxx"] / n - (r["sx"] / n) ** 2
+    vy = r["syy"] / n - (r["sy"] / n) ** 2
+    coef = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([int(n)], pa.int64()),
+                "assortativity": pa.array(
+                    [round_half_away(float(coef), 6)], pa.float64()
+                ),
+            }
+        )
+    )
