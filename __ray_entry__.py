@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conjunctive boolean retrieval + length concentration audit
         "boolean_and_search": docops.boolean_and_search,
         "length_lorenz_deciles": docops.length_lorenz_deciles,
+        # corpus-comparison: smoothed log-odds distinctive terms
+        "distinctive_terms_per_lang": (
+            docops.distinctive_terms_per_lang),
         # Efraimidis-Spirakis weighted sampling (deterministic u)
         "weighted_sample": docops.weighted_sample,
         "distinct_users_per_type": sketch.distinct_users_per_type,
@@ -1240,6 +1243,36 @@ fr AS (
 SELECT doc_id AS media_id, sr AS sample_rate,
        (n + 3) // 4 AS n_frames, round(avg(fv), 6) AS frame_mean
 FROM fr GROUP BY doc_id, sr, n
+"""
+
+    # mirrors pipelines/docops.py:distinctive_terms_per_lang
+    sql["distinctive_terms_per_lang"] = """
+WITH lw AS (
+  SELECT lang, w, count(*) AS c FROM (
+    SELECT lang,
+           unnest(list_filter(string_split(trim(text), ' '),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+),
+tw AS (SELECT w, sum(c) AS cw FROM lw GROUP BY w),
+tl AS (SELECT lang, sum(c) AS cl FROM lw GROUP BY lang),
+n AS (SELECT sum(c) AS n FROM lw),
+scored AS (
+  SELECT lw.lang, lw.w AS token,
+         round(ln((lw.c + 0.5) / (tl.cl - lw.c + 0.5))
+               - ln(((tw.cw - lw.c) + 0.5)
+                    / ((n.n - tl.cl) - (tw.cw - lw.c) + 0.5)),
+               6) AS log_odds
+  FROM lw JOIN tw ON tw.w = lw.w JOIN tl ON tl.lang = lw.lang, n
+),
+ranked AS (
+  SELECT lang, token, log_odds,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY log_odds DESC, token) AS rank
+  FROM scored
+)
+SELECT lang, token, log_odds, rank FROM ranked WHERE rank <= 3
 """
 
     # mirrors pipelines/docops.py:boolean_and_search

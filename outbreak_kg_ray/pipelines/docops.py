@@ -3742,3 +3742,154 @@ def length_lorenz_deciles(sf_dir: str):
             }
         )
     )
+
+
+def distinctive_terms_per_lang(sf_dir: str, *, top_n: int = 3):
+    """Distinctive vocabulary per language: smoothed log-odds ratio
+    of each token in a language vs the REST of the corpus
+    (``ln((y+.5)/(n_i-y+.5)) − ln((y_rest+.5)/(n_rest-y_rest+.5))``,
+    the corpus-comparison statistic behind "what words typify this
+    slice"), top ``top_n`` per language.
+
+    Scale shape: (lang, token) counts collapse in a combining
+    groupby; per-token corpus totals attach via a hash JOIN on the
+    token (the token vocabulary stays distributed — never a driver
+    dict); per-language totals are a |langs|-bounded broadcast; the
+    final ranking is a per-language grouped top-k."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import np_round_half_away
+    from ..stages.decontam import tokenize
+
+    out_schema = {
+        "lang": pa.string(), "token": pa.string(),
+        "log_odds": pa.float64(), "rank": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    docs = _documents(sf_dir, ("text", "lang"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter" = Counter()
+        for lang, x in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            for w in tokenize(x):
+                if w:
+                    c[(lang, w)] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "w": pa.array([k[1] for k in ks], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    lw = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby(["lang", "w"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # three consumers below
+    )
+    # per-token corpus totals: DISTRIBUTED, joined back on the token
+    tot_w = lw.groupby("w").aggregate(Sum("c", alias_name="cw"))
+    # per-language totals: |langs|-bounded broadcast
+    lang_rows = (
+        lw.groupby("lang").aggregate(Sum("c", alias_name="cl"))
+        .take_all()
+    )
+    lang_tot = {r["lang"]: int(r["cl"]) for r in lang_rows}
+    n_total = sum(lang_tot.values())
+    lt_ref = ray.put(lang_tot)
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "lang" not in t.column_names:
+            return pa.schema(
+                [("lang", pa.string()), ("w", pa.string()),
+                 ("c", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "w": t.column("w"),
+                "c": t.column("c").cast(pa.int64()),
+            }
+        )
+
+    def pin_tot(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w" not in t.column_names:
+            return pa.schema(
+                [("w", pa.string()), ("cw", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "w": t.column("w"),
+                "cw": t.column("cw").cast(pa.int64()),
+            }
+        )
+
+    joined = lw.map_batches(pin, batch_format="pyarrow").join(
+        tot_w.map_batches(pin_tot, batch_format="pyarrow"),
+        "inner", 4, on=("w",),
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "lang" not in t.column_names:
+            return pa.schema(
+                [("lang", pa.string()), ("token", pa.string()),
+                 ("log_odds", pa.float64())]
+            ).empty_table()
+        lt = ray.get(lt_ref)
+        langs = t.column("lang").to_pylist()
+        y = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cw = t.column("cw").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ni = np.array([lt[x] for x in langs], dtype=np.float64)
+        y_rest = cw - y
+        n_rest = n_total - ni
+        lo = (
+            np.log((y + 0.5) / (ni - y + 0.5))
+            - np.log((y_rest + 0.5) / (n_rest - y_rest + 0.5))
+        )
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "token": t.column("w"),
+                "log_odds": pa.array(
+                    np_round_half_away(lo, 6), pa.float64()
+                ),
+            }
+        )
+
+    scored = joined.map_batches(delta, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        lo = g.column("log_odds").to_numpy(zero_copy_only=False)
+        toks = g.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -lo))[:top_n]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "lang": g.column("lang").take(take),
+                "token": g.column("token").take(take),
+                "log_odds": pa.array(lo[order], pa.float64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return scored.groupby("lang").map_groups(
+        topk, batch_format="pyarrow"
+    )
