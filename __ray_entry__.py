@@ -469,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands session rollup + grouped OLS trend
         "session_summaries": temporal.session_summaries,
         "events_value_trend": relational.events_value_trend,
+        # audience (user-set) Jaccard between event types
+        "audience_overlap": relational.audience_overlap,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1529,6 +1531,25 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:audience_overlap
+    sql["audience_overlap"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+aud AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+pairs2 AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT b.type_a, b.type_b, b.n_both,
+       round(b.n_both
+             / CAST(na.n + nb.n - b.n_both AS DOUBLE), 6) AS jaccard
+FROM pairs2 b
+JOIN aud na ON na.event_type = b.type_a
+JOIN aud nb ON nb.event_type = b.type_b
+"""
 
     # mirrors pipelines/relational.py:latest_event_per_user
     sql["latest_event_per_user"] = """

@@ -2996,3 +2996,102 @@ def events_value_trend(sf_dir: str):
         )
 
     return rows.map_batches(finish, batch_format="pyarrow")
+
+
+def audience_overlap(sf_dir: str):
+    """Jaccard overlap of the USER AUDIENCES of every event-type pair
+    — "how much do the people who click overlap the people who
+    purchase", the segment-overlap audit.
+
+    Scale shape: the event stream collapses to DISTINCT (user, type)
+    pairs (combining groupby); each user's type set then emits its
+    within-user type pairs (a per-group combinator bounded by
+    |types|² per user); pair counts + per-type audience sizes are
+    |types|-bounded; the Jaccard is |A∩B| / (|A| + |B| − |A∩B|).
+    The user catalog never reaches the driver."""
+    from itertools import combinations
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "type_a": pa.string(), "type_b": pa.string(),
+        "n_both": pa.int64(), "jaccard": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    pairs = (
+        ev.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # two consumers: audience sizes + type pairs
+    )
+    # per-type audience sizes: |types|-bounded broadcast
+    aud_rows = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    aud = {r["event_type"]: int(r["n"]) for r in aud_rows}
+    aud_ref = ray.put(aud)
+
+    def user_type_pairs(g: pa.Table) -> pa.Table:
+        ts = sorted(set(g.column("event_type").to_pylist()))
+        if len(ts) < 2:
+            return pa.schema(
+                [("type_a", pa.string()), ("type_b", pa.string()),
+                 ("c", pa.int64())]
+            ).empty_table()
+        a, b = zip(*combinations(ts, 2))
+        return pa.table(
+            {
+                "type_a": pa.array(list(a), pa.string()),
+                "type_b": pa.array(list(b), pa.string()),
+                "c": pa.array([1] * len(a), pa.int64()),
+            }
+        )
+
+    counted = (
+        pairs.groupby("user_id")
+        .map_groups(user_type_pairs, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("c", alias_name="n_both"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "type_a" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        am = ray.get(aud_ref)
+        ta = t.column("type_a").to_pylist()
+        tb = t.column("type_b").to_pylist()
+        nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        union = np.array(
+            [am[x] + am[y] for x, y in zip(ta, tb)], dtype=np.int64
+        ) - nb
+        return pa.table(
+            {
+                "type_a": t.column("type_a"),
+                "type_b": t.column("type_b"),
+                "n_both": pa.array(nb, pa.int64()),
+                "jaccard": pa.array(
+                    [
+                        round_half_away(x / u if u else 0.0, 6)
+                        for x, u in zip(nb, union)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow").sort(
+        ["type_a", "type_b"]
+    )
