@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": relational.events_value_trend,
         # audience (user-set) Jaccard between event types
         "audience_overlap": relational.audience_overlap,
+        # fulfillment-latency percentiles per priority
+        "ship_lag_quantiles": relational.ship_lag_quantiles,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1531,6 +1533,20 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:ship_lag_quantiles
+    sql["ship_lag_quantiles"] = """
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       round(quantile_cont(d, 0.5), 6) AS q50,
+       round(quantile_cont(d, 0.9), 6) AS q90,
+       round(quantile_cont(d, 0.99), 6) AS q99
+FROM lag GROUP BY 1
+"""
 
     # mirrors pipelines/relational.py:audience_overlap
     sql["audience_overlap"] = """

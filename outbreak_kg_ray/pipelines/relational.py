@@ -3095,3 +3095,115 @@ def audience_overlap(sf_dir: str):
     return counted.map_batches(finish, batch_format="pyarrow").sort(
         ["type_a", "type_b"]
     )
+
+
+def ship_lag_quantiles(sf_dir: str):
+    """Fulfillment-latency percentiles: days between order date and
+    each lineitem's ship date, p50/p90/p99 per order priority — the
+    operations dashboard metric.
+
+    Scale shape: ONE lineitem↔orders hash join (adaptive partition
+    count), then the lag collapses to a (priority, lag_days)
+    HISTOGRAM — lag is calendar-bounded, so exact linear-interpolated
+    quantiles come from cumulative counts, the same shape as
+    events_type_value_quantiles; no per-row sort anywhere."""
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "o_orderpriority": pa.string(), "q50": pa.float64(),
+        "q90": pa.float64(), "q99": pa.float64(),
+    }
+    if (parquet_rows(f"{sf_dir}/lineitem.parquet") == 0
+            or parquet_rows(f"{sf_dir}/orders.parquet") == 0):
+        return empty_dataset(out_schema)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    nparts = _adaptive_join_partitions(f"{sf_dir}/lineitem.parquet")
+    joined = li.join(
+        orders, "inner", nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def lag_hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "l_shipdate" not in t.column_names:
+            return pa.table(
+                {"o_orderpriority": pa.array([], pa.string()),
+                 "lag": pa.array([], pa.int64()),
+                 "freq": pa.array([], pa.int64())}
+            )
+        ship = t.column("l_shipdate").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        od = t.column("o_orderdate").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        lag = ship - od
+        pr = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        key = np.char.add(
+            np.char.add(pr.astype(str), "\x1f"), lag.astype(str)
+        )
+        uniq, cnt = np.unique(key, return_counts=True)
+        split = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(split[:, 0], pa.string()),
+                "lag": pa.array(
+                    split[:, 2].astype(np.int64), pa.int64()
+                ),
+                "freq": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        joined.map_batches(lag_hist, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "lag"])
+        .aggregate(Sum("freq", alias_name="freq"))
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        lag = g.column("lag").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        freq = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(lag, kind="stable")
+        values = lag[order]
+        cum = np.cumsum(freq[order])
+        n = int(cum[-1])
+
+        def q(p: float) -> float:
+            pos = p * (n - 1)
+            lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+            hi_v = values[
+                np.searchsorted(cum, min(lo_i + 1, n - 1) + 1,
+                                side="left")
+            ]
+            return round_half_away(lo_v + (hi_v - lo_v) * frac, 6)
+
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority").slice(
+                    0, 1
+                ),
+                "q50": pa.array([q(0.5)], pa.float64()),
+                "q90": pa.array([q(0.9)], pa.float64()),
+                "q99": pa.array([q(0.99)], pa.float64()),
+            }
+        )
+
+    return hist.groupby("o_orderpriority").map_groups(
+        quantiles, batch_format="pyarrow"
+    )
