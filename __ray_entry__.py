@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": relational.audience_overlap,
         # fulfillment-latency percentiles per priority
         "ship_lag_quantiles": relational.ship_lag_quantiles,
+        # 7x24 weekly seasonality heatmap
+        "events_seasonality": relational.events_seasonality,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1533,6 +1535,15 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:events_seasonality
+    sql["events_seasonality"] = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY 1, 2
+"""
 
     # mirrors pipelines/relational.py:ship_lag_quantiles
     sql["ship_lag_quantiles"] = """

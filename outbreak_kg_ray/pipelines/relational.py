@@ -3207,3 +3207,68 @@ def ship_lag_quantiles(sf_dir: str):
     return hist.groupby("o_orderpriority").map_groups(
         quantiles, batch_format="pyarrow"
     )
+
+
+def events_seasonality(sf_dir: str):
+    """Weekly seasonality profile: event counts and mean value per
+    (day-of-week, hour-of-day) cell — the 7×24 heatmap behind
+    traffic shaping and anomaly baselines.
+
+    Pure streaming: calendar keys derive per batch with Arrow
+    temporal kernels; ONE grouped aggregate bounded by 168 cells."""
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.functions.rounding import pa_round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    out_schema = {
+        "dow": pa.int64(), "hour": pa.int64(),
+        "n_events": pa.int64(), "mean_value": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                # ISO day of week (1=Monday..7=Sunday), matching
+                # DuckDB isodow
+                "dow": pc.day_of_week(
+                    ts, count_from_zero=False, week_start=1
+                ).cast(pa.int64()),
+                "hour": pc.hour(ts).cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    agg = (
+        ev.map_batches(keys, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="_sv"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "dow" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        n = t.column("n_events").cast(pa.int64())
+        mean = pc.divide(
+            t.column("_sv").cast(pa.float64()), pc.cast(n, pa.float64())
+        )
+        return pa.table(
+            {
+                "dow": t.column("dow").cast(pa.int64()),
+                "hour": t.column("hour").cast(pa.int64()),
+                "n_events": n,
+                "mean_value": pa_round_half_away(mean, 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
