@@ -468,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_features": relational.zscore_features,
         # gaps-and-islands session rollup + grouped OLS trend
         "session_summaries": temporal.session_summaries,
+        # AS-OF backlog snapshots (open orders per month start)
+        "open_orders_snapshot": temporal.open_orders_snapshot,
         "events_value_trend": relational.events_value_trend,
         # audience (user-set) Jaccard between event types
         "audience_overlap": relational.audience_overlap,
@@ -1598,6 +1600,31 @@ SELECT e.event_id, e.event_type, e.value,
        round(CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd
                   ELSE 0 END, 6) AS zscore
 FROM events e JOIN st ON st.event_type = e.event_type
+"""
+
+    # mirrors pipelines/temporal.py:open_orders_snapshot
+    sql["open_orders_snapshot"] = """
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+),
+rng AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+probes AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS snapshot
+  FROM rng
+)
+SELECT p.snapshot, count(*) FILTER (
+         o.o_orderdate <= p.snapshot
+         AND (f.first_ship IS NULL OR f.first_ship > p.snapshot)
+       ) AS n_open
+FROM probes p
+CROSS JOIN orders o
+LEFT JOIN fs f ON f.l_orderkey = o.o_orderkey
+GROUP BY 1
 """
 
     # mirrors pipelines/temporal.py:session_summaries (30-min gap)

@@ -544,3 +544,128 @@ def session_summaries(sf_dir: str, *, gap_minutes: int = 30):
     return events.groupby("user_id").map_groups(
         summarize, batch_format="pyarrow"
     )
+
+
+def open_orders_snapshot(sf_dir: str):
+    """Temporal AS-OF snapshots: for the first day of every month in
+    the order-date range, how many orders are OPEN (placed on/before
+    the probe date, first shipment strictly after it — or never
+    shipped) — the backlog time series a fulfillment dashboard plots.
+
+    Scale shape: lineitem collapses to per-order MIN ship date
+    (combining groupby), a LEFT join attaches it to orders (orders
+    with no lineitems stay, as永 open), and each batch evaluates ALL
+    probe dates vectorized against a calendar-bounded broadcast probe
+    list; the exchange is |probes| partial-sum rows per batch."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+
+    out_schema = {
+        "snapshot": pa.timestamp("us"), "n_open": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/orders.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    import pyarrow.parquet as pq_
+
+    # calendar-bounded probe list from the parquet footer stats
+    t = pq_.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+    lo = od.min().astype("datetime64[M]")
+    hi = od.max().astype("datetime64[M]")
+    probes = np.arange(lo, hi + 1, dtype="datetime64[M]").astype(
+        "datetime64[D]"
+    )
+    probes_i = probes.astype("datetime64[us]").astype(np.int64)
+    probes_ref = ray.put(probes_i)
+
+    first_ship = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        )
+        .groupby("l_orderkey")
+        .aggregate(Min("l_shipdate", alias_name="first_ship"))
+    )
+
+    def pin_fs(t2: pa.Table) -> pa.Table:
+        if len(t2) == 0 or "l_orderkey" not in t2.column_names:
+            return pa.schema(
+                [("l_orderkey", pa.int64()),
+                 ("first_ship", pa.timestamp("us"))]
+            ).empty_table()
+        return pa.table(
+            {
+                "l_orderkey": t2.column("l_orderkey").cast(pa.int64()),
+                "first_ship": t2.column("first_ship").cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    nparts = 4  # order-bounded join; fan-out stays modest
+    joined = orders.join(
+        first_ship.map_batches(pin_fs, batch_format="pyarrow"),
+        "left_outer", nparts,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partials(t2: pa.Table) -> pa.Table:
+        if len(t2) == 0 or "o_orderdate" not in t2.column_names:
+            return pa.table(
+                {"snapshot": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        pr = ray.get(probes_ref)
+        placed = t2.column("o_orderdate").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        fs = t2.column("first_ship").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]")
+        # NaT → +inf (never shipped stays open forever); NaT must be
+        # detected with isnat BEFORE the float cast — astype(float)
+        # turns NaT into the int64 sentinel (-2^63), not NaN
+        fs_i = np.where(
+            np.isnat(fs), np.inf, fs.astype(np.float64)
+        )
+        counts = np.zeros(len(pr), dtype=np.int64)
+        for i, d in enumerate(pr):
+            counts[i] = int(((placed <= d) & (fs_i > d)).sum())
+        return pa.table(
+            {
+                "snapshot": pa.array(pr, pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("snapshot")
+        .aggregate(Sum("c", alias_name="n_open"))
+    )
+
+    def finish(t2: pa.Table) -> pa.Table:
+        if len(t2) == 0 or "snapshot" not in t2.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        return pa.table(
+            {
+                "snapshot": pa.array(
+                    t2.column("snapshot").to_numpy(
+                        zero_copy_only=False
+                    ).astype("datetime64[us]")
+                ).cast(pa.timestamp("us")),
+                "n_open": t2.column("n_open").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
