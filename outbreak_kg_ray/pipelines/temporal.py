@@ -612,12 +612,24 @@ def open_orders_snapshot(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     )
-    nparts = 4  # order-bounded join; fan-out stays modest
-    joined = orders.join(
-        first_ship.map_batches(pin_fs, batch_format="pyarrow"),
-        "left_outer", nparts,
-        on=("o_orderkey",), right_on=("l_orderkey",),
-    )
+    if parquet_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        # degenerate: no shipments at all — every placed order is
+        # open; skip the join (empty right side emits schema-less
+        # blocks that crash the acero hash join)
+        joined = orders.map_batches(
+            lambda t2: t2.append_column(
+                "first_ship",
+                pa.nulls(len(t2), pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        nparts = 4  # order-bounded join; fan-out stays modest
+        joined = orders.join(
+            first_ship.map_batches(pin_fs, batch_format="pyarrow"),
+            "left_outer", nparts,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        )
 
     def partials(t2: pa.Table) -> pa.Table:
         if len(t2) == 0 or "o_orderdate" not in t2.column_names:
