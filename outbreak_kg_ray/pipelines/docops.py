@@ -3529,8 +3529,14 @@ def hybrid_rrf_topk(sf_dir: str, *, k: int = 10, c: int = 60):
     from ..functions.rounding import round_half_away
 
     bm25 = bm25_topk(sf_dir, k=k).to_pandas()
-    ann = ann_topk(sf_dir).to_pandas()
-    ann = ann[ann["query_id"] == ann["query_id"].min()].head(k)
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        # no dense side: the fusion degrades to the sparse list alone
+        import pandas as pd
+
+        ann = pd.DataFrame({"query_id": [], "vec_id": []})
+    else:
+        ann = ann_topk(sf_dir).to_pandas()
+        ann = ann[ann["query_id"] == ann["query_id"].min()].head(k)
 
     scores: dict[int, float] = {}
     seen_bm25, seen_ann = set(), set()
