@@ -1124,3 +1124,38 @@ def test_latest_event_and_zscore(ray_session, sf_dir):
     for _, g in z.groupby("event_type"):
         assert abs(g["zscore"].mean()) < 1e-3
         assert abs(g["zscore"].std(ddof=0) - 1.0) < 1e-3
+
+
+def test_round3_late_ops_smoke(ray_session, sf_dir):
+    """Consolidated invariants for the late round-3 operators (each
+    is hash-checked against DuckDB in the driver gate; these pin the
+    semantic invariants an oracle refactor could silently lose)."""
+    import numpy as np
+
+    from outbreak_kg_ray.pipelines.relational import (
+        audience_overlap,
+        events_seasonality,
+        ship_lag_quantiles,
+    )
+    from outbreak_kg_ray.pipelines.temporal import open_orders_snapshot
+
+    ao = audience_overlap(sf_dir).to_pandas()
+    assert (ao["type_a"] < ao["type_b"]).all()
+    assert ao["jaccard"].between(0, 1).all()
+
+    se = events_seasonality(sf_dir).to_pandas()
+    assert se["dow"].between(1, 7).all()
+    assert se["hour"].between(0, 23).all()
+    assert se["n_events"].sum() == 1000
+
+    sl = ship_lag_quantiles(sf_dir).to_pandas()
+    assert (sl["q50"] <= sl["q90"]).all() and (
+        sl["q90"] <= sl["q99"]
+    ).all()
+
+    oo = open_orders_snapshot(sf_dir).to_pandas().sort_values(
+        "snapshot"
+    )
+    assert (oo["n_open"] >= 0).all()
+    # backlog is 0 before the first order month's end is reached
+    assert len(oo) > 12
