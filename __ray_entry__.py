@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_lag_quantiles": relational.ship_lag_quantiles,
         # 7x24 weekly seasonality heatmap
         "events_seasonality": relational.events_seasonality,
+        # revenue concentration Pareto deciles (sort-path rank)
+        "revenue_pareto_deciles": relational.revenue_pareto_deciles,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
     }
@@ -1537,6 +1539,27 @@ SELECT '{name}' AS relation,
             SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
         )) AS n_orphans""")
     sql["fk_integrity_audit"] = " UNION ALL ".join(parts_sql)
+
+    # mirrors pipelines/relational.py:revenue_pareto_deciles —
+    # exact int64-cents revenue so ntile boundaries can't float-drift
+    sql["revenue_pareto_deciles"] = """
+WITH pc_ AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM pc_
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(cents)
+             / (SELECT CAST(sum(cents) AS DOUBLE) FROM pc_),
+             6) AS revenue_share
+FROM r GROUP BY 1
+"""
 
     # mirrors pipelines/relational.py:events_seasonality
     sql["events_seasonality"] = """

@@ -3272,3 +3272,129 @@ def events_seasonality(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_pareto_deciles(sf_dir: str):
+    """Revenue concentration across customers (Pareto audit): rank
+    customers by total order revenue ascending, split into ntile(10)
+    population deciles, report each decile's share of total revenue —
+    "the top decile books X% of revenue".
+
+    Scale shape: orders collapse to one row per customer (combining
+    groupby over exact int64 cents); the decile assignment uses the
+    documented sort-path machinery (ONE global range sort +
+    metadata-only zip_with_index rank — the driver touches per-block
+    counts, never rows) and the final share table is 10 rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    from ..stages.shuffle import zip_with_index
+
+    out_schema = {
+        "decile": pa.int64(), "n_customers": pa.int64(),
+        "revenue_share": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/orders.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            t.column("o_totalprice"), pa.scalar(100.0)
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "o_custkey" not in t.column_names:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("cents", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "cents": t.column("cents").cast(pa.int64()),
+            }
+        )
+
+    ranked = zip_with_index(
+        per_cust.map_batches(pin, batch_format="pyarrow").sort(
+            ["cents", "o_custkey"]
+        ),
+        rank_col="_rank",
+    ).materialize()
+    n = ranked.count()
+    total_cents = float(ranked.sum("cents") or 0)
+    size, rem = divmod(n, 10)
+    # ntile: first `rem` deciles take size+1 rows
+    split = rem * (size + 1)
+
+    def decile_partials(t: pa.Table) -> pa.Table:
+        r = t.column("_rank").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        lo = r // max(size + 1, 1) + 1
+        hi = (r - split) // max(size, 1) + rem + 1
+        dec = np.where(r < split, lo, hi).astype(np.int64)
+        uniq, inv = np.unique(dec, return_inverse=True)
+        nc = np.zeros(len(uniq), dtype=np.int64)
+        sc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(nc, inv, 1)
+        np.add.at(sc, inv, c)
+        return pa.table(
+            {
+                "decile": pa.array(uniq, pa.int64()),
+                "n_customers": pa.array(nc, pa.int64()),
+                "cents": pa.array(sc, pa.int64()),
+            }
+        )
+
+    agg = (
+        ranked.map_batches(decile_partials, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "decile" not in t.column_names:
+            return pa.schema(list(out_schema.items())).empty_table()
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "decile": t.column("decile").cast(pa.int64()),
+                "n_customers": t.column("n_customers").cast(pa.int64()),
+                "revenue_share": pa.array(
+                    [
+                        round_half_away(
+                            x / total_cents if total_cents else 0.0, 6
+                        )
+                        for x in c
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
