@@ -269,6 +269,50 @@ def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool) -> dict:
     }
 
 
+def run_encode_stress(sf_dir: str, repeat: int) -> dict:
+    """×repeat-replication stress of the literature/encode path — the
+    analog of the reference's 339M-row mesh_csr build
+    (kg/mesh_csr.py:65), which the KG headline stress never exercised
+    (round-3 VERDICT next #3).  Replicas grow the PMID space (the
+    dense-rank join side) while the MeSH vocabulary stays fixed, like
+    the real ontology.  Reports encoded rows/s for the dict-encode
+    pass, the Fisher-ranking time over the same shared triples
+    materialization (one events.parquet scan for both), and peak
+    driver RSS — the driver must stay vocab-bounded, not corpus-
+    bounded."""
+    import resource
+
+    _init_ray(NUM_CPUS)
+    _warmup(NUM_CPUS)
+    from outbreak_kg_ray.pipelines import encode
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.perf_counter()
+    n_rows = encode.dict_encoded_triples(sf_dir, repeat=repeat).count()
+    enc_sec = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    ranked = encode.literature_pvalues(
+        sf_dir, ["click", "error", "purchase"], repeat=repeat
+    )
+    fisher_sec = time.perf_counter() - t1
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    return {
+        "metric": "encode_stress",
+        "value": round(enc_sec, 3),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": NUM_CPUS,
+        "repeat": repeat,
+        "encoded_rows": n_rows,
+        "encoded_rows_per_sec": round(n_rows / enc_sec, 1),
+        "fisher_sec": round(fisher_sec, 3),
+        "fisher_ranked_rows": int(len(ranked)),
+        "driver_peak_rss_mb": round(rss1, 1),
+        "driver_rss_growth_mb": round(rss1 - rss0, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same headline job at two parallelism levels (N and 4N CPUs) in
     fresh processes — the sandbox surrogate for the north_rule's
@@ -387,12 +431,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--hwcheck", action="store_true")
+    ap.add_argument("--stress-encode", type=int, nargs="?", const=256,
+                    default=None, metavar="REPEAT",
+                    help="×REPEAT literature/encode stress (mesh_csr analog)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
     if args._worker:
         res = bench_once(args.sf_dir, NUM_CPUS, headline_only=True)
+    elif args.stress_encode:
+        res = run_encode_stress(args.sf_dir, args.stress_encode)
     elif args.scaling:
         res = run_scaling(args.sf_dir)
     elif args.hwcheck:
