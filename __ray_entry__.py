@@ -2630,17 +2630,6 @@ r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS "rank" FROM nd)"""
 SELECT v AS curie, ROUND("rank", 6) AS "rank" FROM r10"""
     )
 
-    cc_iters = "".join(
-        f""",
-l{i} AS (
-  SELECT cur.v, LEAST(cur.lbl, COALESCE(MIN(p.lbl), cur.lbl)) AS lbl
-  FROM l{i - 1} cur
-  LEFT JOIN e ON e.v = cur.v
-  LEFT JOIN l{i - 1} p ON p.v = e.u
-  GROUP BY cur.v, cur.lbl
-)"""
-        for i in range(1, 9)
-    )
     sql["triangle_counts"] = (
         graph_edges.replace(
             "e AS (SELECT start_id AS u, end_id AS v FROM cooc\n"
@@ -2732,13 +2721,18 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+    # exact components via recursive reachability closure (the engine
+    # iterates min-label propagation to FIXPOINT, so the oracle must
+    # be exact for any diameter — round-4 convergence guards)
     sql["connected_components"] = (
-        graph_edges
+        graph_edges.replace("WITH cooc", "WITH RECURSIVE cooc")
         + """,
-l0 AS (SELECT v, v AS lbl FROM nd)"""
-        + cc_iters
-        + """
-SELECT v AS curie, lbl AS component FROM l8"""
+reach(v, r) AS (
+  SELECT v, v FROM nd
+  UNION
+  SELECT e.v, reach.r FROM e JOIN reach ON reach.v = e.u
+)
+SELECT v AS curie, MIN(r) AS component FROM reach GROUP BY v"""
     )
 
     # bounded-round BFS from the min-curie seed; unrolled min-plus

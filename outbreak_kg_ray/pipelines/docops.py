@@ -2957,16 +2957,17 @@ def token_budget_cap(sf_dir: str, *, budget: int = 800):
 
 
 def near_dup_clusters(sf_dir: str, *, threshold: float = 0.6,
-                      rounds: int = 8):
+                      rounds: int | None = None):
     """Near-duplicate CLUSTERS: the verified MinHash pair list
     (minhash_near_dups) unioned into connected components, each
     member labeled with its cluster's canonical id (the minimum
     doc_id) and a keep flag — the final consolidation step of the
     dedup story (candidates → exact verify → cluster → keep one).
 
-    Scale shape: reuses the graph module's fixed-round min-label
-    propagation over the pair edge list (auto numpy-fastpath vs
-    per-round join path).  doc_ids travel as zero-padded strings so
+    Scale shape: reuses the graph module's convergence-checked
+    min-label propagation over the pair edge list (auto numpy-fastpath
+    vs per-round join path; fixpoint by default, so chains longer than
+    any fixed round count still cluster exactly).  doc_ids travel as zero-padded strings so
     lexicographic min == numeric min; the pair list — not the corpus
     — bounds every structure.  Rows-only like its candidate input
     (the MinHash permutations are not SQL-expressible); invariants

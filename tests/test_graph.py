@@ -224,3 +224,66 @@ def test_degree_histogram_invariants(ray_session, sf_dir):
     assert (hist["degree"] * hist["n_nodes"]).sum() == 2 * n_edges
     assert (hist["degree"] > 0).all()
     assert hist["degree"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# fixpoint convergence guards (round-3 VERDICT next #4): chain graphs
+# 2x+ longer than the old fixed round counts must resolve exactly
+# ---------------------------------------------------------------------------
+
+def _chain(n):
+    return [("n%02d" % i, "n%02d" % (i + 1)) for i in range(n - 1)]
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_components_long_chain_converges(ray_session, dist):
+    # 20-node path, diameter 19 > the old 8-round default: fixpoint
+    # default must label every node with the chain head
+    df = graph.connected_components_edges(
+        _edges_ds(_chain(20)), distributed=dist
+    ).to_pandas()
+    assert set(df["component"]) == {"n00"}
+    assert len(df) == 20
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_bfs_long_chain_full_distances(ray_session, dist):
+    df = graph.bfs_distances_edges(
+        _edges_ds(_chain(20)), rounds=None, distributed=dist
+    ).to_pandas().sort_values("curie")
+    assert df["dist"].tolist() == list(range(20))
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_kcore_long_chain_fully_peels(ray_session, dist):
+    # a 20-node path has no 2-core, but peeling exposes one new
+    # endpoint pair per round — ~10 rounds > the old 8-round default
+    df = graph.kcore_edges(
+        _edges_ds(_chain(20)), k=2, distributed=dist
+    ).to_pandas()
+    assert len(df) == 0
+
+
+def test_fixpoint_cap_truncation_logged(ray_session, caplog):
+    import logging
+
+    chain = _edges_ds(_chain(30))
+    with caplog.at_level(logging.WARNING, logger="outbreak_kg_ray.pipelines.graph"):
+        graph.MAX_FIXPOINT_ROUNDS, saved = 4, graph.MAX_FIXPOINT_ROUNDS
+        try:
+            graph.connected_components_edges(
+                chain, distributed=False
+            ).to_pandas()
+        finally:
+            graph.MAX_FIXPOINT_ROUNDS = saved
+    assert any("fixpoint cap" in r.message for r in caplog.records)
+
+
+def test_explicit_rounds_still_bounds_propagation(ray_session):
+    # the fixed-round contract survives: rounds=2 on a long chain
+    # stays a 2-hop propagation (oracle-compatible behavior)
+    df = graph.connected_components_edges(
+        _edges_ds(_chain(20)), rounds=2, distributed=False
+    ).to_pandas()
+    comp = dict(zip(df["curie"], df["component"]))
+    assert comp["n05"] == "n03"
