@@ -2112,24 +2112,13 @@ def revenue_yoy(sf_dir: str, *, num_partitions: int = 1):
 
     # pin the schema: with fewer months than hash partitions the
     # aggregate emits empty schema-less blocks that break the acero
-    # join ("no match for key field ym")
-    _m_schema = pa.schema(
-        [("month", pa.timestamp("us")), ("ym", pa.int64()),
-         ("cents", pa.int64())]
-    )
+    # join ("no match for key field ym") — shared guard, sources/io.py
+    from outbreak_kg_ray.sources.io import pinned_schema
 
-    def pin(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "ym" not in t.column_names:
-            return _m_schema.empty_table()
-        return pa.table(
-            {
-                "month": t.column("month").cast(pa.timestamp("us")),
-                "ym": t.column("ym").cast(pa.int64()),
-                "cents": t.column("cents").cast(pa.int64()),
-            }
-        )
-
-    monthly = monthly.map_batches(pin, batch_format="pyarrow")
+    monthly = pinned_schema(monthly, {
+        "month": pa.timestamp("us"), "ym": pa.int64(),
+        "cents": pa.int64(),
+    })
 
     def to_prev(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2260,29 +2249,13 @@ def nation_account_reconciliation(sf_dir: str):
             "n_customers", "cust_acctbal", "customer_only",
         )
 
-    def _pin(key: str, n_alias: str, bal_alias: str):
-        # With fewer nations than hash partitions the aggregate emits
-        # schema-less empty blocks that break the acero join (same
-        # trap revenue_yoy documents); pin each side's schema.
-        schema = pa.schema(
-            [(key, pa.int64()), (n_alias, pa.int64()),
-             (bal_alias, pa.float64())]
-        )
+    # With fewer nations than hash partitions the aggregate emits
+    # schema-less empty blocks that break the acero join (same trap
+    # revenue_yoy documents); pin each side — shared guard,
+    # sources/io.py.
+    from outbreak_kg_ray.sources.io import pinned_schema
 
-        def pin(t: pa.Table) -> pa.Table:
-            if len(t) == 0 or key not in t.column_names:
-                return schema.empty_table()
-            return pa.table(
-                {
-                    key: t.column(key).cast(pa.int64()),
-                    n_alias: t.column(n_alias).cast(pa.int64()),
-                    bal_alias: t.column(bal_alias).cast(pa.float64()),
-                }
-            )
-
-        return pin
-
-    supp = (
+    supp = pinned_schema(
         read_parquet_clean(
             f"{sf_dir}/supplier.parquet",
             columns=["s_nationkey", "s_acctbal"],
@@ -2291,13 +2264,11 @@ def nation_account_reconciliation(sf_dir: str):
         .aggregate(
             Count(alias_name="n_suppliers"),
             Sum("s_acctbal", alias_name="supp_acctbal"),
-        )
-        .map_batches(
-            _pin("s_nationkey", "n_suppliers", "supp_acctbal"),
-            batch_format="pyarrow",
-        )
+        ),
+        {"s_nationkey": pa.int64(), "n_suppliers": pa.int64(),
+         "supp_acctbal": pa.float64()},
     )
-    cust = (
+    cust = pinned_schema(
         read_parquet_clean(
             f"{sf_dir}/customer.parquet",
             columns=["c_nationkey", "c_acctbal"],
@@ -2306,11 +2277,9 @@ def nation_account_reconciliation(sf_dir: str):
         .aggregate(
             Count(alias_name="n_customers"),
             Sum("c_acctbal", alias_name="cust_acctbal"),
-        )
-        .map_batches(
-            _pin("c_nationkey", "n_customers", "cust_acctbal"),
-            batch_format="pyarrow",
-        )
+        ),
+        {"c_nationkey": pa.int64(), "n_customers": pa.int64(),
+         "cust_acctbal": pa.float64()},
     )
     joined = supp.join(
         cust,

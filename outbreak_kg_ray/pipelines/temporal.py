@@ -594,21 +594,6 @@ def open_orders_snapshot(sf_dir: str):
         .aggregate(Min("l_shipdate", alias_name="first_ship"))
     )
 
-    def pin_fs(t2: pa.Table) -> pa.Table:
-        if len(t2) == 0 or "l_orderkey" not in t2.column_names:
-            return pa.schema(
-                [("l_orderkey", pa.int64()),
-                 ("first_ship", pa.timestamp("us"))]
-            ).empty_table()
-        return pa.table(
-            {
-                "l_orderkey": t2.column("l_orderkey").cast(pa.int64()),
-                "first_ship": t2.column("first_ship").cast(
-                    pa.timestamp("us")
-                ),
-            }
-        )
-
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     )
@@ -624,9 +609,14 @@ def open_orders_snapshot(sf_dir: str):
             batch_format="pyarrow",
         )
     else:
+        from outbreak_kg_ray.sources.io import pinned_schema
+
         nparts = 4  # order-bounded join; fan-out stays modest
         joined = orders.join(
-            first_ship.map_batches(pin_fs, batch_format="pyarrow"),
+            pinned_schema(first_ship, {
+                "l_orderkey": pa.int64(),
+                "first_ship": pa.timestamp("us"),
+            }),
             "left_outer", nparts,
             on=("o_orderkey",), right_on=("l_orderkey",),
         )

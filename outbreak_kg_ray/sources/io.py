@@ -47,3 +47,37 @@ def empty_dataset(schema: "pa.Schema | dict"):
     if isinstance(schema, dict):
         schema = pa.schema(list(schema.items()))
     return rd.from_arrow(schema.empty_table())
+
+
+def pinned_schema(ds, schema: "pa.Schema | dict"):
+    """Normalize every block of ``ds`` to exactly ``schema`` — THE
+    guard for the one-sided-empty join trap (round-3 VERDICT next #5).
+
+    Ray's aggregate/shuffle operators emit zero-row blocks that have
+    LOST their schema (zero-column Arrow tables); when such a block
+    reaches a hash join partition, Acero rejects it ("No match for
+    key field ...").  The trap only bites when exactly one side of a
+    join is empty (an all-empty input short-circuits earlier via
+    ``parquet_rows``), which is why it recurred in ad-hoc per-site
+    pins — this helper is the single shared fix: schema-less or
+    zero-row blocks become ``schema.empty_table()``, every other
+    block is cast column-by-column so both join sides present one
+    stable schema regardless of partition emptiness.
+
+    Use on any aggregate/join OUTPUT that feeds another join, sort,
+    or schema-sensitive map."""
+    if isinstance(schema, dict):
+        schema = pa.schema(list(schema.items()))
+
+    def pin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or any(
+            f.name not in t.column_names for f in schema
+        ):
+            return schema.empty_table()
+        return pa.Table.from_arrays(
+            [t.column(f.name).cast(f.type).combine_chunks()
+             for f in schema],
+            schema=schema,
+        )
+
+    return ds.map_batches(pin, batch_format="pyarrow")
