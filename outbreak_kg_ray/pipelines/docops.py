@@ -3174,6 +3174,86 @@ def _lev_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _deletion_variants_table(names: list[str]) -> "pa.Table":
+    """(key, w) deletion-1 neighborhood rows for a batch of names —
+    DISTINCT keys per name (deleting any char of an equal-char run
+    yields the same key, e.g. zero-padded ids; duplicate rows only
+    inflate the exchange).
+
+    Vectorized (round-3 VERDICT next #6): ASCII names group by
+    length; each group becomes an (n × L) uint8 byte matrix and one
+    ``np.delete`` per position produces ALL n deletion keys for that
+    position at once.  Per-name dedup needs NO sort/unique: deleting
+    position i or j yields the same key iff w[i..j] is a run of one
+    repeated char, so keeping only the LAST index of each equal-char
+    run (``w[i] != w[i+1]`` or ``i == L-1``) enumerates the distinct
+    deletions exactly; the identity key (length L) can never collide
+    with a deletion key (length L-1).  Rows become Arrow binary
+    arrays straight from the byte matrices (no per-element Python
+    string round-trip).  Rare non-ASCII names fall back to the
+    per-name path (byte deletion ≠ char deletion there)."""
+    import numpy as np
+    import pyarrow as pa
+
+    py_keys: list[str] = []
+    py_ws: list[str] = []
+    by_len: dict[int, list[str]] = {}
+    for w in names:
+        if w.isascii():
+            by_len.setdefault(len(w), []).append(w)
+        else:
+            ks = {w}
+            for i in range(len(w)):
+                ks.add(w[:i] + w[i + 1:])
+            py_keys.extend(ks)
+            py_ws.extend([w] * len(ks))
+
+    chunks_k: list[pa.Array] = []
+    chunks_w: list[pa.Array] = []
+
+    def emit(kbytes: np.ndarray, wbytes: np.ndarray) -> None:
+        chunks_k.append(pa.array(kbytes).cast(pa.string()))
+        chunks_w.append(pa.array(wbytes).cast(pa.string()))
+
+    for L, group in by_len.items():
+        n = len(group)
+        g = np.array(group, dtype=f"S{max(L, 1)}")
+        emit(g, g)  # identity key (w blocks with itself)
+        if not L:
+            continue
+        u8 = g.view(np.uint8).reshape(n, L)
+        for i in range(L):
+            if i < L - 1:
+                mask = u8[:, i] != u8[:, i + 1]
+                if not mask.any():
+                    continue
+                rows, wsel = u8[mask], g[mask]
+            else:
+                rows, wsel = u8, g
+            if L > 1:
+                keys = np.ascontiguousarray(
+                    np.delete(rows, i, axis=1)
+                ).view(f"S{L - 1}").ravel()
+            else:
+                keys = np.zeros(len(rows), dtype="S1")  # b""
+            emit(keys, wsel)
+
+    if py_keys:
+        chunks_k.append(pa.array(py_keys, pa.string()))
+        chunks_w.append(pa.array(py_ws, pa.string()))
+    if not chunks_k:
+        return pa.table(
+            {"key": pa.array([], pa.string()),
+             "w": pa.array([], pa.string())}
+        )
+    return pa.table(
+        {
+            "key": pa.chunked_array(chunks_k),
+            "w": pa.chunked_array(chunks_w),
+        }
+    )
+
+
 def fuzzy_name_pairs(sf_dir: str):
     """Edit-distance-1 pairs among customer names — the fuzzy
     SELF-join (entity-resolution / typo candidate generation) done
@@ -3198,50 +3278,59 @@ def fuzzy_name_pairs(sf_dir: str):
     if parquet_rows(f"{sf_dir}/customer.parquet") == 0:
         return empty_dataset(out_schema)
 
-    names = (
-        read_parquet_clean(
-            f"{sf_dir}/customer.parquet", columns=["c_name"]
-        )
-        .groupby("c_name")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    # NO distinct-names pre-shuffle: duplicate names only duplicate
+    # (key, w) rows, which the bucket Unique aggregate collapses
+    # anyway (bucket_pairs_batch also sets() its members) — a
+    # batch-local dedup inside `variants` keeps the exchange lean and
+    # one full all-to-all disappears from the plan.
+    names = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
     )
 
     def variants(t: pa.Table) -> pa.Table:
-        keys, out = [], []
-        for w in t.column("c_name").to_pylist():
-            # DISTINCT keys per name: deleting any char of an equal-
-            # char run yields the same key (zero-padded ids), and
-            # duplicate rows only inflate the exchange
-            ks = {w}
-            for i in range(len(w)):
-                ks.add(w[:i] + w[i + 1:])
-            for k in ks:
-                keys.append(k)
-                out.append(w)
-        return pa.table(
-            {
-                "key": pa.array(keys, pa.string()),
-                "w": pa.array(out, pa.string()),
-            }
+        import numpy as np
+
+        uniq = np.unique(
+            np.asarray(t.column("c_name").to_pylist(), dtype=object)
         )
+        return _deletion_variants_table(list(uniq))
 
     def bucket_pairs_batch(t: pa.Table) -> pa.Table:
         # one Python call per BATCH of buckets (not per bucket): the
         # Unique aggregate collapses each key to its member list, so
         # the per-group function-call overhead of map_groups over
         # ~N x len tiny buckets disappears; total pair work stays
-        # Σ bucket² with exact edit-distance verification inline
+        # Σ bucket² with exact edit-distance verification inline.
+        #
+        # Global pair dedup WITHOUT a shuffle: a verified pair shares
+        # up to 3 buckets (both deletions + the shorter string's
+        # identity key), so each bucket emits the pair only when its
+        # key is the MINIMUM of the pair's shared neighborhood keys —
+        # exactly one bucket wins, deterministically, and the
+        # (name_a, name_b) dedup groupby disappears from the plan
+        # (it was the most expensive exchange in this pipeline).
         a_out, b_out = [], []
-        col = "ws" if "ws" in t.column_names else None
-        if col is None or len(t) == 0:
+        if len(t) == 0 or "ws" not in t.column_names:
             return pa.table(
                 {
                     "name_a": pa.array([], pa.string()),
                     "name_b": pa.array([], pa.string()),
                 }
             )
-        for members in t.column(col).to_pylist():
+        nbhd: dict[str, set] = {}  # name → {w} ∪ deletions(w), memoized
+
+        def keys_of(w: str) -> set:
+            s = nbhd.get(w)
+            if s is None:
+                s = {w}
+                for i in range(len(w)):
+                    s.add(w[:i] + w[i + 1:])
+                nbhd[w] = s
+            return s
+
+        for key, members in zip(
+            t.column("key").to_pylist(), t.column("ws").to_pylist()
+        ):
             ws = sorted(set(members))
             if len(ws) < 2:
                 continue
@@ -3251,7 +3340,7 @@ def fuzzy_name_pairs(sf_dir: str):
                 for j in range(i + 1, len(ws)):
                     if abs(li - len(ws[j])) <= 1 and _lev_le1(
                         wi, ws[j]
-                    ):
+                    ) and key == min(keys_of(wi) & keys_of(ws[j])):
                         a_out.append(wi)
                         b_out.append(ws[j])
         return pa.table(
@@ -3268,9 +3357,6 @@ def fuzzy_name_pairs(sf_dir: str):
         .groupby("key")
         .aggregate(Unique("w", alias_name="ws"))
         .map_batches(bucket_pairs_batch, batch_format="pyarrow")
-        .groupby(["name_a", "name_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
         .sort(["name_a", "name_b"])
     )
 
