@@ -1969,11 +1969,14 @@ FROM aug
     # stages/kmeans.py:embedding_outliers
     sql["embedding_outliers"] = """
 WITH dims AS (
+  -- v cast to DOUBLE: embeddings are float32 and DuckDB computes
+  -- v*v in FLOAT when both operands are FLOAT (4.6e-9-level noise
+  -- vs the engine's float64 products — flipped 6-dp boundaries)
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
-         unnest(embedding) AS v
+         CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ), cent AS (
-  SELECT label, d, avg(v) AS c FROM dims GROUP BY label, d
+  SELECT label, d, round(avg(v), 6) AS c FROM dims GROUP BY label, d
 ), agg AS (
   SELECT vec_id, any_value(dims.label) AS label,
          sum(v*c) AS dot, sum(v*v) AS nv, sum(c*c) AS nc

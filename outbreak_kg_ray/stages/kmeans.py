@@ -333,8 +333,15 @@ def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):
             }
         )
 
-    # labels × dims rows — bounded; full precision (no rounding) so
-    # the scoring pass divides exactly where the oracle's avg() does
+    # labels × dims rows — bounded.  The finished centroid is
+    # QUANTIZED to 6 dp on both sides of the oracle boundary: the
+    # raw mean differs between engines by O(n·eps) accumulation
+    # order (~1e-9 with float32-origin data), which at sf0.1 landed
+    # a cosine exactly on a 6-dp rounding boundary (vec 991:
+    # 0.1100034999 vs 0.1100035001).  Rounding the centroid first
+    # shrinks the surviving cross-engine delta to the 64-term
+    # dot-sum order (~1e-15), making a boundary hit impossible in
+    # practice; the oracle SQL applies the same round(avg(v), 6).
     cent_rows = (
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby(["label", "dim"])
@@ -357,6 +364,9 @@ def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):
     label_pos = {int(l): i for i, l in enumerate(labels)}
     for _, r in cent_rows.iterrows():
         cent[label_pos[int(r["label"])], int(r["dim"])] = r["s"] / r["c"]
+    from outbreak_kg_ray.functions.rounding import np_round_half_away
+
+    cent = np_round_half_away(cent, 6)
     cent_ref = ray.put((label_pos, cent))
 
     class OutlierStage:

@@ -97,7 +97,12 @@ def test_embedding_outliers_matches_numpy(ray_session, sf_dir):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
-    # numpy reference: cosine of each vector to its own-label mean
+    # numpy reference: cosine of each vector to its own-label mean.
+    # The centroid is quantized to 6 dp (the engine's defined
+    # semantics — see stages/kmeans.py:embedding_outliers) so the
+    # reference must quantize identically.
+    from outbreak_kg_ray.functions.rounding import np_round_half_away
+
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "label", "embedding"],
@@ -108,7 +113,7 @@ def test_embedding_outliers_matches_numpy(ray_session, sf_dir):
     m = np.asarray(col.flatten(), dtype=np.float64).reshape(len(t), -1)[order]
     ref = np.empty(len(m))
     for lab in np.unique(labs):
-        c = m[labs == lab].mean(axis=0)
+        c = np_round_half_away(m[labs == lab].mean(axis=0), 6)
         sel = labs == lab
         ref[sel] = (m[sel] @ c) / np.sqrt(
             (m[sel] ** 2).sum(axis=1) * (c @ c)
