@@ -76,6 +76,36 @@ def _kg_prefix() -> str:
     return f"WITH {_lex_cte()}, {_BASE_CTE}, {_MENT_CTE}, {_DMENT_CTE}"
 
 
+def _ground_ctes() -> str:
+    """CTEs for the scored-grounding family (stages/grounding.py):
+    candidate terms, query pool, the per-document query stream, and
+    the scored match set ``gm``."""
+    from outbreak_kg_ray.stages.grounding import ground_terms
+
+    cand_rows = ", ".join(
+        f"('{ns}', '{tid}', '{_q(en)}', '{_q(tx)}', '{st}')"
+        for ns, tid, en, tx, st in ground_terms()
+    )
+    pool_rows = ", ".join(
+        f"({i}, '{_q(s)}')" for i, s in enumerate(lex.GROUND_QUERY_POOL)
+    )
+    return (
+        f"cand(ns, id, entry_name, text, status) AS (VALUES {cand_rows}),\n"
+        f"pool(idx, surface) AS (VALUES {pool_rows}),\n"
+        "q AS (SELECT doc_id AS qid, CASE doc_id % 3 "
+        "WHEN 1 THEN lower(p.surface) WHEN 2 THEN upper(p.surface) "
+        "ELSE p.surface END AS query FROM documents d JOIN pool p "
+        f"ON p.idx = (d.doc_id * 13 + 7) % {lex.GROUND_POOL_N}),\n"
+        "gm AS (SELECT q.qid, q.query, c.ns, c.id, c.entry_name, c.status, "
+        "CASE WHEN q.query = c.text THEN 0 ELSE 1 END AS match_tier, "
+        "100 - 20 * (CASE WHEN q.query = c.text THEN 0 ELSE 1 END) "
+        "- 10 * (CASE WHEN c.status = 'name' THEN 0 ELSE 1 END) "
+        "- (CASE WHEN c.ns = 'MESH' THEN 0 ELSE 1 END) AS score "
+        "FROM q JOIN cand c ON lower(q.query) = lower(c.text) "
+        "WHERE q.query NOT LIKE '%:%')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -107,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from outbreak_kg_ray.stages import bloom
     from outbreak_kg_ray.stages import invindex
     from outbreak_kg_ray.stages import sketch
+    from outbreak_kg_ray.stages import grounding
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
@@ -481,6 +512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_deciles": relational.revenue_pareto_deciles,
         "nation_account_reconciliation":
             relational.nation_account_reconciliation,
+        # --- round 4: scored ambiguity-aware grounding (Gilda analog,
+        # kg/client.py:323-378 + promed_ner.py:160-176) ---
+        "scored_groundings": grounding.scored_groundings,
+        "grounding_curies": grounding.grounding_curies,
+        "ambiguous_groundings": grounding.ambiguous_groundings,
     }
 
 
@@ -3651,6 +3687,43 @@ SELECT c.cohort_week,
        count(*) AS n_users
 FROM uw u JOIN cohort c USING (user_id)
 GROUP BY 1, 2
+"""
+
+    # --- round 4: scored ambiguity-aware grounding (Gilda analog).
+    # Mirrors stages/grounding.py: candidate table + query pool as
+    # VALUES, deterministic score 100 - 20*tier - 10*status - ns.
+    sql["scored_groundings"] = f"""
+WITH {_ground_ctes()}
+SELECT qid, query, ns, id, entry_name, status, match_tier, score,
+       row_number() OVER (PARTITION BY qid ORDER BY score DESC, ns, id)
+         AS "rank"
+FROM gm
+"""
+
+    sql["grounding_curies"] = f"""
+WITH {_ground_ctes()},
+best AS (
+  SELECT qid, ns || ':' || id AS bcurie,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, ns, id)
+           AS rn
+  FROM gm
+)
+SELECT q.qid, q.query,
+       CASE WHEN q.query LIKE '%:%' THEN q.query ELSE b.bcurie END AS curie
+FROM q LEFT JOIN (SELECT qid, bcurie FROM best WHERE rn = 1) b USING (qid)
+"""
+
+    sql["ambiguous_groundings"] = f"""
+WITH {_ground_ctes()},
+r AS (
+  SELECT query, ns, id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, ns, id)
+           AS rnk,
+         count(*) OVER (PARTITION BY qid) AS n_candidates
+  FROM gm
+)
+SELECT DISTINCT query, n_candidates, ns || ':' || id AS best_curie
+FROM r WHERE rnk = 1 AND n_candidates > 1
 """
 
     return sql

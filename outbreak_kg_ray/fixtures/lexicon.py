@@ -132,6 +132,68 @@ def _assert_invariants() -> None:
 _assert_invariants()
 
 # ---------------------------------------------------------------------------
+# Scored-grounding fixture (Gilda analog, reference
+# kg/client.py:323-378 create_custom_grounder/get_curie and the
+# scored-groundings walk promed_ner.py:160-176).  The custom grounder
+# indexes MeSH terms AND geoname terms; a surface form can therefore
+# carry multiple candidate groundings ("United States" is both
+# MESH:D014481 and geonames:6252001) which Gilda ranks by match
+# quality and term status before the namespace-priority walk.  The
+# engine's deterministic analog ranks by
+# (match tier, status, namespace priority, curie) — see
+# stages/grounding.py.
+#
+# GROUND_SYNONYMS: (ns, id, entry_name, synonym_text) — additional
+# surface forms with status='synonym' (Gilda Term status,
+# kg/client.py:359: fixture names carry status='name').  "Marburg" is
+# deliberately ambiguous WITHIN MeSH (disease D008379 vs virus
+# D029044) to exercise the curie tiebreak.
+# ---------------------------------------------------------------------------
+
+GROUND_SYNONYMS = [
+    ("MESH", "D019142", "Ebola Hemorrhagic Fever", "Ebola"),
+    ("MESH", "D008379", "Marburg Virus Disease", "Marburg"),
+    ("MESH", "D029044", "Marburgvirus", "Marburg"),
+    ("MESH", "D014376", "Tuberculosis", "TB"),
+    ("MESH", "D007251", "Influenza", "Flu"),
+    ("MESH", "D045908", "Monkeypox", "Mpox"),
+    ("MESH", "D014481", "United States", "USA"),
+    ("MESH", "D014481", "United States", "United States of America"),
+    ("MESH", "D002771", "Cholera", "Asiatic Cholera"),
+    ("MESH", "D000071244", "Zika Virus", "ZIKV"),
+    ("geonames", "5128581", "New York City", "NYC"),
+    ("geonames", "1566083", "Ho Chi Minh City", "Saigon"),
+]
+
+# Ungroundable decoy surfaces (get_curie → None, kg/client.py:375-376).
+GROUND_DECOYS = ["Atlantis", "Wakanda", "Gotham City"]
+
+# Curie-shaped queries (get_curie passthrough: ':' in name → returned
+# as-is WITHOUT grounding, kg/client.py:373-374).
+GROUND_CURIE_QUERIES = ["MESH:D003715", "doid:4325", "geonames:2988507"]
+
+
+def _ground_query_pool() -> list[str]:
+    """Deterministic ordered pool of grounding query surfaces: every
+    lexicon name, every geoname name, every synonym surface, then the
+    decoys — order-stable and duplicate-free (pool index is part of
+    the oracle contract)."""
+    seen: set[str] = set()
+    pool: list[str] = []
+    for s in (
+        [name for _, name, _, _ in MENTION_LEXICON]
+        + [name for _, name, _, _ in GEONAME_TERMS]
+        + [syn for _, _, _, syn in GROUND_SYNONYMS]
+        + GROUND_DECOYS
+        + GROUND_CURIE_QUERIES
+    ):
+        if s not in seen:
+            seen.add(s)
+            pool.append(s)
+    return pool
+
+
+# ---------------------------------------------------------------------------
 # Pathogen→disease relation fixture (reference input
 # kg/pathogen_disease_rels.tsv, consumed at kg/build.py:189-213):
 # rows in foreign namespaces; umls rows are dropped, the rest xref-map
@@ -250,6 +312,10 @@ INDICATOR_COUNTRIES = [
 ]
 
 
+# Materialized at module end — GEONAME_TERMS is defined above by now.
+GROUND_QUERY_POOL: list[str] = []
+
+
 def indicator_value(country_idx: int, series_idx: int, year: int) -> str:
     """Deterministic WB-style cell: '..' for some cells, else a number
     with ≤3 decimals (so ``round(x, 3)`` is exact)."""
@@ -257,3 +323,7 @@ def indicator_value(country_idx: int, series_idx: int, year: int) -> str:
         return ".."
     v = ((country_idx * 37 + series_idx * 11 + year) % 1000) + (year % 7) / 8.0
     return str(round(v, 3))
+
+
+GROUND_QUERY_POOL.extend(_ground_query_pool())
+GROUND_POOL_N = len(GROUND_QUERY_POOL)
