@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "realism_scores": realism_scores,
         # --- Eidos-equivalent context extraction (process_eidos.py) ---
         "timex_contexts": contexts.timex_contexts,
+        # round 4: Eidos TimeNorm analog — relative expressions
+        # resolved to absolute intervals against the alert DCT
+        "timex_normalized": contexts.timex_normalized,
         "geoloc_contexts": contexts.geoloc_contexts,
         "geoloc_stats": contexts.geoloc_stats,
         "timex_stats": contexts.timex_stats,
@@ -3692,6 +3695,52 @@ GROUP BY 1, 2
     # --- round 4: scored ambiguity-aware grounding (Gilda analog).
     # Mirrors stages/grounding.py: candidate table + query pool as
     # VALUES, deterministic score 100 - 20*tier - 10*status - ns.
+    # Eidos TimeNorm analog (process_eidos.py:11-45 interval payloads):
+    # calendar arithmetic mirrored from pipelines/contexts.py
+    # normalize_timex — day / Monday-start-week / calendar-month
+    # offsets against the per-alert DCT; hedges stay NULL.
+    from outbreak_kg_ray.pipelines.contexts import TIMEX_POOL
+
+    tp_rows = ", ".join(
+        f"({i}, '{_q(p)}', '{k}', {n}, "
+        + (f"'{a}'" if a else "NULL") + ", "
+        + (f"'{b}'" if b else "NULL") + ")"
+        for i, (p, k, n, a, b) in enumerate(TIMEX_POOL)
+    )
+    fmt = "'%Y-%m-%d %H:%M:%S'"
+    sql["timex_normalized"] = f"""
+WITH tp(idx, phrase, kind, n, a_start, a_end) AS (VALUES {tp_rows}),
+d AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS dct,
+         (doc_id * 7 + 3) % {len(TIMEX_POOL)} AS pidx
+  FROM documents
+)
+SELECT d.doc_id, t.phrase, strftime(d.dct, {fmt}) AS anchor_ts,
+  CASE t.kind
+    WHEN 'abs' THEN t.a_start
+    WHEN 'day' THEN strftime(date_trunc('day', d.dct)
+                             + t.n * INTERVAL 1 DAY, {fmt})
+    WHEN 'week' THEN strftime(date_trunc('week', d.dct)
+                              + t.n * INTERVAL 7 DAY, {fmt})
+    WHEN 'month' THEN strftime(date_trunc('month', d.dct)
+                               + t.n * INTERVAL 1 MONTH, {fmt})
+  END AS interval_start,
+  CASE t.kind
+    WHEN 'abs' THEN t.a_end
+    WHEN 'day' THEN strftime(date_trunc('day', d.dct)
+                             + (t.n + 1) * INTERVAL 1 DAY
+                             - INTERVAL 1 SECOND, {fmt})
+    WHEN 'week' THEN strftime(date_trunc('week', d.dct)
+                              + (t.n + 1) * INTERVAL 7 DAY
+                              - INTERVAL 1 SECOND, {fmt})
+    WHEN 'month' THEN strftime(date_trunc('month', d.dct)
+                               + (t.n + 1) * INTERVAL 1 MONTH
+                               - INTERVAL 1 SECOND, {fmt})
+  END AS interval_end
+FROM d JOIN tp t ON t.idx = d.pidx
+"""
+
     sql["scored_groundings"] = f"""
 WITH {_ground_ctes()}
 SELECT qid, query, ns, id, entry_name, status, match_tier, score,

@@ -281,3 +281,45 @@ def test_top_cooccurring_partners(ray_session, sf_dir):
         ).all()
     # symmetry: a top partner edge exists in both directions' pools
     assert (out["entity"] != out["partner"]).all()
+
+
+# ---------------------------------------------------------------------------
+# round 4: Eidos TimeNorm analog (timex normalization)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_timex_calendar_edges():
+    import datetime as dt
+
+    from outbreak_kg_ray.pipelines.contexts import TIMEX_POOL, normalize_timex
+
+    idx = {p: i for i, (p, *_r) in enumerate(TIMEX_POOL)}
+    jan1 = dt.datetime(2024, 1, 1, 0, 0, 0)  # a Monday
+    # "last month" across a year boundary
+    assert normalize_timex(jan1, idx["last month"]) == (
+        "2023-12-01 00:00:00", "2023-12-31 23:59:59")
+    # "last week" from a Monday = the previous full ISO week
+    assert normalize_timex(jan1, idx["last week"]) == (
+        "2023-12-25 00:00:00", "2023-12-31 23:59:59")
+    # "yesterday" across the year boundary
+    assert normalize_timex(jan1, idx["yesterday"]) == (
+        "2023-12-31 00:00:00", "2023-12-31 23:59:59")
+    # leap-February month window
+    feb = dt.datetime(2024, 2, 15, 12, 0, 0)
+    assert normalize_timex(feb, idx["this month"]) == (
+        "2024-02-01 00:00:00", "2024-02-29 23:59:59")
+    # hedges stay unresolved (Eidos' behavior for vague expressions)
+    assert normalize_timex(jan1, idx["recently"]) == (None, None)
+    # absolute month-year ignores the anchor entirely
+    assert normalize_timex(feb, idx["in March 2020"]) == (
+        "2020-03-01 00:00:00", "2020-03-31 23:59:59")
+
+
+def test_timex_normalized_dataset(ray_session):
+    from outbreak_kg_ray.pipelines.contexts import timex_normalized
+
+    rows = timex_normalized("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500
+    for r in rows:
+        if r["interval_start"] is not None:
+            assert r["interval_start"] <= r["interval_end"]
