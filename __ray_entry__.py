@@ -520,6 +520,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_groundings": grounding.scored_groundings,
         "grounding_curies": grounding.grounding_curies,
         "ambiguous_groundings": grounding.ambiguous_groundings,
+        # round 4: incremental KG maintenance — base-snapshot products
+        # + delta batch, oracle proves rebuild-equivalence
+        "kg_incremental_edges": kg.canonical_edges_incremental,
+        "kg_incremental_nodes": kg.canonical_nodes_incremental,
     }
 
 
@@ -3774,5 +3778,10 @@ r AS (
 SELECT DISTINCT query, n_candidates, ns || ':' || id AS best_curie
 FROM r WHERE rnk = 1 AND n_candidates > 1
 """
+
+    # incremental KG maintenance: the oracle IS the full rebuild —
+    # the correctness contract is rebuild-equivalence.
+    sql["kg_incremental_edges"] = sql["canonical_edges"]
+    sql["kg_incremental_nodes"] = sql["canonical_nodes"]
 
     return sql

@@ -993,3 +993,79 @@ def canonical_edges(sf_dir: str, products=None, *, ckpt_root: str | None = None)
     for p in parts[1:]:
         unioned = unioned.union(p)
     return unioned
+
+
+# ---------------------------------------------------------------------------
+# Incremental KG maintenance (round 4).  The reference rebuilds the
+# whole KG per run (kg/build.py main); at 100 TB the economical shape
+# is INCREMENTAL: the compact fused products (grounded terms + pair
+# partials, stages/fused.py) are the checkpointed state — a new crawl
+# batch only pays extract/NER for ITS pages, then every cross-doc
+# combine re-runs over base ∪ delta products.  Equality with the full
+# rebuild holds because each cross-doc combine is associative:
+# occurs_with pair counts SUM, node merges are label-union /
+# min-name / max-timestamp, and per-doc tables (alerts, mentions,
+# has_outbreak) are disjoint across doc batches.  The ckpt_root path
+# of kg_products_dataset already persists exactly these products per
+# doc-range partition, so "base" below is what a prior run would have
+# on disk.
+# ---------------------------------------------------------------------------
+
+
+def _doc_id_split(sf_dir: str) -> int | None:
+    """Midpoint of the doc_id range, from Parquet row-group footer
+    statistics only (no data read). None when stats are unusable or
+    the corpus has fewer than 2 distinct ids."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == "doc_id" and col.statistics is not None:
+                s = col.statistics
+                if s.has_min_max:
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+    if lo is None or hi is None or hi <= lo:
+        return None
+    return (lo + hi) // 2 + 1
+
+
+def _split_products(sf_dir: str):
+    """(base ∪ delta) fused products, each half materialized
+    independently — the incremental-maintenance state shape."""
+    from ..stages.fused import kg_products
+    from ..stages.ner import default_concurrency
+
+    k = _doc_id_split(sf_dir)
+    if k is None:
+        return None
+    n_blocks = default_concurrency()[1]
+    base = kg_products(
+        docs_dataset(sf_dir, doc_hi=k, split_blocks=n_blocks)
+    ).materialize()
+    delta = kg_products(
+        docs_dataset(sf_dir, doc_lo=k, split_blocks=n_blocks)
+    ).materialize()
+    return base.union(delta)
+
+
+def canonical_edges_incremental(sf_dir: str):
+    """Canonical edges via base-snapshot products + delta-batch
+    products (oracle: identical to the full rebuild)."""
+    products = _split_products(sf_dir)
+    if products is None:
+        return canonical_edges(sf_dir)
+    return canonical_edges(sf_dir, products=products)
+
+
+def canonical_nodes_incremental(sf_dir: str):
+    """Canonical nodes via base + delta products (oracle: identical
+    to the full rebuild — the node merges are associative)."""
+    products = _split_products(sf_dir)
+    if products is None:
+        return canonical_nodes(sf_dir)
+    return canonical_nodes(sf_dir, products=products)

@@ -236,3 +236,35 @@ def test_auto_combine_both_branches(ray_session, monkeypatch):
     )
     assert single.values.tolist() == dist.values.tolist()
     assert nodes_single.values.tolist() == nodes_dist.values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# round 4: incremental KG maintenance (base products + delta batch)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_equals_full_rebuild(ray_session):
+    from outbreak_kg_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+
+    def key(rows):
+        return sorted(
+            tuple((k, repr(v)) for k, v in sorted(r.items())) for r in rows
+        )
+
+    full_e = key(kg.canonical_edges(sf).take_all())
+    incr_e = key(kg.canonical_edges_incremental(sf).take_all())
+    assert incr_e == full_e
+
+    full_n = key(kg.canonical_nodes(sf).take_all())
+    incr_n = key(kg.canonical_nodes_incremental(sf).take_all())
+    assert incr_n == full_n
+
+
+def test_incremental_split_point():
+    from outbreak_kg_ray.pipelines.kg import _doc_id_split
+
+    k = _doc_id_split("/root/testdata/sf0.001")
+    # 500 docs with ids 0..499 → midpoint splits both halves non-empty
+    assert k is not None and 0 < k < 499
