@@ -238,27 +238,58 @@ class SimHashStage:
         )
 
 
-def _bucket_pairs(ds, key: str):
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("truncated", pa.bool_())]
+)
+
+
+def _bucket_pairs(ds, key: str, *, parts: int = 32):
     """LSH bucket rows → candidate pairs.
 
-    One ``groupby(bucket).aggregate(Unique(key))`` shuffle collapses
-    each bucket to a single row carrying its member list; pair
-    generation then runs per *batch* of bucket rows (the previous
-    per-bucket ``map_groups`` paid pandas overhead for tens of
-    thousands of tiny groups). A per-bucket cap bounds hub-bucket
-    pair blowup; capped buckets carry ``truncated=True``."""
-    from ray.data.aggregate import Unique
-
+    Exchange shape (round 4): a deterministic hash PARTITION id over
+    (band, band_hash) → one int-keyed ``groupby(_pid).map_groups``
+    shuffle (``parts`` groups total) → inside each partition a C++
+    ``pyarrow`` hash ``group_by`` collapses every bucket and pairs the
+    ≥2-member ones.  The previous
+    ``groupby(bucket).aggregate(Unique)`` paid Python set-building per
+    GROUP — ~1 bucket per row at LSH density (149k groups from 160k
+    rows at sf0.1), which made the bucket collapse the pipeline's
+    hottest operator (5.8 s of its 8.7 s).  Hash-partitioning keeps
+    every bucket intact inside one partition, so the per-bucket work
+    is a vectorized kernel and the shuffle key is one small int.  A
+    per-bucket cap bounds hub-bucket pair blowup; capped buckets
+    carry ``truncated=True``."""
     cap = 64
 
-    def pairs_from_lists(t: pa.Table) -> pa.Table:
+    def add_pid(t: pa.Table) -> pa.Table:
+        col = t.column("band_hash")
+        if pa.types.is_integer(col.type):
+            bh = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:  # string bucket keys (generic callers): crc32 per row
+            import zlib
+
+            bh = np.fromiter(
+                (zlib.crc32(str(s).encode()) for s in col.to_pylist()),
+                dtype=np.uint64, count=len(col),
+            )
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        band = band.astype(np.uint64)
+        mixed = (bh + band * np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        pid = ((mixed >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_pid", pa.array(pid))
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
         out_a: list = []
         out_b: list = []
         out_tr: list = []
-        for members in t.column("_ks").to_pylist():
-            ks = sorted(set(members))
-            if len(ks) < 2:
-                continue
+        g = t.group_by(["band", "band_hash"]).aggregate(
+            [(key, "distinct"), (key, "count_distinct")]
+        )
+        g = g.filter(pc.greater(g.column(f"{key}_count_distinct"), 1))
+        for members in g.column(f"{key}_distinct").to_pylist():
+            ks = sorted(members)
             truncated = len(ks) > cap
             ks = ks[:cap]
             for x, y in combinations(ks, 2):
@@ -273,12 +304,14 @@ def _bucket_pairs(ds, key: str):
             }
         )
 
-    buckets = ds.groupby(["band", "band_hash"]).aggregate(
-        Unique(key, alias_name="_ks")
+    from outbreak_kg_ray.sources.io import pinned_schema
+
+    out = (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
-    return buckets.map_batches(
-        pairs_from_lists, batch_format="pyarrow"
-    )
+    return pinned_schema(out, _PAIR_SCHEMA)
 
 
 class NgramIndexStage:
@@ -381,13 +414,46 @@ def minhash_candidate_pairs(docs_ds, *, key: str = "doc_id",
     return distinct_pairs(pairs)
 
 
-def distinct_pairs(pairs_ds):
-    from ray.data.aggregate import Count
+_AB_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-    return (
-        pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
+
+def distinct_pairs(pairs_ds, *, parts: int = 32):
+    """Distinct (a, b) candidate pairs — same exchange shape as
+    ``_bucket_pairs``: batch-local C++ distinct collapse (a pair
+    colliding in several bands repeats within a block), then one
+    int-keyed partition shuffle + per-partition distinct."""
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = (
+            t.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+            .drop_columns(["count_all"])
+        )
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        pid = ((mixed >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("_pid", pa.array(pid))
+
+    def part_distinct(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([([], "count_all")])
+            .drop_columns(["count_all"])
+        )
+
+    from outbreak_kg_ray.sources.io import pinned_schema
+
+    out = (
+        pairs_ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(part_distinct, batch_format="pyarrow")
     )
+    return pinned_schema(out, _AB_SCHEMA)
 
 
 def _join_partitions_for(ds, default: int = 8) -> int:
