@@ -3350,15 +3350,41 @@ def fuzzy_name_pairs(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Unique
+    # Bucket collapse (round 4): deletion-key buckets are ~1 group
+    # per row (Zipf-free short keys), where Ray's per-group Unique
+    # aggregate pays Python set-building per group.  Same exchange
+    # shape as stages/dedup._bucket_pairs: int partition id over the
+    # key → ONE int-keyed groupby(_pid).map_groups shuffle → C++
+    # pyarrow group_by collapses every bucket inside its partition.
+    import numpy as np
 
-    return (
+    from ..sources.io import pinned_schema
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = t.column("key").to_pylist()
+        pid = np.fromiter(
+            (zlib.crc32(k.encode()) % 32 for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        return t.append_column("_pid", pa.array(pid))
+
+    def collapse_and_pair(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("w", "distinct")])
+        return bucket_pairs_batch(
+            pa.table({"key": g.column("key"), "ws": g.column("w_distinct")})
+        )
+
+    out = (
         names.map_batches(variants, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Unique("w", alias_name="ws"))
-        .map_batches(bucket_pairs_batch, batch_format="pyarrow")
-        .sort(["name_a", "name_b"])
+        .map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(collapse_and_pair, batch_format="pyarrow")
     )
+    return pinned_schema(
+        out, pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+    ).sort(["name_a", "name_b"])
 
 
 def association_rules(sf_dir: str, *, min_support: float = 0.05):

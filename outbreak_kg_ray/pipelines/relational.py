@@ -318,47 +318,77 @@ def order_priority_return_rate(
         columns=["l_orderkey", "l_returnflag"],
     )
 
-    def local_flags(t: pa.Table) -> pa.Table:
-        flag = pc.cast(
-            pc.equal(t.column("l_returnflag"), pa.scalar("R")), pa.int64()
+    # Round-4 exchange shape: the per-order Max groupby + left-outer
+    # join (two all-to-alls, one paying Ray's per-group aggregation
+    # over ~|orders| groups) collapse into ONE int-keyed partition
+    # shuffle.  Both sides are tagged and co-partitioned by a hash of
+    # the orderkey; inside each partition a vectorized pc.is_in
+    # semi-join marks returned orders and a C++ group_by emits
+    # 5-row (priority, n_orders, n_returned) partials; the final
+    # combine is priority-bounded.
+    import numpy as np
+
+    parts = max(8, num_partitions)
+
+    def _pid(keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (k * np.uint64(0x9E3779B97F4A7C15)) ^ (k >> np.uint64(29))
+        return pa.array(
+            ((mixed >> np.uint64(17)) % np.uint64(parts)).astype(np.int64)
         )
-        pairs = pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "ret": flag}
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "pri": t.column("o_orderpriority"),
+                "_pid": _pid(t.column("o_orderkey")),
+            }
         )
-        out = pairs.group_by("l_orderkey").aggregate([("ret", "max")])
-        return out.rename_columns(["l_orderkey", "ret"])
 
-    flags = (
-        lineitem.map_batches(local_flags, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("ret", alias_name="ret"))
-    )
-
-    joined = orders.join(
-        flags,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
-
-    def fill(t: pa.Table) -> pa.Table:
-        ret = pc.coalesce(
-            pc.cast(t.column("ret"), pa.int64()), pa.scalar(0, pa.int64())
+    def tag_returned(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+            .column("l_orderkey")
         )
         return pa.table(
             {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "ret": ret,
+                "k": pc.cast(keys, pa.int64()),
+                "pri": pa.nulls(len(keys), pa.string()),
+                "_pid": _pid(keys),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_returned, batch_format="pyarrow")
+    )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        pri = t.column("pri")
+        is_order = pc.is_valid(pri)
+        o = t.filter(is_order)
+        rk = pc.unique(t.filter(pc.invert(is_order)).column("k"))
+        ret = pc.cast(pc.is_in(o.column("k"), value_set=rk), pa.int64())
+        g = (
+            pa.table({"o_orderpriority": o.column("pri"), "ret": ret})
+            .group_by("o_orderpriority")
+            .aggregate([("ret", "count"), ("ret", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_orders": g.column("ret_count"),
+                "n_ret": g.column("ret_sum"),
             }
         )
 
     agg = (
-        joined.map_batches(fill, batch_format="pyarrow")
+        tagged.groupby("_pid")
+        .map_groups(part_counts, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("ret", alias_name="n_returned"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_ret", alias_name="n_returned"),
         )
     )
     return agg.map_batches(finish, batch_format="pyarrow")
