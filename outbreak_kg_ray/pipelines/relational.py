@@ -1109,49 +1109,49 @@ def retention_cohorts(sf_dir: str, *, num_partitions: int | None = None):
             }
         )
 
-    user_weeks = (
-        ds.map_batches(week, batch_format="pyarrow")
-        .groupby(["user_id", "week"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # reused twice: cohort derivation + join probe
-    )
-    cohorts = user_weeks.groupby("user_id").aggregate(
-        Min("week", alias_name="cohort_week")
-    )
-    joined = user_weeks.join(
-        cohorts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("user_id",),
-    )
+    # (round 4) the distinct (user, week) collapse, the per-user
+    # cohort Min and the join back all fuse into ONE user-keyed hash
+    # partition exchange (keyed_partitions): within a partition every
+    # user's weeks are co-located, so a C++ group_by derives the
+    # cohort, an in-partition acero join attaches it, and the
+    # partition emits (cohort_week, week_offset, n) PARTIALS bounded
+    # by weeks² — only those partials enter the final (tiny) Sum.
+    from ray.data.aggregate import Sum
 
-    def offset(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "week" not in t.column_names:
-            return pa.table(
-                {
-                    "cohort_week": pa.array([], pa.timestamp("us")),
-                    "week_offset": pa.array([], pa.int64()),
-                }
-            )
-        # Ray's Min aggregate round-trips timestamps through numpy and
-        # can coarsen precision; normalize BOTH sides to us first.
-        wk = t.column("week").cast(pa.timestamp("us")).cast(pa.int64())
-        cw = t.column("cohort_week").cast(pa.timestamp("us"))
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    def part_cohorts(t: pa.Table) -> pa.Table:
+        d = (
+            t.select(["user_id", "week"])
+            .group_by(["user_id", "week"])
+            .aggregate([([], "count_all")])
+            .drop_columns(["count_all"])
+        )
+        c = d.group_by("user_id").aggregate([("week", "min")])
+        j = d.join(c, keys=["user_id"])
+        wk = j.column("week").cast(pa.timestamp("us")).cast(pa.int64())
+        cw = j.column("week_min").cast(pa.timestamp("us"))
         delta_us = pc.subtract(wk, cw.cast(pa.int64()))
-        return pa.table(
-            {
-                "cohort_week": cw,
-                "week_offset": pc.divide(
-                    delta_us, pa.scalar(7 * 86_400_000_000, pa.int64())
-                ),
-            }
+        off = pc.divide(delta_us, pa.scalar(7 * 86_400_000_000, pa.int64()))
+        return (
+            pa.table({"cohort_week": cw, "week_offset": off})
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort_week", "week_offset", "_n"])
         )
 
+    partials = keyed_partitions(
+        ds.map_batches(week, batch_format="pyarrow"),
+        ["user_id"],
+        part_cohorts,
+        schema=pa.schema(
+            [("cohort_week", pa.timestamp("us")),
+             ("week_offset", pa.int64()), ("_n", pa.int64())]
+        ),
+    )
     return (
-        joined.map_batches(offset, batch_format="pyarrow")
-        .groupby(["cohort_week", "week_offset"])
-        .aggregate(Count(alias_name="n_users"))
+        partials.groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("_n", alias_name="n_users"))
     )
 
 
@@ -2695,13 +2695,29 @@ def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
             }
         )
 
-    pairs = (
-        ev.map_batches(to_pairs, batch_format="pyarrow")
-        .groupby(["h", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # two consumers: hour catalog + window fanout
-    )
+    # (round 4) both distinct collapses run through keyed_partitions:
+    # group cardinality here is ~hours x users (≈ row count after the
+    # batch combiner), exactly where Ray's per-group aggregate pays
+    # Python work per group; a hash-partition + C++ group_by keeps
+    # the exchange int-keyed and the per-key work vectorized.
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    def part_distinct(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["h", "user_id"])
+            .group_by(["h", "user_id"])
+            .aggregate([([], "count_all")])
+            .drop_columns(["count_all"])
+        )
+
+    pairs = keyed_partitions(
+        ev.map_batches(to_pairs, batch_format="pyarrow"),
+        ["h", "user_id"],
+        part_distinct,
+        schema=pa.schema(
+            [("h", pa.timestamp("us")), ("user_id", pa.int64())]
+        ),
+    ).materialize()  # two consumers: hour catalog + window fanout
 
     # calendar-bounded hour catalog (one timestamp per active hour)
     hour_rows = (
@@ -2741,26 +2757,31 @@ def rolling_active_users(sf_dir: str, *, window_hours: int = 3):
             }
         )
 
-    def pin(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "w" not in t.column_names:
-            return pa.schema(list(out_schema.items())).empty_table()
+    # Partitioning by w alone co-locates every window's rows, so ONE
+    # exchange yields the final per-window distinct count (the
+    # (w,user) distinct + per-w count both happen inside the
+    # partition) — the previous plan paid two aggregate shuffles.
+    def part_window_counts(t: pa.Table) -> pa.Table:
+        d = (
+            t.select(["w", "user_id"])
+            .group_by(["w", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        g = d.group_by("w").aggregate([("user_id", "count")])
         return pa.table(
             {
-                "hour": t.column("w").cast(pa.timestamp("us")),
-                "active_users": t.column("active_users").cast(
-                    pa.int64()
+                "hour": g.column("w").cast(pa.timestamp("us")),
+                "active_users": pc.cast(
+                    g.column("user_id_count"), pa.int64()
                 ),
             }
         )
 
-    return (
-        pairs.map_batches(fan_out, batch_format="pyarrow")
-        .groupby(["w", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .groupby("w")
-        .aggregate(Count(alias_name="active_users"))
-        .map_batches(pin, batch_format="pyarrow")
+    return keyed_partitions(
+        pairs.map_batches(fan_out, batch_format="pyarrow"),
+        ["w"],
+        part_window_counts,
+        schema=pa.schema(list(out_schema.items())),
     )
 
 

@@ -109,3 +109,63 @@ def zip_with_index(sorted_ds, *, rank_col: str = "rank"):
     import ray.data as rd
 
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Hash-partitioned keyed processing (round 4).  Ray's generic
+# ``groupby(keys).aggregate(...)`` pays per-GROUP Python work inside
+# the aggregation machinery — ruinous when group cardinality
+# approaches row count (LSH buckets, distinct pair collapses,
+# windowed-distinct fanouts: ~1 group per row).  ``keyed_partitions``
+# runs the exchange the way a hash shuffle would: a deterministic
+# int partition id over the key columns → ONE int-keyed
+# ``groupby(_pid).map_groups`` (``parts`` groups total) → the caller's
+# vectorized per-partition function (typically a C++ pyarrow
+# ``group_by``), with every key's rows guaranteed co-located in one
+# partition.  This is also the single-node analog of what a
+# multi-node hash exchange ships: (key-hash → partition) row routing.
+# ---------------------------------------------------------------------------
+
+
+def partition_ids(t: pa.Table, cols: list[str], parts: int) -> pa.Array:
+    """Deterministic int64 partition id from the named columns
+    (ints/timestamps vectorized; strings via crc32)."""
+    import zlib
+
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    for i, c in enumerate(cols):
+        col = t.column(c)
+        if pa.types.is_timestamp(col.type):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = v.astype(np.uint64)
+        elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            v = np.fromiter(
+                (zlib.crc32(str(s).encode()) for s in col.to_pylist()),
+                dtype=np.uint64, count=t.num_rows,
+            )
+        acc = (acc + v + np.uint64(i)) * np.uint64(0x9E3779B97F4A7C15)
+    return pa.array(((acc >> np.uint64(23)) % np.uint64(parts)).astype(np.int64))
+
+
+def keyed_partitions(ds, cols: list[str], fn, *, parts: int = 32,
+                     schema: "pa.Schema | None" = None):
+    """Route rows to ``parts`` hash partitions over ``cols`` and run
+    ``fn`` (pa.Table → pa.Table) once per partition with all rows of
+    each key co-located. ``fn``'s output must NOT include ``_pid``.
+    ``schema`` pins the output schema (the one-sided-empty trap)."""
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        return t.append_column("_pid", partition_ids(t, cols, parts))
+
+    out = (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+    if schema is not None:
+        from outbreak_kg_ray.sources.io import pinned_schema
+
+        out = pinned_schema(out, schema)
+    return out
