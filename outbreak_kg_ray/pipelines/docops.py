@@ -1324,18 +1324,25 @@ def boilerplate_ratio(
              "c": pa.array(cnt, pa.int64())}
         )
 
-    def keep_hot(t: pa.Table) -> pa.Table:
+    # (round 4) the df sum runs through keyed_partitions: gram-hash
+    # group cardinality ~ corpus vocabulary, where Ray's per-group
+    # Sum pays Python work per group; the C++ per-partition group_by
+    # also applies the hot cut BEFORE anything leaves the partition.
+    from ..stages.shuffle import keyed_partitions
+
+    def part_df(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.greater_equal(t.column("df"), min_df))
+        g = t.select(["g", "c"]).group_by("g").aggregate([("c", "sum")])
+        g = g.filter(pc.greater_equal(g.column("c_sum"), min_df))
+        return pa.table({"g": g.column("g")})
 
     hot_parts = [
         b.column("g").to_numpy()
-        for b in docs.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("g")
-        .aggregate(Sum("c", alias_name="df"))
-        .map_batches(keep_hot, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+        for b in keyed_partitions(
+            docs.map_batches(partial_df, batch_format="pyarrow"),
+            ["g"], part_df, schema=pa.schema([("g", pa.int64())]),
+        ).iter_batches(batch_format="pyarrow")
     ]  # only hot survivors reach the driver — bounded by the threshold
     hot = np.sort(
         np.concatenate(hot_parts)
