@@ -89,3 +89,66 @@ def test_zip_with_index_global_order(ray_session):
     out = out.sort_values("idx").reset_index(drop=True)
     assert out["key"].tolist() == sorted(vals)
     assert out["idx"].tolist() == list(range(500))
+
+
+# ---------------------------------------------------------------------------
+# round 4: keyed_partitions (hash-partitioned keyed processing)
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_partitions_colocates_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    n = 5000
+    ds = rd.range(n).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(
+                    [i % 137 for i in t.column("id").to_pylist()], pa.int64()
+                ),
+                "v": t.column("id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # per-partition count per key; if a key were split across
+    # partitions, the per-key total would arrive in >1 output row
+    def per_key_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([([], "count_all")])
+        return pa.table(
+            {"k": g.column("k"), "n": g.column("count_all")}
+        )
+
+    rows = keyed_partitions(
+        ds, ["k"], per_key_counts,
+        schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+    ).take_all()
+    seen = {}
+    for r in rows:
+        assert r["k"] not in seen, "key split across partitions"
+        seen[r["k"]] = r["n"]
+    assert sum(seen.values()) == n
+    assert len(seen) == 137
+
+
+def test_keyed_partitions_string_and_timestamp_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.shuffle import partition_ids
+
+    t = pa.table(
+        {
+            "s": pa.array(["x", "y", "x", None], pa.string()),
+            "ts": pa.array([1, 2, 1, 3], pa.timestamp("us")),
+        }
+    )
+    pid1 = partition_ids(t, ["s", "ts"], 8).to_pylist()
+    pid2 = partition_ids(t, ["s", "ts"], 8).to_pylist()
+    assert pid1 == pid2  # deterministic
+    assert pid1[0] == pid1[2]  # equal keys → equal partition
+    assert all(0 <= p < 8 for p in pid1)
