@@ -121,7 +121,7 @@ def assign_clusters(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 
 def lloyd_centroids(sf_dir: str, *, k: int = 8,
-                    rounds: int = 5) -> np.ndarray:
+                    rounds: int = 5, ds=None) -> np.ndarray:
     """Fixed-round distributed Lloyd's → the trained k×dim centroid
     matrix (shared by ``kmeans_clusters`` and ``semantic_dedup``).
 
@@ -135,7 +135,11 @@ def lloyd_centroids(sf_dir: str, *, k: int = 8,
     from ray.data.aggregate import Sum
 
     cent = _init_centroids(sf_dir, k)
-    ds = _embeddings(sf_dir)
+    if ds is None:
+        # pin the vectors once — every round re-reads them, and
+        # re-decoding parquet ×rounds was pure waste (callers that
+        # need a post-training pass share the same pinned ds)
+        ds = _embeddings(sf_dir).materialize()
     assign = assign_clusters
 
     for _ in range(rounds):
@@ -189,7 +193,8 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
             "vec_id": pa.int64(), "cluster": pa.int64(),
         })
 
-    cent = lloyd_centroids(sf_dir, k=k, rounds=rounds)
+    emb = _embeddings(sf_dir).materialize()
+    cent = lloyd_centroids(sf_dir, k=k, rounds=rounds, ds=emb)
     final_ref = ray.put(cent)
 
     def assignments(t: pa.Table) -> pa.Table:
@@ -202,9 +207,7 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, rounds: int = 5):
             }
         )
 
-    return _embeddings(sf_dir).map_batches(
-        assignments, batch_format="pyarrow"
-    )
+    return emb.map_batches(assignments, batch_format="pyarrow")
 
 
 def semantic_dedup(sf_dir: str, *, k: int = 8, rounds: int = 5,
@@ -242,7 +245,8 @@ def semantic_dedup(sf_dir: str, *, k: int = 8, rounds: int = 5,
             "keep": pa.bool_(), "max_prior_sim": pa.float64(),
         })
 
-    cent_ref = ray.put(lloyd_centroids(sf_dir, k=k, rounds=rounds))
+    emb = _embeddings(sf_dir).materialize()
+    cent_ref = ray.put(lloyd_centroids(sf_dir, k=k, rounds=rounds, ds=emb))
 
     def with_cluster(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -255,9 +259,7 @@ def semantic_dedup(sf_dir: str, *, k: int = 8, rounds: int = 5,
             }
         )
 
-    assigned = _embeddings(sf_dir).map_batches(
-        with_cluster, batch_format="pyarrow"
-    )
+    assigned = emb.map_batches(with_cluster, batch_format="pyarrow")
 
     def prune(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
