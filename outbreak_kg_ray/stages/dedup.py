@@ -48,14 +48,33 @@ def add_content_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
 
 def exact_dedup_keep(ds, *, key: str = "doc_id", col: str = "text"):
     """→ (text_hash, doc_id) with doc_id = min key per distinct
-    content. The groupby ships only the tiny (hash, key) projection."""
-    from ray.data.aggregate import Min
+    content. The exchange ships only the tiny (hash, key) projection,
+    hash-partitioned (keyed_partitions) with a batch-local min
+    combiner first — distinct-content group cardinality approaches
+    row count, exactly where Ray's per-group Min aggregate pays
+    Python work per group."""
 
-    hashed = ds.map_batches(
-        lambda t: add_content_hash_batch(t, col).select(["text_hash", key]),
-        batch_format="pyarrow",
+    def local_min(t: pa.Table) -> pa.Table:
+        t = add_content_hash_batch(t, col).select(["text_hash", key])
+        return t.group_by("text_hash").aggregate([(key, "min")]).rename_columns(
+            ["text_hash", key]
+        )
+
+    def part_min(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("text_hash")
+            .aggregate([(key, "min")])
+            .rename_columns(["text_hash", key])
+        )
+
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    key_type = pa.int64() if key == "doc_id" else pa.string()
+    return keyed_partitions(
+        ds.map_batches(local_min, batch_format="pyarrow"),
+        ["text_hash"], part_min,
+        schema=pa.schema([("text_hash", pa.string()), (key, key_type)]),
     )
-    return hashed.groupby("text_hash").aggregate(Min(key, alias_name=key))
 
 
 # ---------------------------------------------------------------------------
