@@ -524,6 +524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + delta batch, oracle proves rebuild-equivalence
         "kg_incremental_edges": kg.canonical_edges_incremental,
         "kg_incremental_nodes": kg.canonical_nodes_incremental,
+        # round 4: case-count phrase extraction → has_case_count
+        # triples (north-star relation vocabulary)
+        "case_counts": contexts.case_counts,
+        "case_count_edges": contexts.case_count_edges,
     }
 
 
@@ -3783,5 +3787,52 @@ FROM r WHERE rnk = 1 AND n_candidates > 1
     # the correctness contract is rebuild-equivalence.
     sql["kg_incremental_edges"] = sql["canonical_edges"]
     sql["kg_incremental_nodes"] = sql["canonical_nodes"]
+
+    # case-count phrase extraction (pipelines/contexts.py
+    # parse_case_count mirrored: digit groups with comma strip win,
+    # then word-numbers/negation; kind plural-normalized).
+    from outbreak_kg_ray.pipelines.contexts import CASE_PHRASES
+
+    cp_rows = ", ".join(
+        f"({i}, '{_q(p)}')" for i, p in enumerate(CASE_PHRASES)
+    )
+    _cc_cte = f"""
+cp(idx, phrase) AS (VALUES {cp_rows}),
+cc AS (
+  SELECT d.doc_id, p.phrase,
+    CASE WHEN regexp_extract(p.phrase,
+              '\\b(cases?|deaths?|infections?)\\b', 1) LIKE '%s'
+         THEN regexp_extract(p.phrase,
+              '\\b(cases?|deaths?|infections?)\\b', 1)
+         ELSE regexp_extract(p.phrase,
+              '\\b(cases?|deaths?|infections?)\\b', 1) || 's'
+    END AS kind,
+    CASE
+      WHEN regexp_matches(p.phrase, '\\d')
+        THEN CAST(replace(regexp_extract(p.phrase, '(\\d[\\d,]*)', 1),
+                          ',', '') AS BIGINT)
+      WHEN regexp_matches(p.phrase, '\\bno\\b') THEN 0
+      WHEN regexp_matches(p.phrase, '\\bone\\b') THEN 1
+      WHEN regexp_matches(p.phrase, '\\btwo\\b') THEN 2
+      WHEN regexp_matches(p.phrase, '\\bthree\\b') THEN 3
+      ELSE NULL
+    END AS n
+  FROM documents d JOIN cp p ON p.idx = (d.doc_id * 11 + 5) % {len(CASE_PHRASES)}
+)"""
+
+    sql["case_counts"] = f"""
+WITH {_cc_cte}
+SELECT doc_id, phrase, kind, n FROM cc
+"""
+
+    sql["case_count_edges"] = f"""
+WITH {_cc_cte}
+SELECT 'promed:' || printf('%08d.%d', 20200000 + doc_id % 10000,
+                           1000000 + doc_id) AS start_id,
+       'has_case_count' AS rel_type,
+       'outbreak_kind:' || kind AS end_id,
+       n AS "count"
+FROM cc WHERE n IS NOT NULL
+"""
 
     return sql

@@ -235,3 +235,122 @@ def timex_normalized(sf_dir: str):
     return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(norm_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Case-count phrase extraction (round 4).  The north-star pipeline
+# grounds "case-count phrases" and emits has_case_count triples; the
+# reference's alert bodies carry these as free text ("12 new cases
+# were reported").  The synthetic corpus has no numerals, so — as
+# with grounding and timex — the phrase stream is synthesized
+# deterministically per alert and the ENGINE does real extraction:
+# a compiled numeral regex (digit groups with thousands commas),
+# word-number and negation fallbacks, and a kind classifier
+# (cases / deaths / infections), all mirrored in the DuckDB oracle.
+#
+#   phrase[doc] = CASE_PHRASES[(doc_id*11 + 5) % len(CASE_PHRASES)]
+# ---------------------------------------------------------------------------
+
+CASE_PHRASES = [
+    "12 new cases were reported",
+    "3 deaths were confirmed",
+    "about 1,200 cases in total",
+    "no new cases this week",
+    "a total of 457 infections",
+    "one death was reported",
+    "suspected 89 cases",
+    "over 10,000 cases to date",
+    "17 confirmed deaths",
+    "several cases under investigation",   # unparseable → NULL count
+    "two infections linked to the outbreak",
+    "health officials counted 240 cases",
+]
+
+_CC_NUM_RE = re.compile(r"\d[\d,]*")
+_CC_KIND_RE = re.compile(r"\b(cases?|deaths?|infections?)\b")
+_CC_WORD_NUMS = [("no", 0), ("one", 1), ("two", 2), ("three", 3)]
+
+
+def parse_case_count(phrase: str) -> tuple[str | None, int | None]:
+    """→ (kind, count): digit groups win (commas stripped), then
+    word-numbers / negation; kind from the first case-word, plural
+    normalized. (None, None) only if no case-word at all."""
+    mk = _CC_KIND_RE.search(phrase)
+    kind = None
+    if mk:
+        k = mk.group(1)
+        kind = k if k.endswith("s") else k + "s"
+    mn = _CC_NUM_RE.search(phrase)
+    if mn:
+        return kind, int(mn.group(0).replace(",", ""))
+    for w, v in _CC_WORD_NUMS:
+        if re.search(rf"\b{w}\b", phrase):
+            return kind, v
+    return kind, None
+
+
+def case_counts(sf_dir: str):
+    """→ (doc_id, phrase, kind, n) — one extracted case-count phrase
+    per alert; ``n`` NULL for hedged phrases."""
+    from ..sources.io import empty_dataset, parquet_rows, read_parquet_clean
+
+    schema = {
+        "doc_id": pa.int64(), "phrase": pa.string(),
+        "kind": pa.string(), "n": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(schema)
+    npool = len(CASE_PHRASES)
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        phrases = [CASE_PHRASES[(d * 11 + 5) % npool] for d in ids]
+        kinds, ns = [], []
+        for p in phrases:
+            k, v = parse_case_count(p)
+            kinds.append(k)
+            ns.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "phrase": pa.array(phrases, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(extract, batch_format="pyarrow")
+
+
+def case_count_edges(sf_dir: str):
+    """→ (start_id, rel_type, end_id, count) has_case_count triples —
+    the north-star triple shape: promed alert → kind node, count as
+    the edge property; hedged (NULL-count) phrases emit no edge."""
+    from ..sources.pages import archive_number
+
+    base = case_counts(sf_dir)
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("n")))
+        starts = [
+            f"promed:{archive_number(d)}"
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "start_id": pa.array(starts, pa.string()),
+                "rel_type": pa.array(
+                    ["has_case_count"] * t.num_rows, pa.string()
+                ),
+                "end_id": pa.array(
+                    [f"outbreak_kind:{k}"
+                     for k in t.column("kind").to_pylist()],
+                    pa.string(),
+                ),
+                "count": t.column("n"),
+            }
+        )
+
+    return base.map_batches(shape, batch_format="pyarrow")

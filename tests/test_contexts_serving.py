@@ -323,3 +323,29 @@ def test_timex_normalized_dataset(ray_session):
     for r in rows:
         if r["interval_start"] is not None:
             assert r["interval_start"] <= r["interval_end"]
+
+
+def test_parse_case_count_rules():
+    from outbreak_kg_ray.pipelines.contexts import (
+        CASE_PHRASES,
+        parse_case_count,
+    )
+
+    assert parse_case_count("about 1,200 cases in total") == ("cases", 1200)
+    assert parse_case_count("no new cases this week") == ("cases", 0)
+    assert parse_case_count("one death was reported") == ("deaths", 1)
+    assert parse_case_count("several cases under investigation") == (
+        "cases", None)
+    # digits always win over word-numbers
+    assert parse_case_count("no fewer than 40 cases") == ("cases", 40)
+    # every pool phrase classifies to a kind
+    assert all(parse_case_count(p)[0] is not None for p in CASE_PHRASES)
+
+
+def test_case_count_edges_dataset(ray_session):
+    from outbreak_kg_ray.pipelines.contexts import case_count_edges
+
+    rows = case_count_edges("/root/testdata/sf0.001").take_all()
+    assert rows and all(r["rel_type"] == "has_case_count" for r in rows)
+    assert all(r["count"] is not None and r["count"] >= 0 for r in rows)
+    assert all(r["end_id"].startswith("outbreak_kind:") for r in rows)
