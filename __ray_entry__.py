@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # triples (north-star relation vocabulary)
         "case_counts": contexts.case_counts,
         "case_count_edges": contexts.case_count_edges,
+        "disease_case_totals": contexts.disease_case_totals,
     }
 
 
@@ -3833,6 +3834,18 @@ SELECT 'promed:' || printf('%08d.%d', 20200000 + doc_id % 10000,
        'outbreak_kind:' || kind AS end_id,
        n AS "count"
 FROM cc WHERE n IS NOT NULL
+"""
+
+    # composed: per-disease case totals (disease-typed distinct
+    # mentions ⋈ parsed case counts on doc_id)
+    sql["disease_case_totals"] = f"""
+{_kg_prefix()},
+{_cc_cte}
+SELECT m.mesh_id, m.name, CAST(SUM(c.n) AS BIGINT) AS total_cases,
+       COUNT(*) AS n_alerts
+FROM dment m JOIN cc c USING (doc_id)
+WHERE m.mtype = 'disease' AND c.n IS NOT NULL
+GROUP BY m.mesh_id, m.name
 """
 
     return sql

@@ -354,3 +354,76 @@ def case_count_edges(sf_dir: str):
         )
 
     return base.map_batches(shape, batch_format="pyarrow")
+
+
+def disease_case_totals(sf_dir: str):
+    """Composed north-star KG query: per DISEASE, the total reported
+    case count and alert coverage — every alert that mentions the
+    disease contributes its parsed case-count phrase (NULL-count
+    hedges drop out).
+
+    Zero-join shape: the case count is a pure formula of ``doc_id``
+    (same synthesis the oracle replays), so the disease-typed mention
+    stream annotates itself in the same batch pass — one
+    vocabulary-bounded groupby is the only exchange.
+    → (mesh_id, name, total_cases, n_alerts) sorted-free (driver
+    compare sorts)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures.lexicon import MESH_TYPES
+    from ..sources.io import empty_dataset, parquet_rows
+    from ..stages.extract import extract_docs
+    from ..stages.ner import mentions_dataset
+    from ..sources.pages import pages_dataset
+
+    schema = {
+        "mesh_id": pa.string(), "name": pa.string(),
+        "total_cases": pa.int64(), "n_alerts": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(schema)
+
+    disease_ids = pa.array(
+        sorted(m for m, t in MESH_TYPES.items() if t == "disease")
+    )
+    terms = mentions_dataset(
+        extract_docs(pages_dataset(sf_dir)), mode="terms"
+    )
+    npool = len(CASE_PHRASES)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("id"), value_set=disease_ids))
+        # archive '%08d.%d' → int doc_id (the 1000000+doc_id suffix)
+        ns = []
+        for a in t.column("doc_id").to_pylist():
+            d = int(a.split(".")[1]) - 1_000_000
+            _k, v = parse_case_count(CASE_PHRASES[(d * 11 + 5) % npool])
+            ns.append(v)
+        arr = pa.array(ns, pa.int64())
+        return pa.table(
+            {
+                "mesh_id": t.column("id"),
+                "name": t.column("entry_name"),
+                "n": arr,
+            }
+        ).filter(pc.is_valid(arr))
+
+    annotated = terms.map_batches(annotate, batch_format="pyarrow")
+    out = annotated.groupby(["mesh_id", "name"]).aggregate(
+        Sum("n", alias_name="total_cases"),
+        Count(alias_name="n_alerts"),
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mesh_id": t.column("mesh_id"),
+                "name": t.column("name"),
+                "total_cases": pc.cast(
+                    t.column("total_cases"), pa.int64()
+                ),
+                "n_alerts": pc.cast(t.column("n_alerts"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(pin, batch_format="pyarrow")
