@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kg,
         realism,
         relational,
+        relations,
         serving,
         temporal,
         webcrawl,
@@ -529,6 +530,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "case_counts": contexts.case_counts,
         "case_count_edges": contexts.case_count_edges,
         "disease_case_totals": contexts.disease_case_totals,
+        # round 4: typed relation-pattern extraction — causes /
+        # transmitted_by / located_in (north-star relation vocabulary,
+        # pattern classify → ground → type-gate → canonicalize)
+        "relation_sentences": relations.relation_sentences,
+        "pattern_relations": relations.pattern_relations,
+        "typed_relation_edges": relations.typed_relation_edges,
+        "relation_evidence": relations.relation_evidence,
+        "relation_type_counts": relations.relation_type_counts,
+        "disease_causers": relations.disease_causers,
     }
 
 
@@ -3846,6 +3856,109 @@ SELECT m.mesh_id, m.name, CAST(SUM(c.n) AS BIGINT) AS total_cases,
 FROM dment m JOIN cc c USING (doc_id)
 WHERE m.mtype = 'disease' AND c.n IS NOT NULL
 GROUP BY m.mesh_id, m.name
+"""
+
+    # typed relation-pattern extraction (pipelines/relations.py):
+    # the oracle replays the sentence-synthesis formula and
+    # independently re-derives predicate + inverse-swap + type gates
+    # (the engine side does real regex classification + grounding).
+    from outbreak_kg_ray.pipelines.relations import NT, REL_TEMPLATES
+
+    sent_case = "CASE tid " + " ".join(
+        "WHEN {i} THEN {e}".format(
+            i=i,
+            e="'"
+            + _q(t)
+            .replace("{a}", "' || a_name || '")
+            .replace("{b}", "' || b_name || '")
+            + "'",
+        )
+        for i, t in enumerate(REL_TEMPLATES)
+    ) + " END"
+
+    _rel_ctes = f"""
+relbase AS (
+  SELECT d.doc_id, (d.doc_id * 7 + 3) % {NT} AS tid,
+         a.name AS a_name, a.mesh_id AS a_id, a.mtype AS a_type,
+         b.name AS b_name, b.mesh_id AS b_id, b.mtype AS b_type
+  FROM documents d
+  JOIN lex a ON a.idx = (d.doc_id * 17) % {lex.LEX_N}
+  JOIN lex b ON b.idx = (d.doc_id * 17 + 31) % {lex.LEX_N}
+),
+relc AS (
+  SELECT doc_id, tid,
+    CASE WHEN tid IN (0, 1, 9) THEN 'causes'
+         WHEN tid IN (2, 8) THEN 'transmitted_by'
+         WHEN tid IN (3, 4, 7) THEN 'located_in' END AS rel_type,
+    CASE WHEN tid IN (1, 9) THEN b_name ELSE a_name END AS subj_text,
+    CASE WHEN tid IN (1, 9) THEN a_name ELSE b_name END AS obj_text,
+    CASE WHEN tid IN (1, 9) THEN b_id ELSE a_id END AS subj_id,
+    CASE WHEN tid IN (1, 9) THEN a_id ELSE b_id END AS obj_id,
+    CASE WHEN tid IN (1, 9) THEN b_type ELSE a_type END AS subj_type,
+    CASE WHEN tid IN (1, 9) THEN a_type ELSE b_type END AS obj_type
+  FROM relbase
+),
+gated AS (
+  SELECT doc_id, rel_type,
+         'MESH:' || subj_id AS start_id, 'MESH:' || obj_id AS end_id
+  FROM relc
+  WHERE subj_id <> obj_id AND (
+    (rel_type = 'causes' AND subj_type = 'pathogen'
+       AND obj_type = 'disease') OR
+    (rel_type = 'transmitted_by'
+       AND subj_type IN ('disease', 'pathogen')
+       AND obj_type = 'pathogen') OR
+    (rel_type = 'located_in'
+       AND subj_type IN ('disease', 'pathogen')
+       AND obj_type = 'geoloc'))
+)"""
+
+    sql["relation_sentences"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes}
+SELECT doc_id, {sent_case} AS sentence FROM relbase
+"""
+
+    sql["pattern_relations"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes}
+SELECT doc_id, rel_type, subj_text, obj_text
+FROM relc WHERE rel_type IS NOT NULL
+"""
+
+    sql["typed_relation_edges"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes}
+SELECT DISTINCT start_id, rel_type, end_id FROM gated
+"""
+
+    sql["relation_evidence"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes}
+SELECT start_id, rel_type, end_id, COUNT(*) AS n_alerts
+FROM gated GROUP BY start_id, rel_type, end_id
+"""
+
+    sql["relation_type_counts"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes},
+ev AS (SELECT start_id, rel_type, end_id, COUNT(*) AS n_alerts
+       FROM gated GROUP BY start_id, rel_type, end_id)
+SELECT rel_type, COUNT(*) AS n_edges,
+       CAST(SUM(n_alerts) AS BIGINT) AS n_alerts
+FROM ev GROUP BY rel_type
+"""
+
+    sql["disease_causers"] = f"""
+WITH {_lex_cte()},
+{_rel_ctes},
+ev AS (SELECT start_id, rel_type, end_id, COUNT(*) AS n_alerts
+       FROM gated WHERE rel_type = 'causes'
+       GROUP BY start_id, rel_type, end_id)
+SELECT e.end_id AS disease_id, l.name AS disease_name,
+       COUNT(*) AS n_pathogens, CAST(SUM(e.n_alerts) AS BIGINT) AS n_alerts
+FROM ev e JOIN lex l ON ('MESH:' || l.mesh_id) = e.end_id
+GROUP BY e.end_id, l.name
 """
 
     return sql
