@@ -129,6 +129,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         from outbreak_kg_ray.stages import sketch
 
         return sketch
+
+    def _relations():
+        from outbreak_kg_ray.pipelines import relations
+
+        return relations
+
+    def _contexts():
+        from outbreak_kg_ray.pipelines import contexts
+
+        return contexts
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -197,6 +207,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             sf_dir
         ),
         "diversified_topk": lambda: docops.diversified_topk(sf_dir),
+        # round-4 additions: north-star relation vocabulary
+        "typed_relation_edges": lambda: _relations().typed_relation_edges(
+            sf_dir
+        ),
+        "case_count_edges": lambda: _contexts().case_count_edges(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
