@@ -120,19 +120,61 @@ def assign_clusters(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
+_LLOYD_REMOTES = None
+
+
+def _lloyd_remotes():
+    """Lazily-defined remote fns (module import must not require an
+    initialized Ray)."""
+    global _LLOYD_REMOTES
+    if _LLOYD_REMOTES is None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def lloyd_partial(block: pa.Table, cent: np.ndarray):
+            k, dim = cent.shape
+            if block.num_rows == 0:
+                return np.zeros((k, dim)), np.zeros(k, dtype=np.int64)
+            mat = _batch_matrix(block)
+            a = assign_clusters(mat, cent)
+            sums = np.zeros((k, dim))
+            for ci in np.unique(a):
+                sums[ci] = mat[a == ci].sum(axis=0)
+            return sums, np.bincount(a, minlength=k).astype(np.int64)
+
+        @ray.remote(num_cpus=1)
+        def lloyd_reduce(*parts):
+            sums = parts[0][0].copy()
+            counts = parts[0][1].copy()
+            for s, c in parts[1:]:
+                sums += s
+                counts += c
+            return sums, counts
+
+        _LLOYD_REMOTES = (lloyd_partial, lloyd_reduce)
+    return _LLOYD_REMOTES
+
+
 def lloyd_centroids(sf_dir: str, *, k: int = 8,
                     rounds: int = 5, ds=None) -> np.ndarray:
     """Fixed-round distributed Lloyd's → the trained k×dim centroid
     matrix (shared by ``kmeans_clusters`` and ``semantic_dedup``).
 
-    Per round: one streaming pass emits per-batch per-cluster partial
-    sums (cluster, dim, s, c) — k × dim × blocks rows into a grouped
-    aggregate, so the exchange never scales with the corpus — then
-    the driver re-centers the k×dim matrix and re-broadcasts it.
-    Empty clusters keep their previous centroid (standard Lloyd's
-    fallback)."""
+    Iterative-barrier execution is the one shape where raw Ray tasks
+    beat a Dataset pass: the per-round state is a driver-held k×dim
+    matrix, and routing it through ``map_batches`` → grouped
+    aggregate → ``take_all`` paid a full streaming-executor startup
+    plus an all-to-all PER ROUND for k×dim-bounded payloads
+    (measured: 5 rounds ≈ 5 s of pure orchestration at sf0.1).
+    Instead the pinned dataset's Arrow blocks are taken as object
+    refs ONCE (``to_arrow_refs`` — zero-copy handles to the
+    materialized blocks), and each round launches one task per block
+    returning a dense (k×dim sums, k counts) pair; a fan-in-32 tree
+    reduce keeps the driver's in-flight set bounded by 64 partials
+    regardless of block count, and the fixed fold order keeps the
+    result deterministic. Empty clusters keep their previous
+    centroid (standard Lloyd's fallback)."""
     import ray
-    from ray.data.aggregate import Sum
 
     cent = _init_centroids(sf_dir, k)
     if ds is None:
@@ -140,42 +182,28 @@ def lloyd_centroids(sf_dir: str, *, k: int = 8,
         # re-decoding parquet ×rounds was pure waste (callers that
         # need a post-training pass share the same pinned ds)
         ds = _embeddings(sf_dir).materialize()
-    assign = assign_clusters
+    blocks = [b for b in ds.to_arrow_refs()]
+    if not blocks:
+        return cent
+    lloyd_partial, lloyd_reduce = _lloyd_remotes()
 
     for _ in range(rounds):
         cent_ref = ray.put(cent)
-
-        def partials(t: pa.Table, _ref=cent_ref) -> pa.Table:
-            c = ray.get(_ref)
-            mat = _batch_matrix(t)
-            a = assign(mat, c)
-            dim = mat.shape[1]
-            out_k, out_d, out_s, out_c = [], [], [], []
-            for ci in np.unique(a):
-                sub = mat[a == ci]
-                out_k.extend([int(ci)] * dim)
-                out_d.extend(range(dim))
-                out_s.extend(sub.sum(axis=0).tolist())
-                out_c.extend([len(sub)] * dim)
-            return pa.table(
-                {
-                    "cluster": pa.array(out_k, pa.int64()),
-                    "dim": pa.array(out_d, pa.int64()),
-                    "s": pa.array(out_s, pa.float64()),
-                    "c": pa.array(out_c, pa.int64()),
-                }
-            )
-
-        rows = (
-            ds.map_batches(partials, batch_format="pyarrow")
-            .groupby(["cluster", "dim"])
-            .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
-            .take_all()
-        )  # k × dim rows
+        refs = [lloyd_partial.remote(b, cent_ref) for b in blocks]
+        while len(refs) > 64:
+            refs = [
+                lloyd_reduce.remote(*refs[i:i + 32])
+                for i in range(0, len(refs), 32)
+            ]
+        parts = ray.get(refs)
+        sums = parts[0][0].copy()
+        counts = parts[0][1].copy()
+        for s, c in parts[1:]:
+            sums += s
+            counts += c
+        nz = counts > 0
         new = cent.copy()
-        for r in rows:
-            ci, di = int(r["cluster"]), int(r["dim"])
-            new[ci, di] = r["s"] / r["c"]
+        new[nz] = sums[nz] / counts[nz, None]
         cent = new
 
     return cent
