@@ -120,6 +120,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from outbreak_kg_ray.pipelines import (
+        bpe,
         contexts,
         docops,
         encode,
@@ -387,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": docops.unigram_logprob,
         "oov_rate": docops.oov_rate,
         "bpe_merge_pairs": docops.bpe_merge_pairs,
+        "bpe_learned_merges": bpe.bpe_learn_merges,
+        "bpe_token_counts": bpe.bpe_token_counts,
         "source_kl_divergence": docops.source_kl_divergence,
         "quality_percentile": docops.quality_percentile,
         "source_lang_chi2": docops.source_lang_chi2,
@@ -3960,5 +3963,69 @@ SELECT e.end_id AS disease_id, l.name AS disease_name,
 FROM ev e JOIN lex l ON ('MESH:' || l.mesh_id) = e.end_id
 GROUP BY e.end_id, l.name
 """
+
+    # Mirrors pipelines/bpe.py — iterative BPE merge learning, 10
+    # unrolled rounds (same unrolled-CTE pattern as pagerank ×10).
+    # Greedy left-to-right merge application is reproduced with the
+    # double-space replace trick: doubling every separator means
+    # adjacent matches can't share a delimiter character, so leftmost
+    # non-overlapping replace == the trainer's greedy merge (pinned
+    # equivalent to pipelines/bpe.py:merge_word by the cross-check in
+    # tests/test_bpe.py).
+    def _bpe_cte_chain(m: int, v: int) -> str:
+        parts = ["""WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) != ''
+), cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= %d
+),
+seg0 AS (
+  SELECT w, c, array_to_string(regexp_extract_all(w, '(?s).'), ' ') AS s
+  FROM vocab
+)""" % v]
+        for i in range(1, m + 1):
+            parts.append("""p%d AS (
+  SELECT l[j] AS lft, l[j+1] AS rgt, CAST(sum(c) AS BIGINT) AS n
+  FROM (SELECT string_split(s, ' ') AS l, c FROM seg%d) sp,
+       unnest(generate_series(1, len(l) - 1)) AS u(j)
+  GROUP BY 1, 2
+),
+best%d AS (SELECT lft, rgt, n FROM p%d ORDER BY n DESC, lft, rgt LIMIT 1),
+seg%d AS (
+  SELECT w, c,
+         CASE WHEN b.lft IS NULL THEN s
+              ELSE trim(replace(replace(
+                     ' ' || replace(s, ' ', '  ') || ' ',
+                     ' ' || b.lft || '  ' || b.rgt || ' ',
+                     ' ' || b.lft || b.rgt || ' '), '  ', ' '))
+         END AS s
+  FROM seg%d LEFT JOIN best%d b ON TRUE
+)""" % (i, i - 1, i, i, i, i - 1, i))
+        return ",\n".join(parts)
+
+    _bpe_m, _bpe_v = 10, 1 << 15
+    sql["bpe_learned_merges"] = _bpe_cte_chain(_bpe_m, _bpe_v) + """
+SELECT * FROM (
+""" + "\nUNION ALL\n".join(
+        "  SELECT CAST(%d AS BIGINT) AS rank, lft AS left_sym,"
+        " rgt AS right_sym, lft || rgt AS merged,"
+        " n AS n_occurrences FROM best%d" % (i, i)
+        for i in range(1, _bpe_m + 1)
+    ) + """
+) ORDER BY rank
+"""
+
+    # Exact at testdata scales because the top-V cut covers the whole
+    # vocabulary (31 distinct words); the engine's on-the-fly OOV
+    # segmentation path is pinned by the tiny-cap unit test instead.
+    sql["bpe_token_counts"] = _bpe_cte_chain(_bpe_m, _bpe_v) + """
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(len(string_split(g.s, ' '))) AS BIGINT) AS n_bpe_tokens
+FROM toks t JOIN seg%d g ON t.w = g.w
+GROUP BY t.doc_id
+""" % _bpe_m
 
     return sql
