@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_features": relational.zscore_features,
         # gaps-and-islands session rollup + grouped OLS trend
         "session_summaries": temporal.session_summaries,
+        "errors_after_purchase": temporal.errors_after_purchase,
         # AS-OF backlog snapshots (open orders per month start)
         "open_orders_snapshot": temporal.open_orders_snapshot,
         "events_value_trend": relational.events_value_trend,
@@ -1709,6 +1710,17 @@ FROM probes p
 CROSS JOIN orders o
 LEFT JOIN fs f ON f.l_orderkey = o.o_orderkey
 GROUP BY 1
+"""
+
+    # mirrors pipelines/temporal.py:errors_after_purchase (24h window)
+    sql["errors_after_purchase"] = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(e.event_id) AS BIGINT) AS n_errors_24h
+FROM events p LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type = 'error'
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
 """
 
     # mirrors pipelines/temporal.py:session_summaries (30-min gap)

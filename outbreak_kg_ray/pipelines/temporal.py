@@ -671,3 +671,161 @@ def open_orders_snapshot(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_RANGE_TAG_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("pbucket", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("side", pa.int8()),  # 0 = error (right), 1 = purchase replica
+    ]
+)
+
+_RANGE_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def errors_after_purchase(sf_dir: str, *, window_hours: int = 24,
+                          parts: int = 32):
+    """Windowed range self-join: for each ``purchase`` event, the
+    number of ``error`` events by the same user with
+    ``purchase.ts < error.ts <= purchase.ts + window`` — the
+    stream-style "what broke within a day of paying" feature.
+
+    Distributed shape (the range-join bucketing Ray Data lacks
+    natively): bucket time by the window width W. An error in bucket
+    ``b`` can only match purchases in buckets ``b`` and ``b-1``, so
+    each purchase is REPLICATED to partitions ``(user, b)`` and
+    ``(user, b+1)`` while errors are routed once — one
+    ``keyed_partitions`` exchange co-locates every candidate pair,
+    adjacent buckets never share a right-side row, and the per-pair
+    work is two vectorized ``searchsorted`` probes against an int64
+    composite key (dense (user, bucket) id × 4W + W-bounded time
+    offset — no overflow, no per-row Python). Replica partial counts
+    are summed by a purchase-bounded grouped aggregate. Total traffic
+    = 2·|purchases| + |errors| rows; hot keys are bounded by one
+    user's single-window history.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import pinned_schema
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    w_us = window_hours * 3600 * 1_000_000
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts_us = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bkt = ts_us // w_us
+        rm = ty == "error"
+        lm = ty == "purchase"
+        # rights once; lefts to bucket b and b+1
+        out_u = np.concatenate([uid[rm], uid[lm], uid[lm]])
+        out_b = np.concatenate([bkt[rm], bkt[lm], bkt[lm] + 1])
+        out_e = np.concatenate([eid[rm], eid[lm], eid[lm]])
+        out_t = np.concatenate([ts_us[rm], ts_us[lm], ts_us[lm]])
+        out_s = np.concatenate(
+            [
+                np.zeros(int(rm.sum()), np.int8),
+                np.ones(int(lm.sum()) * 2, np.int8),
+            ]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "pbucket": pa.array(out_b, pa.int64()),
+                "event_id": pa.array(out_e, pa.int64()),
+                "ts_us": pa.array(out_t, pa.int64()),
+                "side": pa.array(out_s, pa.int8()),
+            },
+            schema=_RANGE_TAG_SCHEMA,
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+
+    def count_in_partition(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        bkt = g.column("pbucket").to_numpy(zero_copy_only=False)
+        tsu = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        lm = side == 1
+        if not lm.any():
+            return _RANGE_PARTIAL_SCHEMA.empty_table()
+        keys = np.empty(len(uid), dtype=[("u", "i8"), ("b", "i8")])
+        keys["u"] = uid
+        keys["b"] = bkt
+        _, inv = np.unique(keys, return_inverse=True)
+        # offset within the partition bucket: rights land in [W, 2W),
+        # shifted purchase replicas in [0, W); probe upper bound < 4W
+        off = tsu - bkt * w_us + w_us
+        comb = inv * (4 * w_us) + off
+        rm = side == 0
+        comb_r = np.sort(comb[rm])
+        lo = np.searchsorted(comb_r, comb[lm], side="right")
+        hi = np.searchsorted(comb_r, comb[lm] + w_us, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[lm], pa.int64()),
+                "user_id": pa.array(uid[lm], pa.int64()),
+                "ts_us": pa.array(tsu[lm], pa.int64()),
+                "n": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            },
+            schema=_RANGE_PARTIAL_SCHEMA,
+        )
+
+    partials = keyed_partitions(
+        tagged,
+        ["user_id", "pbucket"],
+        count_in_partition,
+        parts=parts,
+        schema=_RANGE_PARTIAL_SCHEMA,
+    )
+
+    summed = (
+        partials.groupby(["event_id", "user_id", "ts_us"])
+        .aggregate(Sum("n", alias_name="n_errors_24h"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts": t.column("ts_us").cast(pa.timestamp("us")),
+                "n_errors_24h": t.column("n_errors_24h").cast(pa.int64()),
+            }
+        )
+
+    return pinned_schema(
+        summed.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("n_errors_24h", pa.int64()),
+            ]
+        ),
+    )

@@ -1159,3 +1159,43 @@ def test_round3_late_ops_smoke(ray_session, sf_dir):
     assert (oo["n_open"] >= 0).all()
     # backlog is 0 before the first order month's end is reached
     assert len(oo) > 12
+
+
+def test_errors_after_purchase_window_boundaries(tmp_path):
+    """Range-join boundary semantics on a crafted corpus: exclusive
+    lower bound, inclusive upper bound, bucket-boundary crossing, and
+    user isolation — the cases the bucketed replication must get
+    exactly right."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w_us = 24 * 3600 * 1_000_000
+    t0 = 3 * w_us - 1000  # purchase 1ms before a bucket boundary
+    rows = [
+        # (event_id, ts_us, user_id, event_type)
+        (1, t0, 7, "purchase"),
+        (10, t0, 7, "error"),            # == ts  -> excluded
+        (11, t0 + 1, 7, "error"),        # just inside
+        (12, t0 + 900, 7, "error"),      # same bucket
+        (13, t0 + 5000, 7, "error"),     # NEXT bucket, inside window
+        (14, t0 + w_us, 7, "error"),     # exactly +W -> included
+        (15, t0 + w_us + 1, 7, "error"),  # out
+        (16, t0 + 500, 8, "error"),      # other user -> excluded
+        (2, 10 * w_us, 8, "purchase"),   # isolated purchase, zero matches
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: r["n_errors_24h"]
+        for r in temporal.errors_after_purchase(str(tmp_path)).take_all()
+    }
+    assert got == {1: 4, 2: 0}
