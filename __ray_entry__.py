@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": docops.oov_rate,
         "bpe_merge_pairs": docops.bpe_merge_pairs,
         "bpe_learned_merges": bpe.bpe_learn_merges,
+        "perplexity_buckets": docops.perplexity_buckets,
         "bpe_token_counts": bpe.bpe_token_counts,
         "source_kl_divergence": docops.source_kl_divergence,
         "quality_percentile": docops.quality_percentile,
@@ -3974,6 +3975,51 @@ SELECT e.end_id AS disease_id, l.name AS disease_name,
        COUNT(*) AS n_pathogens, CAST(SUM(e.n_alerts) AS BIGINT) AS n_alerts
 FROM ev e JOIN lex l ON ('MESH:' || l.mesh_id) = e.end_id
 GROUP BY e.end_id, l.name
+"""
+
+    # Mirrors pipelines/docops.py:perplexity_buckets — the unigram
+    # model CTE is unigram_logprob's, plus lang passthrough and the
+    # per-lang value-deterministic tercile thresholds.
+    sql["perplexity_buckets"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM cnt),
+vocab AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 65536
+),
+oov AS (
+  SELECT (SELECT t FROM tot) - coalesce(sum(c), 0) AS m FROM vocab
+),
+scored AS (
+  SELECT t.doc_id, d.lang,
+         round(avg(CASE WHEN v.w IS NOT NULL THEN -ln(v.c / tot.t)
+                        ELSE -ln(oov.m / tot.t) END), 6) AS nll_mean
+  FROM toks t JOIN documents d USING (doc_id)
+       LEFT JOIN vocab v USING (w) CROSS JOIN tot CROSS JOIN oov
+  GROUP BY t.doc_id, d.lang
+),
+hist AS (SELECT lang, nll_mean, count(*) AS c FROM scored GROUP BY 1, 2),
+tot_l AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+cum AS (
+  SELECT lang, nll_mean,
+         sum(c) OVER (PARTITION BY lang ORDER BY nll_mean) AS cc
+  FROM hist
+),
+thr AS (
+  SELECT c.lang,
+         min(CASE WHEN cc >= (n + 2) // 3 THEN nll_mean END) AS h,
+         min(CASE WHEN cc >= (2 * n + 2) // 3 THEN nll_mean END) AS m
+  FROM cum c JOIN tot_l USING (lang) GROUP BY c.lang
+)
+SELECT s.doc_id, s.lang, s.nll_mean,
+       CASE WHEN s.nll_mean <= t.h THEN 'head'
+            WHEN s.nll_mean <= t.m THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN thr t USING (lang)
 """
 
     # Mirrors pipelines/bpe.py — iterative BPE merge learning, 10

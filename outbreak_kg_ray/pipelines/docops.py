@@ -4019,3 +4019,156 @@ def distinctive_terms_per_lang(sf_dir: str, *, top_n: int = 3):
     return scored.groupby("lang").map_groups(
         topk, batch_format="pyarrow"
     )
+
+
+def perplexity_buckets(sf_dir: str, *, vocab_size: int = 1 << 16):
+    """CCNet-style per-language perplexity terciles: each doc scored
+    by mean unigram NLL (the same capped-vocab model as
+    ``unigram_logprob``), then bucketed head / middle / tail within
+    its language — head = the fluent third a CCNet-style curation
+    keeps, tail = the third it drops or downweights.
+
+    Bucket rule (value-deterministic so a broadcast threshold works):
+    per lang with n docs, ``head`` ⇔ nll ≤ the smallest score whose
+    cumulative count ≥ ceil(n/3); ``middle`` ⇔ ≤ the ceil(2n/3)
+    threshold; else ``tail``. Ties share a bucket by construction.
+
+    Scale shape: model build = the unigram skeleton (vocab-bounded
+    exchange + distributed top-V cut); ONE scoring pass emits the
+    (doc_id, lang, nll) triple with lang read in the same batch — no
+    doc-side join; the threshold fold runs over the (lang × distinct
+    6-dp score)-bounded histogram; the scored table is materialized
+    once (3 narrow columns, spillable) so bucketing doesn't re-scan
+    the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.decontam import tokenize
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("nll_mean", pa.float64()),
+            ("bucket", pa.string()),
+        ]
+    )
+    docs = _documents(sf_dir, columns=("doc_id", "lang", "text"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            if x.strip():
+                toks.extend(tokenize(x))
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.asarray(toks, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    vocab_ds = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    total = float(vocab_ds.sum("c") or 0)
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    top = _topv_rows(vocab_ds, "w", "c", vocab_size)
+    covered = sum(int(r["c"]) for r in top)
+    nll = {r["w"]: -float(np.log(r["c"] / total)) for r in top}
+    oov_mass = total - covered
+    oov_nll = -float(np.log(oov_mass / total)) if oov_mass > 0 else 0.0
+    nll_ref = ray.put((nll, oov_nll))
+
+    class ScoreStage:
+        def __init__(self, ref) -> None:
+            self._nll, self._oov = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            table, oov = self._nll, self._oov
+            ids, langs, means = [], [], []
+            for doc_id, lang, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("lang").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                if not x.strip():
+                    continue  # oracle excludes empty docs
+                toks = tokenize(x)
+                ids.append(doc_id)
+                langs.append(lang)
+                means.append(
+                    round_half_away(
+                        float(np.mean([table.get(w, oov) for w in toks])),
+                        6,
+                    )
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "nll_mean": pa.array(means, pa.float64()),
+                }
+            )
+
+    scored = docs.map_batches(
+        ScoreStage,
+        fn_constructor_args=(nll_ref,),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    ).materialize()
+
+    hist = (
+        scored.groupby(["lang", "nll_mean"])
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )  # (lang × distinct 6-dp score)-bounded
+    by_lang: dict[str, list[tuple[float, int]]] = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append(
+            (float(r["nll_mean"]), int(r["c"]))
+        )
+    thresholds: dict[str, tuple[float, float]] = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = sum(c for _, c in vals)
+        h_rank, m_rank = (n + 2) // 3, (2 * n + 2) // 3
+        cum, h_thr, m_thr = 0, None, None
+        for v, c in vals:
+            cum += c
+            if h_thr is None and cum >= h_rank:
+                h_thr = v
+            if m_thr is None and cum >= m_rank:
+                m_thr = v
+        thresholds[lang] = (h_thr, m_thr)
+    thr_ref = ray.put(thresholds)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        buckets = []
+        for lang, v in zip(
+            t.column("lang").to_pylist(),
+            t.column("nll_mean").to_pylist(),
+        ):
+            h, m = thr[lang]
+            buckets.append(
+                "head" if v <= h else ("middle" if v <= m else "tail")
+            )
+        return t.append_column("bucket", pa.array(buckets, pa.string()))
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")

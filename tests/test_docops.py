@@ -1265,3 +1265,28 @@ def test_weighted_sample_biased_toward_long_docs(ray_session, sf_dir):
         f"SELECT avg(n_chars) FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
     assert got["n_chars"].mean() > corpus_mean
+
+
+def test_perplexity_buckets_tercile_invariants(ray_session):
+    """Within each lang: buckets are monotone in nll (every head score
+    <= every middle score <= every tail score) and each of head /
+    head+middle covers at least its ceil(n/3) / ceil(2n/3) quota
+    (ties can only grow a bucket, never shrink it)."""
+    from outbreak_kg_ray.pipelines.docops import perplexity_buckets
+
+    rows = perplexity_buckets("/root/testdata/sf0.001").take_all()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["nll_mean"], r["bucket"]))
+    assert by_lang
+    for lang, vals in by_lang.items():
+        n = len(vals)
+        heads = [v for v, b in vals if b == "head"]
+        mids = [v for v, b in vals if b == "middle"]
+        tails = [v for v, b in vals if b == "tail"]
+        if mids:
+            assert max(heads) <= min(mids)
+        if tails:
+            assert max(mids or heads) <= min(tails)
+        assert len(heads) >= (n + 2) // 3
+        assert len(heads) + len(mids) >= (2 * n + 2) // 3
