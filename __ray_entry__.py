@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_nodes": kg.cooccurrence_nodes,
         "pagerank": graph.pagerank,
         "connected_components": graph.connected_components,
+        "lpa_communities": graph.lpa_communities,
         "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
         "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
         "pathogen_disease_edges": lambda sf: kg.pathogen_disease_edges(),
@@ -2810,6 +2811,41 @@ reach(v, r) AS (
   SELECT e.v, reach.r FROM e JOIN reach ON reach.v = e.u
 )
 SELECT v AS curie, MIN(r) AS component FROM reach GROUP BY v"""
+    )
+
+    # 4 sync label-propagation rounds (majority vote, ties -> min
+    # label); mirrors pipelines/graph.py:lpa_communities
+    lpa_iters = "".join(
+        f""",
+votes{i} AS (
+  SELECT curie, label, count(*) AS c FROM (
+    SELECT e.v AS curie, l.label
+    FROM e JOIN lab{i - 1} l ON l.curie = e.u
+    UNION ALL
+    SELECT curie, label FROM lab{i - 1}
+  ) GROUP BY 1, 2
+),
+pick{i} AS (
+  SELECT curie, label FROM (
+    SELECT curie, label,
+           row_number() OVER (PARTITION BY curie
+                              ORDER BY c DESC, label) AS rn
+    FROM votes{i}
+  ) WHERE rn = 1
+),
+lab{i} AS (
+  SELECT l.curie, coalesce(p.label, l.label) AS label
+  FROM lab{i - 1} l LEFT JOIN pick{i} p USING (curie)
+)"""
+        for i in range(1, 5)
+    )
+    sql["lpa_communities"] = (
+        graph_edges
+        + """,
+lab0 AS (SELECT v AS curie, v AS label FROM nd)"""
+        + lpa_iters
+        + """
+SELECT curie, label AS community FROM lab4"""
     )
 
     # bounded-round BFS from the min-curie seed; unrolled min-plus

@@ -1092,3 +1092,194 @@ def degree_assortativity(sf_dir: str):
             }
         )
     )
+
+
+def lpa_communities_edges(edges_ds, *, rounds: int | None = 4,
+                          distributed: bool | None = None):
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over a directed symmetric (u, v) edge Dataset — the
+    density-based complement to ``connected_components``: CC merges
+    everything reachable, LPA splits a connected graph into locally
+    dense clusters.
+
+    Deterministic sync variant: every node starts as its own label;
+    per round each node adopts the MAJORITY label among its own +
+    its neighbors' previous-round labels (ties → lexicographically
+    smallest label).  The SELF-vote is the standard stabilizer for
+    synchronous updates — without it a connected pair swaps labels
+    forever; with it ties resolve once and stick.  The default is a
+    FIXED 4 rounds (mirrored by the oracle's 4 unrolled CTE rounds,
+    the same shape as ``bfs_distances``); ``rounds=None`` iterates
+    to fixpoint under ``MAX_FIXPOINT_ROUNDS`` with a logged
+    truncation (sync LPA can still oscillate on larger bipartite
+    structures).
+
+    Scale shape: same dual path as CC — vocabulary-bounded graphs
+    collect once and vote in numpy (``np.unique`` over v×n+label
+    composite keys, lexsort argmax); larger graphs run per round as
+    join(labels on u) → (node, label)-bounded vote counts → a
+    three-exchange vectorized argmax (max count per node ⋈ filter ⋈
+    min label) — no per-group Python, every exchange bounded by the
+    vote table (≤ edges rows)."""
+    edges_ds = edges_ds.materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    cap = rounds if rounds is not None else MAX_FIXPOINT_ROUNDS
+    if not distributed:
+        nodes, u_c, v_c = _collect_codes(edges_ds)
+        n = len(nodes)
+        # self-vote: one (i -> i) pseudo-edge per node
+        self_idx = np.arange(n, dtype=u_c.dtype if len(u_c) else np.int64)
+        u_c = np.concatenate([u_c, self_idx])
+        v_c = np.concatenate([v_c, self_idx])
+        label = np.arange(n, dtype=np.int64)
+        converged = False
+        for _ in range(cap):
+            if not len(u_c):
+                converged = True
+                break
+            key = v_c.astype(np.int64) * n + label[u_c]
+            uk, cnt = np.unique(key, return_counts=True)
+            vv = uk // n
+            ll = uk % n
+            order = np.lexsort((ll, -cnt, vv))
+            vv_s, ll_s = vv[order], ll[order]
+            first = np.ones(len(vv_s), dtype=bool)
+            first[1:] = vv_s[1:] != vv_s[:-1]
+            new = label.copy()
+            new[vv_s[first]] = ll_s[first]
+            if np.array_equal(new, label):
+                converged = True
+                break
+            label = new
+        if rounds is None and not converged:
+            _warn_truncated("lpa_communities", cap)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "curie": pa.array(list(nodes), pa.string()),
+                    "community": pa.array(
+                        [nodes[i] for i in label], pa.string()
+                    ),
+                }
+            )
+        )
+    return _lpa_distributed(edges_ds, rounds=rounds)
+
+
+def _lpa_distributed(edges_ds, *, rounds: int | None):
+    from ray.data.aggregate import Count, Max, Min
+
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("curie", pa.string()), ("community", pa.string())]
+            ).empty_table()
+        )
+    nparts = _join_partitions(n_edges)
+
+    nodes = (
+        edges_ds.map_batches(
+            lambda t: pa.table({"curie": t.column("u")}),
+            batch_format="pyarrow",
+        )
+        .groupby("curie")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    labels = nodes.map_batches(
+        lambda t: pa.table(
+            {"curie": t.column("curie"), "label": t.column("curie")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    cap = rounds if rounds is not None else MAX_FIXPOINT_ROUNDS
+    converged = False
+    for _ in range(cap):
+        joined = edges_ds.join(
+            labels.select_columns(["curie", "label"]),
+            "inner", nparts, on=("u",), right_on=("curie",),
+        )
+
+        def neighbor(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "nlabel": pa.array([], pa.string())}
+                )
+            return pa.table(
+                {"curie": t.column("v"), "nlabel": t.column("label")}
+            )
+
+        self_votes = labels.map_batches(
+            lambda t: pa.table(
+                {"curie": t.column("curie"), "nlabel": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        votes = (
+            joined.map_batches(neighbor, batch_format="pyarrow")
+            .union(self_votes)
+            .groupby(["curie", "nlabel"])
+            .aggregate(Count(alias_name="c"))
+            .materialize()
+        )  # (node, label)-bounded ≤ |edges| + |nodes|
+        mx = votes.groupby("curie").aggregate(Max("c", alias_name="cmax"))
+        best = (
+            votes.join(mx, "inner", nparts, on=("curie",))
+            .filter(expr="c == cmax")
+            .groupby("curie")
+            .aggregate(Min("nlabel", alias_name="nbest"))
+        )
+        merged = labels.select_columns(["curie", "label"]).join(
+            best, "inner", nparts, on=("curie",)
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "curie" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"curie": pa.array([], pa.string()),
+                     "label": pa.array([], pa.string()),
+                     "changed": pa.array([], pa.int64())}
+                )
+            newl = pc.coalesce(t.column("nbest"), t.column("label"))
+            return pa.table(
+                {
+                    "curie": t.column("curie"),
+                    "label": newl,
+                    "changed": pc.cast(
+                        pc.not_equal(newl, t.column("label")), pa.int64()
+                    ),
+                }
+            )
+
+        labels = merged.map_batches(
+            update, batch_format="pyarrow"
+        ).materialize()
+        if not labels.sum("changed"):
+            converged = True
+            break
+    if rounds is None and not converged:
+        _warn_truncated("lpa_communities", cap)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"curie": t.column("curie"), "community": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def lpa_communities(sf_dir: str, *, rounds: int | None = 4,
+                    distributed: bool | None = None):
+    """LPA communities of the co-occurrence graph (4 sync rounds)."""
+    return lpa_communities_edges(
+        symmetric_cooccurrence_edges(sf_dir),
+        rounds=rounds, distributed=distributed,
+    )

@@ -287,3 +287,45 @@ def test_explicit_rounds_still_bounds_propagation(ray_session):
     ).to_pandas()
     comp = dict(zip(df["curie"], df["component"]))
     assert comp["n05"] == "n03"
+
+
+def test_lpa_paths_agree(ray_session):
+    fast = graph.lpa_communities_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    dist = graph.lpa_communities_edges(
+        _edges_ds(PAIRS), distributed=True
+    ).to_pandas()
+    f = fast.sort_values("curie").reset_index(drop=True)
+    d = dist.sort_values("curie").reset_index(drop=True)
+    assert list(f["curie"]) == list(d["curie"])
+    assert list(f["community"]) == list(d["community"])
+
+
+def test_lpa_splits_bridged_triangles(ray_session):
+    """CC merges the two bridged triangles into one component; LPA's
+    majority vote keeps them as separate dense clusters."""
+    df = graph.lpa_communities_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    com = dict(zip(df["curie"], df["community"]))
+    assert com["a"] == com["b"] == com["c"]
+    assert com["d"] == com["e"] == com["f"]
+    assert com["a"] != com["d"]
+    assert com["x"] == com["y"] == "x"
+    assert com["x"] not in (com["a"], com["d"])
+    cc = graph.connected_components_edges(
+        _edges_ds(PAIRS), distributed=False
+    ).to_pandas()
+    comp = dict(zip(cc["curie"], cc["component"]))
+    assert comp["a"] == comp["d"]  # the contrast LPA exists for
+
+
+def test_lpa_deterministic_tiebreak(ray_session):
+    # a-b edge: each node votes {self, neighbor} -> tie -> min label
+    # 'a' for BOTH (the self-vote stabilizer: no oscillation)
+    df = graph.lpa_communities_edges(
+        _edges_ds([("a", "b")]), distributed=False
+    ).to_pandas()
+    com = dict(zip(df["curie"], df["community"]))
+    assert com == {"a": "a", "b": "a"}
