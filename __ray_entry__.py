@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gaps-and-islands session rollup + grouped OLS trend
         "session_summaries": temporal.session_summaries,
         "errors_after_purchase": temporal.errors_after_purchase,
+        "purchase_attribution": temporal.purchase_attribution,
         # AS-OF backlog snapshots (open orders per month start)
         "open_orders_snapshot": temporal.open_orders_snapshot,
         "events_value_trend": relational.events_value_trend,
@@ -1723,6 +1724,30 @@ FROM events p LEFT JOIN events e
  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOUR
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+    # mirrors pipelines/temporal.py:purchase_attribution (last touch
+    # within 24h; ties -> smallest event_id; int64-cent exact sums)
+    sql["purchase_attribution"] = """
+WITH cand AS (
+  SELECT p.event_id AS pid, e.event_type AS ctype,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY e.ts DESC, e.event_id) AS rn
+  FROM events p JOIN events e
+    ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+   AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 24 HOUR
+  WHERE p.event_type = 'purchase'
+),
+best AS (SELECT pid, ctype FROM cand WHERE rn = 1),
+allp AS (
+  SELECT p.event_id, coalesce(b.ctype, '(direct)') AS event_type,
+         CAST(round(p.value * 100) AS BIGINT) AS cents
+  FROM events p LEFT JOIN best b ON b.pid = p.event_id
+  WHERE p.event_type = 'purchase'
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS attributed_value
+FROM allp GROUP BY event_type
 """
 
     # mirrors pipelines/temporal.py:session_summaries (30-min gap)

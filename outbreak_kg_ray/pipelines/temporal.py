@@ -829,3 +829,226 @@ def errors_after_purchase(sf_dir: str, *, window_hours: int = 24,
             ]
         ),
     )
+
+
+_ATTR_TAG_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("pbucket", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("side", pa.int8()),   # 0 = candidate (non-purchase), 1 = purchase
+        ("prio", pa.int8()),   # purchases: 1 = original bucket, 0 = shifted
+        ("etype", pa.string()),
+        ("cents", pa.int64()),
+    ]
+)
+
+_ATTR_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("cents", pa.int64()),
+        ("prio", pa.int8()),
+        ("found", pa.int8()),
+        ("ctype", pa.string()),
+    ]
+)
+
+
+def purchase_attribution(sf_dir: str, *, window_hours: int = 24,
+                         parts: int = 32):
+    """Last-touch attribution: each ``purchase`` event's value is
+    attributed to the SAME user's most recent non-purchase event
+    within the 24 h before it (ties on timestamp → smallest
+    event_id; no qualifying touch → ``(direct)``), then rolled up
+    per attributed event type — the bounded-staleness as-of join
+    (argmax within a window) that completes the range-join family
+    next to the count variant (``errors_after_purchase``).
+
+    Distributed shape: same window-width bucketing — purchases
+    replicate to (user, b) and (user, b-1), candidates route once;
+    per partition the latest-candidate probe is two vectorized
+    ``searchsorted`` calls against the composite key with candidates
+    pre-sorted by (key, ts asc, event_id desc) so "last among
+    equals" IS the deterministic tie-break. Cross-replica selection
+    needs no timestamp comparison: a hit in the original bucket is
+    always later than any hit in the earlier bucket, so a 2-row
+    max-prio pick per purchase (one more keyed exchange, vectorized
+    first-per-group) resolves it. Money sums are exact int64 cents
+    (the Q14 int-unit pattern); the final rollup is event-type
+    bounded."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from outbreak_kg_ray.sources.io import pinned_schema
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    w_us = window_hours * 3600 * 1_000_000
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np_round_half_away(val * 100.0, 0).astype(np.int64)
+        bkt = ts_us // w_us
+        lm = ty == "purchase"
+        rm = ~lm
+        n_l, n_r = int(lm.sum()), int(rm.sum())
+        out_u = np.concatenate([uid[rm], uid[lm], uid[lm]])
+        out_b = np.concatenate([bkt[rm], bkt[lm], bkt[lm] - 1])
+        out_e = np.concatenate([eid[rm], eid[lm], eid[lm]])
+        out_t = np.concatenate([ts_us[rm], ts_us[lm], ts_us[lm]])
+        out_s = np.concatenate(
+            [np.zeros(n_r, np.int8), np.ones(n_l * 2, np.int8)]
+        )
+        out_p = np.concatenate(
+            [np.zeros(n_r, np.int8), np.ones(n_l, np.int8),
+             np.zeros(n_l, np.int8)]
+        )
+        out_c = np.concatenate(
+            [np.zeros(n_r, np.int64), cents[lm], cents[lm]]
+        )
+        etype = np.concatenate(
+            [ty[rm], np.full(n_l * 2, "", dtype=object)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "pbucket": pa.array(out_b, pa.int64()),
+                "event_id": pa.array(out_e, pa.int64()),
+                "ts_us": pa.array(out_t, pa.int64()),
+                "side": pa.array(out_s, pa.int8()),
+                "prio": pa.array(out_p, pa.int8()),
+                "etype": pa.array(etype.tolist(), pa.string()),
+                "cents": pa.array(out_c, pa.int64()),
+            },
+            schema=_ATTR_TAG_SCHEMA,
+        )
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+
+    def probe(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lm = side == 1
+        if not lm.any():
+            return _ATTR_PARTIAL_SCHEMA.empty_table()
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        bkt = g.column("pbucket").to_numpy(zero_copy_only=False)
+        tsu = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        keys = np.empty(len(uid), dtype=[("u", "i8"), ("b", "i8")])
+        keys["u"] = uid
+        keys["b"] = bkt
+        _, inv = np.unique(keys, return_inverse=True)
+        off = tsu - bkt * w_us + w_us
+        comb = inv * (4 * w_us) + off
+        rm = side == 0
+        comb_r, eid_r = comb[rm], eid[rm]
+        etype_r = g.column("etype").to_numpy(zero_copy_only=False)[rm]
+        order = np.lexsort((-eid_r, comb_r))
+        comb_s = comb_r[order]
+        lo = np.searchsorted(comb_s, comb[lm] - w_us, side="left")
+        hi = np.searchsorted(comb_s, comb[lm], side="left")
+        found = hi > lo
+        idx = np.where(found, hi - 1, 0)
+        ctype = np.where(
+            found,
+            etype_r[order][idx] if len(comb_s) else "",
+            "",
+        )
+        return pa.table(
+            {
+                "pid": pa.array(eid[lm], pa.int64()),
+                "cents": pa.array(
+                    g.column("cents").to_numpy(zero_copy_only=False)[lm],
+                    pa.int64(),
+                ),
+                "prio": pa.array(
+                    g.column("prio").to_numpy(zero_copy_only=False)[lm],
+                    pa.int8(),
+                ),
+                "found": pa.array(found.astype(np.int8), pa.int8()),
+                "ctype": pa.array(ctype.tolist(), pa.string()),
+            },
+            schema=_ATTR_PARTIAL_SCHEMA,
+        )
+
+    partials = keyed_partitions(
+        tagged,
+        ["user_id", "pbucket"],
+        probe,
+        parts=parts,
+        schema=_ATTR_PARTIAL_SCHEMA,
+    )
+
+    def pick_best(g: pa.Table) -> pa.Table:
+        pid = g.column("pid").to_numpy(zero_copy_only=False)
+        found = g.column("found").to_numpy(zero_copy_only=False)
+        prio = g.column("prio").to_numpy(zero_copy_only=False)
+        # (found, prio) descending within pid: an original-bucket hit
+        # always beats a shifted-bucket hit (strictly later window)
+        order = np.lexsort((-prio, -found, pid))
+        pid_s = pid[order]
+        first = np.ones(len(pid_s), dtype=bool)
+        first[1:] = pid_s[1:] != pid_s[:-1]
+        sel = order[first]
+        ctype = g.column("ctype").to_numpy(zero_copy_only=False)[sel]
+        fsel = found[sel] == 1
+        ctype = np.where(fsel, ctype, "(direct)")
+        return pa.table(
+            {
+                "event_type": pa.array(ctype.tolist(), pa.string()),
+                "cents": pa.array(
+                    g.column("cents").to_numpy(zero_copy_only=False)[sel],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    picked = keyed_partitions(
+        partials,
+        ["pid"],
+        pick_best,
+        parts=parts,
+        schema=pa.schema(
+            [("event_type", pa.string()), ("cents", pa.int64())]
+        ),
+    )
+
+    summed = picked.groupby("event_type").aggregate(
+        Count(alias_name="n_purchases"),
+        Sum("cents", alias_name="cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_purchases": t.column("n_purchases").cast(pa.int64()),
+                "attributed_value": pa.array(
+                    (cents / 100.0).round(2), pa.float64()
+                ),
+            }
+        )
+
+    return pinned_schema(
+        summed.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_purchases", pa.int64()),
+                ("attributed_value", pa.float64()),
+            ]
+        ),
+    )

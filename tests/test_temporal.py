@@ -1199,3 +1199,48 @@ def test_errors_after_purchase_window_boundaries(tmp_path):
         for r in temporal.errors_after_purchase(str(tmp_path)).take_all()
     }
     assert got == {1: 4, 2: 0}
+
+
+def test_purchase_attribution_last_touch_semantics(tmp_path):
+    """Crafted corpus: tie on candidate ts -> smallest event_id; a
+    same-bucket hit beats an earlier-bucket hit; exactly -24h is
+    included, == purchase ts excluded; no touch -> (direct)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w_us = 24 * 3600 * 1_000_000
+    t0 = 5 * w_us + 1000  # purchase just after a bucket boundary
+    rows = [
+        # purchase 1: candidates in previous bucket + same bucket
+        (1, t0, 7, "purchase", 100.00),
+        (10, t0 - w_us, 7, "click", 0.0),    # exactly -24h -> eligible
+        (11, t0 - 2000, 7, "signup", 0.0),   # previous bucket, later
+        (12, t0 + 500, 7, "error", 0.0),     # after -> ineligible
+        # purchase 2: tie on ts -> event_id 20 wins over 21
+        (2, 10 * w_us + 5000, 7, "purchase", 50.25),
+        (20, 10 * w_us + 1000, 7, "click", 0.0),
+        (21, 10 * w_us + 1000, 7, "error", 0.0),
+        (22, 10 * w_us + 5000, 7, "signup", 0.0),  # == p.ts -> excluded
+        # purchase 3: no touch
+        (3, 20 * w_us, 8, "purchase", 10.10),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["event_type"]: (r["n_purchases"], r["attributed_value"])
+        for r in temporal.purchase_attribution(str(tmp_path)).take_all()
+    }
+    assert got == {
+        "signup": (1, 100.00),   # p1: signup@t0-2000 is the latest touch
+        "click": (1, 50.25),     # p2: tie broken to event_id 20
+        "(direct)": (1, 10.10),  # p3
+    }
