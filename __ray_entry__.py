@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.pagerank,
         "connected_components": graph.connected_components,
         "lpa_communities": graph.lpa_communities,
+        "join_skew_report": relational.join_skew_report,
         "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
         "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
         "pathogen_disease_edges": lambda sf: kg.pathogen_disease_edges(),
@@ -1724,6 +1725,36 @@ FROM events p LEFT JOIN events e
  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOUR
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+    # mirrors pipelines/relational.py:join_skew_report (top-10 hot
+    # keys per join column, ranked count DESC then key-string ASC)
+    sql["join_skew_report"] = """
+WITH o AS (
+  SELECT 'orders.o_custkey' AS join_col, CAST(o_custkey AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(count(*) / (SELECT count(*) FROM orders), 6) AS share,
+         row_number() OVER (ORDER BY count(*) DESC,
+                            CAST(o_custkey AS VARCHAR)) AS rn
+  FROM orders GROUP BY o_custkey
+), l AS (
+  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR),
+         CAST(count(*) AS BIGINT),
+         round(count(*) / (SELECT count(*) FROM lineitem), 6),
+         row_number() OVER (ORDER BY count(*) DESC,
+                            CAST(l_orderkey AS VARCHAR))
+  FROM lineitem GROUP BY l_orderkey
+), e AS (
+  SELECT 'events.user_id', CAST(user_id AS VARCHAR),
+         CAST(count(*) AS BIGINT),
+         round(count(*) / (SELECT count(*) FROM events), 6),
+         row_number() OVER (ORDER BY count(*) DESC,
+                            CAST(user_id AS VARCHAR))
+  FROM events GROUP BY user_id
+)
+SELECT join_col, key, n_rows, share FROM (
+  SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+) WHERE rn <= 10
 """
 
     # mirrors pipelines/temporal.py:purchase_attribution (last touch

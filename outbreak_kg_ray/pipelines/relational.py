@@ -3421,3 +3421,82 @@ def revenue_pareto_deciles(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def join_skew_report(sf_dir: str, *, k: int = 10):
+    """Hot-key diagnostics for the three high-fan-out join columns
+    (``orders.o_custkey``, ``lineitem.l_orderkey``,
+    ``events.user_id``): the top-``k`` keys per column with row count
+    and share of table — the report that decides where salting /
+    broadcast thresholds are needed BEFORE a shuffle melts on a hub
+    key (north_rule: skew handled explicitly).
+
+    Scale shape, per column: per-batch ``np.unique`` partial counts →
+    one key-bounded grouped sum → the distributed top-k cut
+    (sort + limit — the driver holds ≤ k rows per column); table
+    totals come from Parquet metadata, no second scan. The three
+    bounded reports concatenate driver-side (≤ 3k rows)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..sources.io import parquet_rows, read_parquet_clean
+    from .docops import _topv_rows
+
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    tbls, keys, ns, shares = [], [], [], []
+    for label, table, col in specs:
+        path = f"{sf_dir}/{table}.parquet"
+        total = parquet_rows(path)
+        if total == 0:
+            continue
+        ds = read_parquet_clean(path, columns=[col])
+
+        def partials(t: pa.Table, _col=col) -> pa.Table:
+            v = t.column(_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            uniq, cnt = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "key": pa.array(uniq, pa.int64()),
+                    "c": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        counts = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        # _topv_rows cuts by (count DESC, key ASC) — but the oracle
+        # ranks string keys; int order == string order only for
+        # equal-width keys, so cut on the STRING form for parity
+        str_counts = counts.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": pc.cast(t.column("key"), pa.string()),
+                    "c": t.column("c"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        for r in _topv_rows(str_counts, "key", "c", k):
+            tbls.append(label)
+            keys.append(r["key"])
+            n = int(r["c"])
+            ns.append(n)
+            shares.append(round_half_away(n / total, 6))
+    return pa.table(
+        {
+            "join_col": pa.array(tbls, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "share": pa.array(shares, pa.float64()),
+        }
+    )
