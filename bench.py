@@ -135,6 +135,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
         return relations
 
+    def _bpe():
+        from outbreak_kg_ray.pipelines import bpe
+
+        return bpe
+
     def _contexts():
         from outbreak_kg_ray.pipelines import contexts
 
@@ -212,6 +217,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             sf_dir
         ),
         "case_count_edges": lambda: _contexts().case_count_edges(sf_dir),
+        # round-4 continuation: range-join family, LPA, BPE, CCNet
+        "errors_after_purchase": lambda: temporal.errors_after_purchase(
+            sf_dir
+        ),
+        "purchase_attribution": lambda: temporal.purchase_attribution(
+            sf_dir
+        ),
+        "lpa_communities": lambda: graph.lpa_communities(sf_dir),
+        "bpe_token_counts": lambda: _bpe().bpe_token_counts(sf_dir),
+        "perplexity_buckets": lambda: docops.perplexity_buckets(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
