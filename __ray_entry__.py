@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": graph.connected_components,
         "lpa_communities": graph.lpa_communities,
         "join_skew_report": relational.join_skew_report,
+        "mutual_nn_pairs": docops.mutual_nn_pairs,
         "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
         "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
         "pathogen_disease_edges": lambda sf: kg.pathogen_disease_edges(),
@@ -1725,6 +1726,27 @@ FROM events p LEFT JOIN events e
  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 24 HOUR
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+    # mirrors stages/simsearch.py:mutual_nn_pairs — exact mutual-NN
+    # (rank on RAW cosine, tie -> smallest vec_id, like ann_topk)
+    sql["mutual_nn_pairs"] = """
+WITH scored AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS raw,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+nn AS (SELECT va, vb, raw FROM scored WHERE rn = 1)
+SELECT x.va AS a, x.vb AS b, round(x.raw, 6) AS score
+FROM nn x JOIN nn y ON x.vb = y.va AND y.vb = x.va
+WHERE x.va < x.vb
 """
 
     # mirrors pipelines/relational.py:join_skew_report (top-10 hot

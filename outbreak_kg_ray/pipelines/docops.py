@@ -366,6 +366,18 @@ def ann_topk_pq(sf_dir: str, *, k: int = 10, n_train: int = 256,
     )
 
 
+def mutual_nn_pairs(sf_dir: str):
+    """Mutual cosine nearest-neighbor pairs over the embeddings table
+    (IVF-bucketed candidates; see stages/simsearch.mutual_nn_pairs)."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "a": pa.int64(), "b": pa.int64(), "score": pa.float64(),
+        })
+    return ss.mutual_nn_pairs(_embeddings(sf_dir))
+
+
 def embedding_near_dups(sf_dir: str, *, threshold: float = 0.35):
     """Cosine ≥ threshold pairs (a < b) between every vector and the
     label==0 subset, centroid-bucketed: no O(corpus) broadcast — the

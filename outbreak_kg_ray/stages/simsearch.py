@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from outbreak_kg_ray.functions.rounding import np_round_half_away
 
@@ -557,4 +558,140 @@ def ann_range_search(embeddings_ds, query_ids, query_matrix, *,
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
+    )
+
+
+def mutual_nn_pairs(embeddings_ds, *, n_clusters: int = 16,
+                    nprobe: int = 8, dim: int = 64, parts: int = 32):
+    """Mutual nearest-neighbor pairs — the bitext-mining / contrastive
+    pair-mining primitive: (a, b) kept iff b is a's cosine NN AND a is
+    b's (self excluded; NN tie → smallest vec_id; a < b in output).
+
+    Scale shape (exact mutual-NN is quadratic by definition, so the
+    distributed form is the IVF-bucketed candidate path, the same
+    partitioning assumption as ``embedding_near_dup_pairs_bucketed``):
+    every vector multi-probe assigns to its ``nprobe`` nearest coarse
+    centroids; per cluster one matmul yields each member's best OTHER
+    member; the global per-vector argmax folds the ≤ nprobe
+    per-cluster candidates in ONE keyed exchange (lexsort pick, no
+    per-row Python); mutuality is a self-join on the (vec, nn) pair
+    reversed. A vector's true NN is found iff the two share ≥1 probe —
+    recall rises with nprobe (exact at nprobe == n_clusters); at the
+    testdata distribution nprobe=8/16 reproduces the exact pair set
+    (pinned by the oracle at three scales)."""
+    import ray
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    cent = deterministic_centroids(dim, n_clusters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        top = np.argsort(-(emb @ cent.T), axis=1)[:, :nprobe]
+        n = emb.shape[0]
+        idx = pa.array(np.repeat(np.arange(n), nprobe))
+        return pa.table(
+            {
+                "cluster": pa.array(top.reshape(-1), pa.int32()),
+                "vec_id": t.column("vec_id").take(idx),
+                "embedding": t.column("embedding").take(idx),
+            }
+        )
+
+    _cand_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cand", pa.int64()),
+         ("raw", pa.float64())]
+    )
+
+    def best_in_cluster(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return _cand_schema.empty_table()
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)  # id-ascending so argmax tie = min id
+        ids = ids[order]
+        emb = _normalize(_to_matrix(g.column("embedding")))[order]
+        scores = emb @ emb.T
+        np.fill_diagonal(scores, -np.inf)
+        best = np.argmax(scores, axis=1)  # first max = smallest id
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cand": pa.array(ids[best], pa.int64()),
+                "raw": pa.array(
+                    scores[np.arange(len(ids)), best], pa.float64()
+                ),
+            },
+            schema=_cand_schema,
+        )
+
+    cands = (
+        embeddings_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(best_in_cluster, batch_format="pyarrow")
+    )
+
+    def pick_global(g: pa.Table) -> pa.Table:
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        cand = g.column("cand").to_numpy(zero_copy_only=False)
+        raw = g.column("raw").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand, -raw, vid))
+        first = np.ones(len(vid), dtype=bool)
+        first[1:] = vid[order][1:] != vid[order][:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[sel], pa.int64()),
+                "cand": pa.array(cand[sel], pa.int64()),
+                "raw": pa.array(raw[sel], pa.float64()),
+            },
+            schema=_cand_schema,
+        )
+
+    nn = keyed_partitions(
+        cands, ["vec_id"], pick_global, parts=parts,
+        schema=_cand_schema,
+    ).materialize()
+
+    rev = nn.map_batches(
+        lambda t: pa.table(
+            {
+                "r_vec": t.column("vec_id"),
+                "r_cand": t.column("cand"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = nn.join(
+        rev, "inner", parts,
+        on=("vec_id", "cand"), right_on=("r_cand", "r_vec"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "vec_id" not in t.column_names:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()),
+                 ("score", pa.float64())]
+            ).empty_table()
+        keep = pc.less(t.column("vec_id"), t.column("cand"))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "a": t.column("vec_id"),
+                "b": t.column("cand"),
+                "score": pa.array(
+                    np_round_half_away(
+                        t.column("raw").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    from outbreak_kg_ray.sources.io import pinned_schema
+
+    return pinned_schema(
+        joined.map_batches(finish, batch_format="pyarrow"),
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("score", pa.float64())]
+        ),
     )

@@ -207,3 +207,36 @@ def test_pq_topk_recall_vs_exact(ray_session, sf_dir):
     for q in approx["query_id"].unique():
         top = approx[approx["query_id"] == q].iloc[0]
         assert top["vec_id"] == q
+
+
+def test_mutual_nn_pairs_match_bruteforce(ray_session):
+    """IVF-bucketed mutual-NN (nprobe=8/16) must reproduce the exact
+    numpy mutual-NN pair set on the testdata distribution."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines.docops import mutual_nn_pairs
+
+    got = {
+        (r["a"], r["b"]) for r in mutual_nn_pairs(
+            "/root/testdata/sf0.001"
+        ).take_all()
+    }
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    best = np.argmax(s, axis=1)  # ids ascending -> first max = min id
+    nn = {int(ids[i]): int(ids[best[i]]) for i in range(len(ids))}
+    want = {
+        (a, b) for a, b in nn.items() if nn.get(b) == a and a < b
+    }
+    assert got == want and len(want) > 0
