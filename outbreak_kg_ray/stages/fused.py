@@ -55,28 +55,73 @@ class FusedKgStage:
         self.mesh_types = mesh_types if mesh_types is not None else MESH_TYPES
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name in PRODUCT_SCHEMA.names}
+        # column-at-a-time build: per-row work is ONLY the term-tuple
+        # appends; constant/null columns materialize as Arrow arrays
+        # directly (the generic per-cell emit() was 15% of the stage)
+        doc_ids = batch.column("doc_id").to_pylist()
+        t_doc, t_db, t_id, t_name = [], [], [], []
         pair_counter: Counter = Counter()
-
-        def emit(kind: str, **kw) -> None:
-            cols["kind"].append(kind)
-            for name in PRODUCT_SCHEMA.names[1:]:
-                cols[name].append(kw.get(name))
-
         for doc_id, sections in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("sections").to_pylist(),
+            doc_ids, batch.column("sections").to_pylist()
         ):
-            emit("doc", doc_id=doc_id)
             terms = doc_terms(self.grounder, sections)
             for db, id_, name in terms:
-                emit("term", doc_id=doc_id, db=db, id=id_, entry_name=name)
+                t_doc.append(doc_id)
+                t_db.append(db)
+                t_id.append(id_)
+                t_name.append(name)
             pair_counter.update(doc_pairs(terms, self.mesh_types))
 
-        for (s, e), n in pair_counter.items():
-            emit("pair", start_id=s, end_id=e, n=n)
-
-        return pa.table(cols, schema=PRODUCT_SCHEMA)
+        n_d, n_t, n_p = len(doc_ids), len(t_doc), len(pair_counter)
+        parts = [
+            pa.table(
+                {
+                    "kind": pa.array(["doc"] * n_d, pa.string()),
+                    "doc_id": pa.array(doc_ids, pa.string()),
+                    "db": pa.nulls(n_d, pa.string()),
+                    "id": pa.nulls(n_d, pa.string()),
+                    "entry_name": pa.nulls(n_d, pa.string()),
+                    "start_id": pa.nulls(n_d, pa.string()),
+                    "end_id": pa.nulls(n_d, pa.string()),
+                    "n": pa.nulls(n_d, pa.int64()),
+                },
+                schema=PRODUCT_SCHEMA,
+            ),
+            pa.table(
+                {
+                    "kind": pa.array(["term"] * n_t, pa.string()),
+                    "doc_id": pa.array(t_doc, pa.string()),
+                    "db": pa.array(t_db, pa.string()),
+                    "id": pa.array(t_id, pa.string()),
+                    "entry_name": pa.array(t_name, pa.string()),
+                    "start_id": pa.nulls(n_t, pa.string()),
+                    "end_id": pa.nulls(n_t, pa.string()),
+                    "n": pa.nulls(n_t, pa.int64()),
+                },
+                schema=PRODUCT_SCHEMA,
+            ),
+            pa.table(
+                {
+                    "kind": pa.array(["pair"] * n_p, pa.string()),
+                    "doc_id": pa.nulls(n_p, pa.string()),
+                    "db": pa.nulls(n_p, pa.string()),
+                    "id": pa.nulls(n_p, pa.string()),
+                    "entry_name": pa.nulls(n_p, pa.string()),
+                    "start_id": pa.array(
+                        [s for s, _ in pair_counter], pa.string()
+                    ),
+                    "end_id": pa.array(
+                        [e for _, e in pair_counter], pa.string()
+                    ),
+                    "n": pa.array(list(pair_counter.values()), pa.int64()),
+                },
+                schema=PRODUCT_SCHEMA,
+            ),
+        ]
+        # no combine_chunks: the 3-chunk columns are fine downstream
+        # and re-copying 6M string cells per block costs more than it
+        # saves
+        return pa.concat_tables(parts)
 
 
 _STAGE_CACHE: dict[str, FusedKgStage] = {}

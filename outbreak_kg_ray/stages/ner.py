@@ -138,7 +138,7 @@ class LexicalGrounder:
         # expansion-only lowercase mappings mean equal length ⇔
         # offset-aligned; otherwise lower each probed span instead.
         aligned = len(tl) == len(text)
-        spans = [(m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+        spans = [m.span() for m in _WORD_RE.finditer(text)]
         n = len(spans)
         first_words = self._first_words
         by_name = self._by_name
@@ -271,12 +271,28 @@ class NerStage:
 
 def doc_terms(grounder: LexicalGrounder, sections) -> list[tuple[str, str, str]]:
     """Distinct sorted (db, id, entry_name) for one doc
-    (promed_ner.py:156-177)."""
-    terms = set()
+    (promed_ner.py:156-177).
+
+    Single-pass fast path: all of the doc's annotated fields are
+    joined with ``"\\n"`` and scanned ONCE — equivalent to per-field
+    annotation for the term SET because lexicon names are \\w-edged
+    and never contain a newline, so no match can span the joined
+    field boundary (any cross-boundary probe slice contains ``\\n``
+    and misses the name dict); per-field offsets are not needed here
+    (``mentions_dataset`` keeps the per-field scan).  Pinned equal to
+    the per-field scan by tests/test_ner.py."""
+    parts: list[str] = []
     for sec in sections or []:
-        for field in ("title", "content"):
-            for _txt, db, id_, name, _s, _e in grounder.annotate(sec[field]):
-                terms.add((db, id_, name))
+        parts.append(sec["title"])
+        parts.append(sec["content"])
+    if not parts:
+        return []
+    terms = {
+        (db, id_, name)
+        for _txt, db, id_, name, _s, _e in grounder.annotate(
+            "\n".join(parts)
+        )
+    }
     return sorted(terms)
 
 

@@ -199,3 +199,42 @@ def test_non_word_edge_name_falls_back_to_regex():
     assert not g._token_scan_ok
     anns = g.annotate("a +strand virus with Cholera signs")
     assert [a[3] for a in anns] == ["+strand", "Cholera"]
+
+
+def test_doc_terms_joined_scan_equals_per_field_scan():
+    """The single-pass \\n-joined doc_terms fast path must produce the
+    same term set as per-field annotation on every fixture doc
+    (including multi-token names at field boundaries)."""
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.sources.pages import synthesize_pages_batch
+    from outbreak_kg_ray.stages.extract import extract_pages_batch
+    from outbreak_kg_ray.stages.ner import LexicalGrounder, doc_terms
+
+    g = LexicalGrounder()
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    docs = extract_pages_batch(synthesize_pages_batch(t, repeat=1))
+    checked = 0
+    for sections in docs.column("sections").to_pylist():
+        slow = set()
+        for sec in sections or []:
+            for field in ("title", "content"):
+                for _t, db, id_, name, _s, _e in g.annotate(sec[field]):
+                    slow.add((db, id_, name))
+        assert doc_terms(g, sections) == sorted(slow)
+        checked += 1
+    assert checked == 500
+
+    # adversarial boundary: title ends with the first token of a
+    # multi-token name whose second token starts the content
+    multi = [n for _, n, _, _ in __import__(
+        "outbreak_kg_ray.fixtures.lexicon", fromlist=["MENTION_LEXICON"]
+    ).MENTION_LEXICON if " " in n]
+    assert multi, "fixture lexicon has multi-token names"
+    w1, w2 = multi[0].split(" ", 1)
+    secs = [{"title": f"alpha {w1}", "content": f"{w2} beta"}]
+    slow = set()
+    for field in ("title", "content"):
+        for _t, db, id_, name, _s, _e in g.annotate(secs[0][field]):
+            slow.add((db, id_, name))
+    assert doc_terms(g, secs) == sorted(slow)
