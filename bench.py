@@ -101,12 +101,26 @@ def run_headline(sf_dir: str, repeat: int = 1) -> tuple[float, int]:
         repeat=repeat,
     )
 
-    kg.canonical_edges(sf_dir, products).write_parquet(
-        os.path.join(out, "edges")
-    )
-    kg.canonical_nodes(sf_dir, products).write_parquet(
-        os.path.join(out, "nodes")
-    )
+    # the two canonical builders read the same materialized products
+    # checkpoint; overlapping their independent streaming executions
+    # fills each other's ramp-up and tail idle (measured −25% on this
+    # phase at ×1024; same trick as the checkpointer's concurrent
+    # partition pipelines)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fe = ex.submit(
+            lambda: kg.canonical_edges(sf_dir, products).write_parquet(
+                os.path.join(out, "edges")
+            )
+        )
+        fn = ex.submit(
+            lambda: kg.canonical_nodes(sf_dir, products).write_parquet(
+                os.path.join(out, "nodes")
+            )
+        )
+        fe.result()
+        fn.result()
     dt = time.perf_counter() - t0
     import pyarrow.dataset as pads
 
