@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": graph.connected_components,
         "lpa_communities": graph.lpa_communities,
         "join_skew_report": relational.join_skew_report,
+        "daily_value_drift": relational.daily_value_drift,
         "mutual_nn_pairs": docops.mutual_nn_pairs,
         "mesh_hierarchy_nodes": lambda sf: kg.mesh_hierarchy_nodes(),
         "mesh_hierarchy_edges": lambda sf: kg.mesh_hierarchy_edges(),
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoname_edges": lambda sf: kg.geoname_edges(),
         "canonical_nodes": kg.canonical_nodes,
         "canonical_edges": kg.canonical_edges,
+        "kg_partition_lineage": lambda sf: kg.kg_partition_lineage(sf),
         "realism_scores": realism_scores,
         # --- Eidos-equivalent context extraction (process_eidos.py) ---
         "timex_contexts": contexts.timex_contexts,
@@ -1747,6 +1749,20 @@ nn AS (SELECT va, vb, raw FROM scored WHERE rn = 1)
 SELECT x.va AS a, x.vb AS b, round(x.raw, 6) AS score
 FROM nn x JOIN nn y ON x.vb = y.va AND y.vb = x.va
 WHERE x.va < x.vb
+"""
+
+    # mirrors pipelines/relational.py:daily_value_drift (per-type
+    # daily median + day-over-day drift of the 6dp-rounded medians)
+    sql["daily_value_drift"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(quantile_cont(value, 0.5), 6) AS q50
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, q50,
+       round(abs(q50 - lag(q50) OVER (PARTITION BY event_type
+                                      ORDER BY day)), 6) AS drift
+FROM daily
 """
 
     # mirrors pipelines/relational.py:join_skew_report (top-10 hot

@@ -39,7 +39,10 @@ def docs_dataset(sf_dir: str, **pages_kw):
 # fused product path — ONE NER pass feeds every mention-derived builder
 # ---------------------------------------------------------------------------
 
-_KG_PRODUCTS_VERSION = 2  # bump when fused-stage semantics change
+_KG_PRODUCTS_VERSION = 3  # bump when fused-stage semantics change
+# (v3: column-at-a-time block build — same row SET, different intra-
+# block order; bumping invalidates v2 checkpoints so resumed runs are
+# never a mix of the two orderings)
 
 
 def kg_products_dataset(sf_dir: str, *, ckpt_root: str | None = None,
@@ -1069,3 +1072,77 @@ def canonical_nodes_incremental(sf_dir: str):
     if products is None:
         return canonical_nodes(sf_dir)
     return canonical_nodes(sf_dir, products=products)
+
+
+def kg_partition_lineage(sf_dir: str):
+    """The per-partition checkpoint lineage + metrics artifact as a
+    first-class table (north_rule: "resumable from checkpoint with
+    per-partition lineage + metrics"): builds the fused-products
+    stage checkpointed into a scratch dir, RE-RUNS the stage against
+    the same root, and reports per partition — id range, rows,
+    whether wall-time metrics were recorded, and whether the second
+    run RESUMED (meta untouched) rather than recomputed.  ``resumed``
+    must be true for every partition; a recompute would overwrite
+    ``completed_at``.
+
+    Rows-only by design (wall-clock metrics are nondeterministic);
+    the deterministic columns (partition, lo, hi, rows) are pinned by
+    tests/test_checkpoint.py's fingerprints instead."""
+    import json
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="kg_lineage_")
+    ckpt_root = os.path.join(root, "ckpt")
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    part_rows = max(125, n_docs // 4)
+    kg_products_dataset(sf_dir, ckpt_root=ckpt_root, part_rows=part_rows)
+
+    meta_dir = os.path.join(ckpt_root, "kg_products", "meta")
+    if not os.path.isdir(meta_dir):  # empty corpus: no partitions
+        return pa.table(
+            {
+                "partition": pa.array([], pa.string()),
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "rows": pa.array([], pa.int64()),
+                "has_metrics": pa.array([], pa.bool_()),
+                "resumed": pa.array([], pa.bool_()),
+            }
+        )
+
+    def read_metas() -> dict[str, dict]:
+        out = {}
+        for name in sorted(os.listdir(meta_dir)):
+            with open(os.path.join(meta_dir, name)) as f:
+                out[name] = json.load(f)
+        return out
+
+    first = read_metas()
+    # second run against the same root must SKIP every partition
+    kg_products_dataset(sf_dir, ckpt_root=ckpt_root, part_rows=part_rows)
+    second = read_metas()
+
+    parts, los, his, rows, metrics, resumed = [], [], [], [], [], []
+    for name in sorted(first):
+        m1, m2 = first[name], second[name]
+        lin = m1.get("lineage", {})
+        parts.append(str(m1["partition"]))
+        los.append(int(lin.get("lo", 0)))
+        hi = lin.get("hi")
+        his.append(int(hi) if hi is not None else -1)
+        rows.append(int(m1["rows"]))
+        metrics.append(float(m1.get("wall_s", 0)) > 0.0)
+        resumed.append(m1.get("completed_at") == m2.get("completed_at"))
+    return pa.table(
+        {
+            "partition": pa.array(parts, pa.string()),
+            "lo": pa.array(los, pa.int64()),
+            "hi": pa.array(his, pa.int64()),
+            "rows": pa.array(rows, pa.int64()),
+            "has_metrics": pa.array(metrics, pa.bool_()),
+            "resumed": pa.array(resumed, pa.bool_()),
+        }
+    )

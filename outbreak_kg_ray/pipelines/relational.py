@@ -3500,3 +3500,111 @@ def join_skew_report(sf_dir: str, *, k: int = 10):
             "share": pa.array(shares, pa.float64()),
         }
     )
+
+
+def daily_value_drift(sf_dir: str):
+    """Per-type daily median of events.value plus the day-over-day
+    absolute drift — the drift monitor a data-quality pipeline runs
+    before accepting a new day's partition.
+
+    Scale shape: ONE corpus pass builds the (type × day × value)
+    histogram (value domain is cent-granular and the day axis is
+    calendar-bounded, so the histogram never scales with event
+    count); the exact median interpolates per (type, day) inside a
+    map_groups over that bounded histogram; the final lag fold runs
+    driver-side over ≤ |types| × |days| rows.  Matches DuckDB
+    ``quantile_cont`` (rank p·(n−1)); drift compares the 6-dp-rounded
+    medians (both sides round before differencing)."""
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.functions.rounding import round_half_away
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    import pyarrow.parquet as pq_
+
+    out_schema = {
+        "event_type": pa.string(),
+        "day": pa.timestamp("us"),
+        "q50": pa.float64(),
+        "drift": pa.float64(),
+    }
+    if pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return empty_dataset(out_schema)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def day_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "value": t.column("value"),
+            }
+        )
+
+    hist = (
+        ds.map_batches(day_col, batch_format="pyarrow")
+        .groupby(["event_type", "day", "value"])
+        .aggregate(Count(alias_name="freq"))
+    )
+
+    def median(g: pa.Table) -> pa.Table:
+        values = g.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        freqs = g.column("freq").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(values, kind="stable")
+        values = values[order]
+        cum = np.cumsum(freqs[order])
+        n = int(cum[-1])
+        pos = 0.5 * (n - 1)
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo_v = values[np.searchsorted(cum, lo_i + 1, side="left")]
+        hi_v = values[
+            np.searchsorted(cum, min(lo_i + 1, n - 1) + 1, side="left")
+        ]
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "day": g.column("day").slice(0, 1),
+                "q50": pa.array(
+                    [round_half_away(lo_v + (hi_v - lo_v) * frac, 6)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    daily = (
+        hist.groupby(["event_type", "day"])
+        .map_groups(median, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ |types| × |days| rows
+    daily.sort(key=lambda r: (r["event_type"], r["day"]))
+    types, days, q50s, drifts = [], [], [], []
+    prev_type, prev_q = None, None
+    for r in daily:
+        q = float(r["q50"])
+        types.append(r["event_type"])
+        days.append(r["day"])
+        q50s.append(q)
+        if r["event_type"] == prev_type:
+            drifts.append(round_half_away(abs(q - prev_q), 6))
+        else:
+            drifts.append(None)
+        prev_type, prev_q = r["event_type"], q
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "day": pa.array(days, pa.timestamp("us")),
+                "q50": pa.array(q50s, pa.float64()),
+                "drift": pa.array(drifts, pa.float64()),
+            }
+        )
+    )

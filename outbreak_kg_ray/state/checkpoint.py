@@ -197,6 +197,10 @@ class Checkpointer:
             shutil.rmtree(final_dir, ignore_errors=True)
             t0 = time.perf_counter()
             ds = build(part)
+            # an EMPTY partition's write_parquet creates no directory
+            # at all — pre-create it so the atomic rename (and a
+            # resumed read) still see a valid zero-row partition
+            os.makedirs(tmp_dir, exist_ok=True)
             ds.write_parquet(tmp_dir)
             rows = sum(f["num_rows"] for f in _parquet_file_meta(tmp_dir))
             os.replace(tmp_dir, final_dir)

@@ -170,3 +170,18 @@ def test_repeat_param_invalidates_partitions(ray_session, tmp_path):
     # and back again: repeat=1 must not see repeat=2's partitions
     n1b = kg_products_dataset(sf, ckpt_root=root, repeat=1).count()
     assert n1b == n1
+
+
+def test_kg_partition_lineage_artifact(ray_session):
+    """The lineage query proves the north-rule artifact end-to-end:
+    4 id-range partitions with recorded rows + metrics, and a re-run
+    that RESUMES every partition instead of recomputing."""
+    from outbreak_kg_ray.pipelines.kg import kg_partition_lineage
+
+    t = kg_partition_lineage("/root/testdata/sf0.001")
+    assert t.num_rows == 4
+    assert all(t.column("has_metrics").to_pylist())
+    assert all(t.column("resumed").to_pylist())
+    assert sum(t.column("rows").to_pylist()) > 0
+    los = t.column("lo").to_pylist()
+    assert los == sorted(los)
