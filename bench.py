@@ -357,6 +357,41 @@ def run_encode_stress(sf_dir: str, repeat: int) -> dict:
     }
 
 
+def run_events_stress(sf_dir: str, repeat: int) -> dict:
+    """×repeat-replication stress of the temporal/keyed-shuffle path
+    (sessionization over an independent-user replicated event stream):
+    proves the user-keyed groupby + per-group vectorized rollup stays
+    memory-bounded and throughput-linear when the event table is
+    25M+ rows — the family the KG headline stress never exercises."""
+    import resource
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    _init_ray(NUM_CPUS)
+    n_base = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.perf_counter()
+    n_sessions = temporal.session_summaries(
+        sf_dir, events_ds=temporal.events_replicas(sf_dir, repeat)
+    ).count()
+    dt = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    n_events = n_base * repeat
+    return {
+        "metric": "events_stress",
+        "repeat": repeat,
+        "n_events": n_events,
+        "n_sessions": n_sessions,
+        "sec": round(dt, 2),
+        "events_per_sec": round(n_events / dt, 1),
+        "driver_peak_rss_mb": round(rss1, 1),
+        "driver_rss_growth_mb": round(rss1 - rss0, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same headline job at two parallelism levels (N and 4N CPUs) in
     fresh processes — the sandbox surrogate for the north_rule's
@@ -478,6 +513,10 @@ def main() -> None:
     ap.add_argument("--stress-encode", type=int, nargs="?", const=256,
                     default=None, metavar="REPEAT",
                     help="×REPEAT literature/encode stress (mesh_csr analog)")
+    ap.add_argument("--stress-events", type=int, nargs="?", const=256,
+                    default=None, metavar="REPEAT",
+                    help="×REPEAT temporal/keyed-shuffle stress "
+                         "(sessionization over replicated events)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -486,6 +525,8 @@ def main() -> None:
         res = bench_once(args.sf_dir, NUM_CPUS, headline_only=True)
     elif args.stress_encode:
         res = run_encode_stress(args.sf_dir, args.stress_encode)
+    elif args.stress_events:
+        res = run_events_stress(args.sf_dir, args.stress_events)
     elif args.scaling:
         res = run_scaling(args.sf_dir)
     elif args.hwcheck:

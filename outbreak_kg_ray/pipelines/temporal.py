@@ -496,53 +496,121 @@ def user_gap_stats(sf_dir: str):
     )
 
 
-def session_summaries(sf_dir: str, *, gap_minutes: int = 30):
+def events_replicas(sf_dir: str, repeat: int):
+    """Deterministic ×``repeat`` replication of the events table for
+    stress runs: replica ``r`` offsets ``user_id`` by r·10⁷ and
+    ``event_id`` by r·10¹² with ``ts`` unchanged — each replica is an
+    independent user population, so every user-keyed semantics
+    (sessions, windows, retention) replicates exactly and expected
+    output size is ``repeat ×`` the base output."""
+    base = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def rep(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = t.column("ts").cast(_TS)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "event_id": pa.array(eid + r * 10**12, pa.int64()),
+                        "ts": ts,
+                        "user_id": pa.array(uid + r * 10**7, pa.int64()),
+                    }
+                )
+                for r in range(repeat)
+            ]
+        )
+
+    return base.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
+def session_summaries(sf_dir: str, *, gap_minutes: int = 30,
+                      events_ds=None):
     """Gaps-and-islands rollup: one row per (user, session) with
     start/end timestamps, event count and duration — the session
     summary table sessionization exists to feed.
 
-    Shape: the sessionizer's ONE user-keyed shuffle, then a
-    per-group vectorized pass that both assigns session ids and
-    reduces them to summaries in the same group visit (no second
-    shuffle: session ids never leave the group)."""
-    events = read_parquet_clean(
+    Shape: ONE user-keyed ``keyed_partitions`` exchange, then a
+    WHOLE-PARTITION vectorized pass — all of a partition's users
+    sessionize in one lexsort + cumsum sweep (a session boundary is
+    "user changed OR gap exceeded"), so per-group Python overhead is
+    zero even at hundreds of thousands of users (the ×N events
+    stress measured the per-group map_groups version paying ~1 Python
+    visit per user).  ``events_ds`` overrides the input stream (the
+    ×N replication stress)."""
+    from outbreak_kg_ray.sources.io import pinned_schema
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    events = events_ds if events_ds is not None else read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     gap = np.timedelta64(gap_minutes * 60, "s")
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("t_start", pa.timestamp("us")),
+            ("t_end", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("duration_s", pa.float64()),
+        ]
+    )
 
-    def summarize(g: pa.Table) -> pa.Table:
+    def summarize_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
         ts = g.column("ts").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts = ts[order]
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1] > gap).astype(np.int64)
-        sid = np.cumsum(new_session)
-        uniq = np.unique(sid)
-        starts = np.searchsorted(sid, uniq, side="left")
-        ends = np.searchsorted(sid, uniq, side="right") - 1
+        uid = g.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        ts, uid = ts[order], uid[order]
+        n = len(ts)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_sess[1:] = (
+                (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap)
+            ).astype(np.int64)
+        sid_g = np.cumsum(new_sess)  # global session index, 1-based
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        s_uid = uid[starts]
+        # per-user session numbering: global index minus the user's
+        # first global index + 1 (users are contiguous after the sort)
+        first_of_user = np.ones(len(starts), dtype=bool)
+        first_of_user[1:] = s_uid[1:] != s_uid[:-1]
+        base = np.maximum.accumulate(
+            np.where(first_of_user, sid_g[starts], 0)
+        )
+        sess_no = sid_g[starts] - base + 1
         t_start = ts[starts].astype("datetime64[us]")
         t_end = ts[ends].astype("datetime64[us]")
-        dur_s = (
-            (t_end.astype(np.int64) - t_start.astype(np.int64)) / 1e6
-        )
-        uid = g.column("user_id")[0].as_py()
+        dur_s = (t_end.astype(np.int64) - t_start.astype(np.int64)) / 1e6
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(uniq), pa.int64()),
-                "session_id": pa.array(uniq, pa.int64()),
+                "user_id": pa.array(s_uid, pa.int64()),
+                "session_id": pa.array(sess_no, pa.int64()),
                 "t_start": pa.array(t_start).cast(pa.timestamp("us")),
                 "t_end": pa.array(t_end).cast(pa.timestamp("us")),
                 "n_events": pa.array(
                     (ends - starts + 1).astype(np.int64), pa.int64()
                 ),
                 "duration_s": pa.array(dur_s, pa.float64()),
-            }
+            },
+            schema=out_schema,
         )
 
-    return events.groupby("user_id").map_groups(
-        summarize, batch_format="pyarrow"
+    return pinned_schema(
+        keyed_partitions(events, ["user_id"], summarize_partition),
+        out_schema,
     )
 
 
