@@ -123,57 +123,89 @@ def asof_join_events_orders(sf_dir: str):
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def match(g: pa.Table) -> pa.Table:
+    def match_partition(g: pa.Table) -> pa.Table:
+        # WHOLE-PARTITION vectorized as-of: all users at once, zero
+        # per-group Python. Order timestamps are rank-compressed per
+        # partition so (user, time) collapses to ONE overflow-safe
+        # int64 composite — a single searchsorted answers every
+        # event's "latest order ≤ ts, same user" probe.
         side = g.column("side").to_numpy(zero_copy_only=False)
         o_mask = side == 0
         e_mask = side == 1
         if not o_mask.any() or not e_mask.any():
             return _empty_asof()
         ts = g.column("ts").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        uniq_u, inv_u = np.unique(uid, return_inverse=True)
         okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
-        # one order per date: max orderkey wins (deterministic
-        # tie-break) — lexsort then keep the last row per date
+
+        # one order per (user, date): max orderkey wins — lexsort by
+        # (user, date, key) then keep the last row of each pair
         o_ts = ts[o_mask]
+        o_u = inv_u[o_mask]
         o_key = okey[o_mask]
         o_price = g.column("o_totalprice").to_numpy(
             zero_copy_only=False
         )[o_mask]
-        order = np.lexsort((o_key, o_ts))
-        o_ts, o_key, o_price = o_ts[order], o_key[order], o_price[order]
-        last = np.concatenate((o_ts[1:] != o_ts[:-1], [True]))
-        odates, okeys, oprices = o_ts[last], o_key[last], o_price[last]
+        order = np.lexsort((o_key, o_ts, o_u))
+        o_ts, o_u = o_ts[order], o_u[order]
+        o_key, o_price = o_key[order], o_price[order]
+        last = np.ones(len(o_ts), dtype=bool)
+        if len(o_ts) > 1:
+            last[:-1] = (o_u[1:] != o_u[:-1]) | (o_ts[1:] != o_ts[:-1])
+        o_ts, o_u = o_ts[last], o_u[last]
+        o_key, o_price = o_key[last], o_price[last]
+
+        # rank-compress order timestamps: R+2 distinct slots bound the
+        # composite by |users| × (|order dates|+2) ≤ partition rows²
+        uniq_ts = np.unique(o_ts)
+        stride = len(uniq_ts) + 2
+        comb_o = o_u.astype(np.int64) * stride + (
+            np.searchsorted(uniq_ts, o_ts) + 1
+        )
         e_ts = ts[e_mask]
-        idx = np.searchsorted(odates, e_ts, side="right") - 1
-        keep = idx >= 0
+        e_u = inv_u[e_mask]
+        # r_e = #distinct order dates ≤ event ts ⇒ qualifying orders
+        # are exactly the user's slots 1..r_e
+        r_e = np.searchsorted(uniq_ts, e_ts, side="right")
+        idx = np.searchsorted(
+            comb_o, e_u.astype(np.int64) * stride + r_e, side="right"
+        ) - 1
+        keep = (idx >= 0) & (comb_o[np.maximum(idx, 0)] // stride == e_u)
         if not keep.any():
             return _empty_asof()
         idx = idx[keep]
         eid = g.column("event_id").to_numpy(zero_copy_only=False)[
             e_mask
         ][keep]
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)[
-            e_mask
-        ][keep]
         return pa.table(
             {
-                "event_id": pa.array(
-                    eid.astype(np.int64), pa.int64()
-                ),
-                "user_id": pa.array(uid),
+                "event_id": pa.array(eid.astype(np.int64), pa.int64()),
+                "user_id": pa.array(uniq_u[e_u[keep]]),
                 "o_orderkey": pa.array(
-                    okeys[idx].astype(np.int64), pa.int64()
+                    o_key[idx].astype(np.int64), pa.int64()
                 ),
-                "o_orderdate": pa.array(odates[idx]).cast(
+                "o_orderdate": pa.array(o_ts[idx]).cast(
                     pa.timestamp("us")
                 ),
-                "o_totalprice": pa.array(
-                    oprices[idx], pa.float64()
-                ),
+                "o_totalprice": pa.array(o_price[idx], pa.float64()),
             }
         )
 
-    return unioned.groupby("user_id").map_groups(
-        match, batch_format="pyarrow"
+    from outbreak_kg_ray.sources.io import pinned_schema
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    return pinned_schema(
+        keyed_partitions(unioned, ["user_id"], match_partition),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
     )
 
 
