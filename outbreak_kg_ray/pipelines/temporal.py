@@ -12,10 +12,12 @@ the as-of / interval semantics a training-data pipeline needs
 Scale notes (documented partitioning assumptions):
 
 * ``asof_join_events_orders`` shuffles both inputs ONCE by the join
-  key (user/customer); per-group work is ``O((E_u + O_u) log O_u)``
-  via ``numpy.searchsorted``. Hot keys are bounded by a single
-  user's history — the same assumption every keyed sessionizer
-  makes. Nothing O(corpus) on the driver.
+  key (user/customer); the match is a WHOLE-PARTITION vectorized
+  sweep (rank-compressed (user, time) composite + one
+  ``searchsorted``) — zero per-group Python, total work
+  ``O(P log P)`` per partition of P rows. Hot keys are bounded by a
+  single user's history — the same assumption every keyed
+  sessionizer makes. Nothing O(corpus) on the driver.
 * ``order_ship_window`` pre-aggregates the probe side to one row per
   distinct ship date BEFORE any pairing. The daily table is
   calendar-bounded (a decade of days ≈ 3.7k rows regardless of
