@@ -393,11 +393,13 @@ def event_transitions(sf_dir: str):
     first-order Markov matrix of behavioral modeling
     (from_type, to_type, n_transitions).
 
-    Shape: ONE hash shuffle by ``user_id`` (the sessionizer's key),
-    then a vectorized per-group pass (sort by (ts, event_id), pair
-    consecutive types) that emits per-group PARTIAL counts — one row
-    per distinct (from, to) pair per user, never one per transition
-    — into a type²-bounded grouped sum."""
+    Shape: ONE ``keyed_partitions`` shuffle by ``user_id`` (the
+    sessionizer's key), then a WHOLE-PARTITION vectorized pass — all
+    users pair in one lexsort over (user, ts, event_id) with
+    same-user masking, zero per-group Python — emitting one partial
+    row per distinct (from, to) pair per PARTITION (a strictly
+    tighter combiner than per-user) into a type²-bounded grouped
+    sum."""
 
     from ray.data.aggregate import Sum
 
@@ -424,17 +426,22 @@ def event_transitions(sf_dir: str):
     )
 
     def partials(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _tr_schema.empty_table()
         ts = g.column("ts").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        et = g.column("event_type").to_numpy(zero_copy_only=False)[
-            np.lexsort((eid, ts))
-        ]
-        if len(et) < 2:
+        uid = g.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        et = g.column("event_type").to_numpy(zero_copy_only=False)[order]
+        uid = uid[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
             return _tr_schema.empty_table()
-        # one row per DISTINCT (from, to) pair for this user
         pairs = np.char.add(
-            np.char.add(et[:-1].astype(str), "\x1f"),
-            et[1:].astype(str),
+            np.char.add(et[:-1][same].astype(str), "\x1f"),
+            et[1:][same].astype(str),
         )
         uniq, counts = np.unique(pairs, return_counts=True)
         split = np.char.partition(uniq, "\x1f")
@@ -443,12 +450,14 @@ def event_transitions(sf_dir: str):
                 "from_type": pa.array(split[:, 0], pa.string()),
                 "to_type": pa.array(split[:, 2], pa.string()),
                 "c": pa.array(counts.astype(np.int64), pa.int64()),
-            }
+            },
+            schema=_tr_schema,
         )
 
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
     agg = (
-        events.groupby("user_id")
-        .map_groups(partials, batch_format="pyarrow")
+        keyed_partitions(events, ["user_id"], partials, schema=_tr_schema)
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("c", alias_name="n_transitions"))
     )
