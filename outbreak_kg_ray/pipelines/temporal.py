@@ -484,10 +484,11 @@ def user_gap_stats(sf_dir: str):
     seconds, max gap microseconds) — the inter-arrival features
     behind bot/burst detection and session-gap tuning.
 
-    Shape: the sessionizer's ONE user-keyed shuffle + vectorized
-    per-group sort/diff; gaps are exact int64 microseconds (no
-    boundary-crossing semantics to mismatch), only the mean becomes
-    a rounded float."""
+    Shape: ONE ``keyed_partitions`` shuffle + a WHOLE-PARTITION
+    sweep — all users diff in one lexsort, per-user sums/maxes via
+    ``reduceat`` over contiguous gap segments, zero per-group
+    Python; gaps are exact int64 microseconds (no boundary-crossing
+    semantics to mismatch), only the mean becomes a rounded float."""
 
     from outbreak_kg_ray.functions.rounding import round_half_away
     from outbreak_kg_ray.sources.io import (
@@ -512,30 +513,47 @@ def user_gap_stats(sf_dir: str):
     )
 
     def stats(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        us = np.sort(
-            ts[np.lexsort((eid, ts))].astype("datetime64[us]")
-        ).astype(np.int64)
-        if len(us) < 2:
+        if g.num_rows < 2:
             return _gap_schema.empty_table()
-        gaps = np.diff(us)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ts, uid))
+        uid_s = uid[order]
+        us = ts[order].astype("datetime64[us]").astype(np.int64)
+        same = uid_s[1:] == uid_s[:-1]
+        if not same.any():
+            return _gap_schema.empty_table()
+        gaps = np.diff(us)[same]
+        gap_uid = uid_s[:-1][same]  # sorted (users contiguous)
+        starts = np.flatnonzero(
+            np.concatenate(([True], gap_uid[1:] != gap_uid[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(gaps)))
+        sums = np.add.reduceat(gaps, starts)
+        maxs = np.maximum.reduceat(gaps, starts)
+        means = [
+            round_half_away(float(s) / float(c) / 1e6, 6)
+            for s, c in zip(sums, counts)
+        ]
         return pa.table(
             {
-                "user_id": g.column("user_id").slice(0, 1).cast(
-                    pa.int64()
+                "user_id": pa.array(gap_uid[starts], pa.int64()),
+                "n_gaps": pa.array(counts.astype(np.int64), pa.int64()),
+                "mean_gap_s": pa.array(means, pa.float64()),
+                "max_gap_us": pa.array(
+                    maxs.astype(np.int64), pa.int64()
                 ),
-                "n_gaps": pa.array([len(gaps)], pa.int64()),
-                "mean_gap_s": pa.array(
-                    [round_half_away(float(gaps.mean()) / 1e6, 6)],
-                    pa.float64(),
-                ),
-                "max_gap_us": pa.array([int(gaps.max())], pa.int64()),
-            }
+            },
+            schema=_gap_schema,
         )
 
-    return events.groupby("user_id").map_groups(
-        stats, batch_format="pyarrow"
+    from outbreak_kg_ray.sources.io import pinned_schema
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    return pinned_schema(
+        keyed_partitions(events, ["user_id"], stats), _gap_schema
     )
 
 
