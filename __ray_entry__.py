@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": webcrawl.url_dedup,
         "host_stats": webcrawl.host_stats,
         "url_blocklist_filter": webcrawl.url_blocklist_filter,
+        "host_cap_sample": webcrawl.host_cap_sample,
         "lineitem_quantity_mad": relational.lineitem_quantity_mad,
         # schema-wide referential-integrity audit (anti-join family)
         "fk_integrity_audit": relational.fk_integrity_audit,
@@ -3800,6 +3801,25 @@ SELECT doc_id, canon_url
 FROM canon
 WHERE NOT (canon_url LIKE 'https://src3.example.com/%'
            OR canon_url LIKE 'https://src7.example.com/item-1%')
+"""
+
+    # FineWeb-style per-host document quota.
+    # Mirrors pipelines/webcrawl.py:host_cap_sample
+    sql["host_cap_sample"] = f"""
+WITH {_crawl_canon},
+hosted AS (
+  SELECT regexp_extract(canon_url, '^[^/]+//([^/]+)', 1) AS host,
+         doc_id, n_chars
+  FROM canon
+),
+ranked AS (
+  SELECT host, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, doc_id
+         ) AS rank
+  FROM hosted
+)
+SELECT host, doc_id, n_chars, rank FROM ranked WHERE rank <= 5
 """
 
     # full-outer per-nation account reconciliation.

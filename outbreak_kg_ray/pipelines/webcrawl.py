@@ -252,6 +252,71 @@ def host_stats(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _host_rank_cut(t: pa.Table, cap: int) -> pa.Table:
+    """Vectorized per-host rank cut: sort (host asc, n_chars desc,
+    doc_id asc), rank within host by run boundaries, keep rank ≤ cap.
+    Zero per-row Python — Arrow multi-key sort + numpy run-length."""
+    import numpy as np
+
+    if len(t) == 0:
+        return t.append_column("rank", pa.array([], pa.int64()))
+    s = t.sort_by(
+        [("host", "ascending"), ("n_chars", "descending"),
+         ("doc_id", "ascending")]
+    ).combine_chunks()
+    host = s.column("host").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(
+        np.concatenate(([True], host[1:] != host[:-1]))
+    )
+    counts = np.diff(np.append(starts, len(host)))
+    rank = np.arange(len(host)) - np.repeat(starts, counts) + 1
+    s = s.append_column("rank", pa.array(rank, pa.int64()))
+    return s.filter(pa.array(rank <= cap))
+
+
+def host_cap_sample(sf_dir: str, cap: int = 5):
+    """Per-host document quota (the FineWeb/RefinedWeb-style
+    anti-SEO-domination sampler a crawl corpus applies before
+    training): keep at most ``cap`` docs per host, preferring the
+    longest (``n_chars`` desc, ``doc_id`` asc tie-break), with the
+    kept rank — the crawl-side twin of D5's first-wins dedup
+    (promed_ner.py:113-140) generalized to a quality-ordered quota.
+
+    Scale shape: a batch-local per-host top-``cap`` combiner cuts
+    each block to ≤ cap rows per host PRESENT IN THE BLOCK before the
+    single host-keyed groupby, so the exchange moves at most
+    cap × (hosts per block) rows — never the raw crawl stream; the
+    per-group finisher re-runs the same vectorized rank cut."""
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "host": pa.string(), "doc_id": pa.int64(),
+            "n_chars": pa.int64(), "rank": pa.int64(),
+        })
+    pages = crawl_pages(sf_dir)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            t.column("canon_url"), r"^[^/]+//(?P<host>[^/]+)"
+        )
+        hosted = pa.table(
+            {
+                "host": pc.struct_field(m, "host"),
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+        return _host_rank_cut(hosted, cap).drop_columns(["rank"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        return _host_rank_cut(g, cap)
+
+    return (
+        pages.map_batches(combiner, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 DEFAULT_BLOCKED_PREFIXES = (
     # a blocked host and a blocked path subtree — the two rule shapes
     # robots/deny lists actually use

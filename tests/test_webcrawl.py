@@ -84,3 +84,30 @@ def test_url_blocklist_filter(ray_session, sf_dir):
     # an empty rule set keeps everything
     allk = url_blocklist_filter(sf_dir, prefixes=()).to_pandas()
     assert len(allk) == total
+
+
+def test_host_cap_sample_quota_and_order(ray_session, sf_dir):
+    from outbreak_kg_ray.pipelines.webcrawl import (
+        crawl_pages,
+        host_cap_sample,
+    )
+
+    cap = 5
+    out = host_cap_sample(sf_dir, cap=cap).to_pandas()
+    pages = crawl_pages(sf_dir).to_pandas()
+    pages["host"] = pages["canon_url"].str.extract(r"^[^/]+//([^/]+)")
+    # quota holds and ranks are 1..k per host
+    per_host = out.groupby("host")
+    assert (per_host.size() <= cap).all()
+    for _, g in per_host:
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    # exactly the cap longest docs per host (n_chars desc, doc_id asc)
+    expect = (
+        pages.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("host")
+        .head(cap)
+    )
+    got = set(zip(out["host"], out["doc_id"]))
+    assert got == set(zip(expect["host"], expect["doc_id"]))
+    # the quota actually cuts something (op is non-trivial)
+    assert len(out) < len(pages)
