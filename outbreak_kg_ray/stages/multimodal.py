@@ -34,7 +34,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 from outbreak_kg_ray.functions.rounding import round_half_away
-from outbreak_kg_ray.sources.io import read_parquet_clean
+from outbreak_kg_ray.sources.io import parquet_rows, read_parquet_clean
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -109,9 +109,31 @@ def make_video_payload(doc_id: int) -> bytes:
     return b"FVID" + struct.pack(">HHH", w, h, nf) + planes.tobytes()
 
 
-def video_dataset(sf_dir: str):
-    import ray.data as rd
+def _doc_ids(sf_dir: str):
+    """Column-pruned doc_id read, split into cluster-width blocks.
 
+    The sf parquet is a single row group, so the read yields ONE
+    block and Ray fuses the synthesis map into that one read task —
+    serializing the whole encode (measured: png_media_dataset 3.0 s
+    at sf0.1 with 31 CPUs idle). The repartition barrier splits the
+    tiny pre-synthesis id rows and blocks the fusion, same pattern
+    (and rationale) as sources/pages.py:pages_dataset split_blocks;
+    at 100 TB the input files provide natural blocks instead."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    n = parquet_rows(f"{sf_dir}/documents.parquet")
+    split = max(1, min(cpus, n // 64))
+    return ds.repartition(split) if split > 1 else ds
+
+
+def video_dataset(sf_dir: str):
     def batch(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         return pa.table(
@@ -125,17 +147,15 @@ def video_dataset(sf_dir: str):
             schema=MEDIA_SCHEMA,
         )
 
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(batch, batch_format="pyarrow", batch_size=512)
+    return _doc_ids(sf_dir).map_batches(
+        batch, batch_format="pyarrow", batch_size=512
+    )
 
 
 def media_dataset(sf_dir: str):
-    import ray.data as rd
-
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(media_batch, batch_format="pyarrow", batch_size=512)
+    return _doc_ids(sf_dir).map_batches(
+        media_batch, batch_format="pyarrow", batch_size=512
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -370,9 +390,9 @@ def png_media_dataset(sf_dir: str):
             schema=MEDIA_SCHEMA,
         )
 
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(batch, batch_format="pyarrow", batch_size=256)
+    return _doc_ids(sf_dir).map_batches(
+        batch, batch_format="pyarrow", batch_size=256
+    )
 
 
 def wav_media_dataset(sf_dir: str):
@@ -389,14 +409,43 @@ def wav_media_dataset(sf_dir: str):
             schema=MEDIA_SCHEMA,
         )
 
-    return read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(batch, batch_format="pyarrow", batch_size=256)
+    return _doc_ids(sf_dir).map_batches(
+        batch, batch_format="pyarrow", batch_size=256
+    )
 
 
 # ---------------------------------------------------------------------------
 # decode stages (actor pools; small batches — binary payloads are big)
 # ---------------------------------------------------------------------------
+
+def _map_stage(ds, cls, *, batch_size: int, concurrency=None, **ctor):
+    """Run a codec stage over ``ds`` — task pool by default, actor
+    pool on request.
+
+    These stages hold only microscopic parse state (a struct layout,
+    a stride), so the __init__-once-per-ACTOR pattern buys nothing
+    here while a dedicated actor pool costs a measured ~2 s spawn per
+    execution (Ray reuses warm workers for tasks but starts fresh
+    processes for every actor pool — the whole sf0.1 decode is ~2 s
+    of compute, so the pool doubled the wall time). The default
+    therefore ships a single prebuilt INSTANCE through ``map_batches``
+    (constructed once on the driver, reused by every warm-worker
+    task). A real decoder with heavy one-time state — model weights,
+    GPU init, a large codebook — should pass ``concurrency`` to opt
+    back into the actor pool, which is when per-actor ``__init__``
+    matters (that wiring stays tested via the explicit-concurrency
+    path)."""
+    if concurrency is None:
+        return ds.map_batches(
+            cls(**ctor), batch_format="pyarrow", batch_size=batch_size
+        )
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=ctor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 def decode_image_real(payload: bytes):
     """Real-codec dispatch: PNG decodes natively (pure stdlib
@@ -427,7 +476,7 @@ class ImageDecodeStage:
     MAGIC = b"FIMG"
 
     def __init__(self):
-        self.header = struct.Struct(">HH")
+        self._hdr_fmt = ">HH"  # picklable (task-pool default ships the instance)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, widths, heights, n_bytes = [], [], [], []
@@ -436,7 +485,7 @@ class ImageDecodeStage:
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
             if payload.startswith(self.MAGIC):
-                w, h = self.header.unpack(payload[4:8])
+                w, h = struct.unpack(self._hdr_fmt, payload[4:8])
                 pixels = np.frombuffer(payload, dtype=np.uint8, offset=8)
                 assert pixels.size == w * h, "truncated FIMG payload"
             else:
@@ -472,7 +521,7 @@ class AudioFrameSampleStage:
 
     def __init__(self, stride: int = 4):
         self.stride = stride
-        self.header = struct.Struct(">HH")
+        self._hdr_fmt = ">HH"  # picklable (task-pool default ships the instance)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, srs, n_frames, means = [], [], [], []
@@ -480,7 +529,7 @@ class AudioFrameSampleStage:
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
             if payload.startswith(self.MAGIC):
-                sr, n = self.header.unpack(payload[4:8])
+                sr, n = struct.unpack(self._hdr_fmt, payload[4:8])
                 samples = np.frombuffer(payload, dtype=np.uint8, offset=8)
                 assert samples.size == n, "truncated FAUD payload"
             elif payload.startswith(b"RIFF"):
@@ -517,7 +566,7 @@ class VideoFrameSampleStage:
 
     def __init__(self, stride: int = 2):
         self.stride = stride
-        self.header = struct.Struct(">HHH")
+        self._hdr_fmt = ">HHH"  # picklable (task-pool default ships the instance)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, ws, hs, nfs, n_sampled, means = [], [], [], [], [], []
@@ -528,7 +577,7 @@ class VideoFrameSampleStage:
                 raise NotImplementedError(
                     "real video decode requires ffmpeg, absent here"
                 )
-            w, h, nf = self.header.unpack(payload[4:10])
+            w, h, nf = struct.unpack(self._hdr_fmt, payload[4:10])
             planes = np.frombuffer(
                 payload, dtype=np.uint8, offset=10
             ).reshape(nf, w * h)
@@ -561,7 +610,7 @@ class ImageResizeStage:
 
     def __init__(self, size: int = 8):
         self.size = size
-        self.header = struct.Struct(">HH")
+        self._hdr_fmt = ">HH"  # picklable (task-pool default ships the instance)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, means, top_left = [], [], []
@@ -570,7 +619,7 @@ class ImageResizeStage:
             t.column("media_id").to_pylist(), t.column("payload").to_pylist()
         ):
             if payload.startswith(self.MAGIC):
-                w, h = self.header.unpack(payload[4:8])
+                w, h = struct.unpack(self._hdr_fmt, payload[4:8])
                 pixels = np.frombuffer(
                     payload, dtype=np.uint8, offset=8
                 ).reshape(h, w)
@@ -594,35 +643,29 @@ class ImageResizeStage:
 
 
 def video_frame_samples(sf_dir: str, *, stride: int = 2,
-                        batch_size: int = 64, concurrency=(1, 4)):
-    return video_dataset(sf_dir).map_batches(
-        VideoFrameSampleStage,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+                        batch_size: int = 64, concurrency=None):
+    return _map_stage(
+        video_dataset(sf_dir), VideoFrameSampleStage,
+        batch_size=batch_size, concurrency=concurrency, stride=stride,
     )
 
 
 def image_thumbnails(sf_dir: str, *, size: int = 8, batch_size: int = 64,
-                     concurrency=(1, 4)):
+                     concurrency=None):
     import pyarrow.compute as pc
 
     ds = media_dataset(sf_dir).map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "image")),
         batch_format="pyarrow",
     )
-    return ds.map_batches(
-        ImageResizeStage,
-        fn_constructor_kwargs={"size": size},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        ds, ImageResizeStage,
+        batch_size=batch_size, concurrency=concurrency, size=size,
     )
 
 
 def image_features(sf_dir: str, *, batch_size: int = 64,
-                   concurrency=(1, 4)):
+                   concurrency=None):
     """Image branch: filter kind → actor-pool decode. Small batches —
     a batch of payloads must fit the worker heap."""
     import pyarrow.compute as pc
@@ -631,71 +674,58 @@ def image_features(sf_dir: str, *, batch_size: int = 64,
         lambda t: t.filter(pc.equal(t.column("kind"), "image")),
         batch_format="pyarrow",
     )
-    return ds.map_batches(
-        ImageDecodeStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        ds, ImageDecodeStage,
+        batch_size=batch_size, concurrency=concurrency,
     )
 
 
 def png_image_features(sf_dir: str, *, batch_size: int = 64,
-                       concurrency=(1, 4)):
+                       concurrency=None):
     """Image features over REAL PNG payloads: the same actor-pool
     decode stage, exercising the pure-stdlib PNG decoder (all five
     scanline filters — the encoder cycles them per row). n_bytes is
     dropped from the output because the zlib stream length is not
     analytically computable for the oracle."""
-    return png_media_dataset(sf_dir).map_batches(
-        ImageDecodeStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        png_media_dataset(sf_dir), ImageDecodeStage,
+        batch_size=batch_size, concurrency=concurrency,
     ).select_columns(
         ["media_id", "width", "height", "f_first", "f_last", "f_mean"]
     )
 
 
 def png_thumbnails(sf_dir: str, *, size: int = 8, batch_size: int = 64,
-                   concurrency=(1, 4)):
+                   concurrency=None):
     """Nearest-neighbor thumbnails over REAL PNG payloads — the
     resize kernel runs on the decoded (all-five-filters) pixel
     matrix."""
-    return png_media_dataset(sf_dir).map_batches(
-        ImageResizeStage,
-        fn_constructor_kwargs={"size": size},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        png_media_dataset(sf_dir), ImageResizeStage,
+        batch_size=batch_size, concurrency=concurrency, size=size,
     )
 
 
 def wav_audio_frames(sf_dir: str, *, stride: int = 4, batch_size: int = 64,
-                     concurrency=(1, 4)):
+                     concurrency=None):
     """Frame-sample summary over REAL RIFF/WAVE PCM-16 payloads
     (stdlib ``wave`` encoder cross-checked by the hand-written RIFF
     decoder)."""
-    return wav_media_dataset(sf_dir).map_batches(
-        AudioFrameSampleStage,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        wav_media_dataset(sf_dir), AudioFrameSampleStage,
+        batch_size=batch_size, concurrency=concurrency, stride=stride,
     )
 
 
 def audio_frames(sf_dir: str, *, stride: int = 4, batch_size: int = 64,
-                 concurrency=(1, 4)):
+                 concurrency=None):
     import pyarrow.compute as pc
 
     ds = media_dataset(sf_dir).map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
         batch_format="pyarrow",
     )
-    return ds.map_batches(
-        AudioFrameSampleStage,
-        fn_constructor_kwargs={"stride": stride},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _map_stage(
+        ds, AudioFrameSampleStage,
+        batch_size=batch_size, concurrency=concurrency, stride=stride,
     )
