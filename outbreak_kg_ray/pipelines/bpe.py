@@ -223,10 +223,9 @@ def bpe_token_counts(
                 }
             )
 
-    return _documents(sf_dir).map_batches(
-        BpeCountStage,
-        fn_constructor_args=(merges_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    from outbreak_kg_ray.stages.maputil import map_stage
+
+    return map_stage(
+        _documents(sf_dir), BpeCountStage, batch_size=1024,
+        ctor_args=(merges_ref,),
     )

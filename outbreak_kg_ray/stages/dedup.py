@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from outbreak_kg_ray.functions.rounding import round_half_away
+from outbreak_kg_ray.stages.maputil import map_stage
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 _N_HASHES = 64
@@ -406,14 +407,10 @@ def ngram_candidate_pairs(docs_ds, *, key: str = "doc_id",
     still reach the threshold."""
     from ray.data.aggregate import Count
 
-    buckets = docs_ds.map_batches(
-        NgramIndexStage,
-        fn_constructor_kwargs={
-            "key": key, "col": col, "k": k,
-            "index_shingles": index_shingles,
-            "min_collisions": min_collisions,
-        },
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    buckets = map_stage(
+        docs_ds, NgramIndexStage, batch_size=512,
+        key=key, col=col, k=k, index_shingles=index_shingles,
+        min_collisions=min_collisions,
     )
     pairs = _bucket_pairs(buckets, key)
     return (
@@ -425,9 +422,8 @@ def ngram_candidate_pairs(docs_ds, *, key: str = "doc_id",
 
 def minhash_candidate_pairs(docs_ds, *, key: str = "doc_id",
                             col: str = "text", k: int = 3):
-    buckets = docs_ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={"key": key, "col": col, "k": k},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    buckets = map_stage(
+        docs_ds, MinHashStage, batch_size=512, key=key, col=col, k=k,
     )
     pairs = _bucket_pairs(buckets, key)
     return distinct_pairs(pairs)

@@ -225,8 +225,11 @@ def scored_groundings(sf_dir: str):
     queries contribute no rows."""
     if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
         return empty_dataset(_SCORED_SCHEMA)
-    return ground_queries_dataset(sf_dir).map_batches(
-        _ScoredGroundStage, batch_format="pyarrow", concurrency=(1, 4)
+    from outbreak_kg_ray.stages.maputil import map_stage
+
+    return map_stage(
+        ground_queries_dataset(sf_dir), _ScoredGroundStage,
+        batch_size=1024,
     )
 
 
@@ -235,8 +238,10 @@ def grounding_curies(sf_dir: str):
     NULL, one row per document."""
     if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
         return empty_dataset(_CURIE_SCHEMA)
-    return ground_queries_dataset(sf_dir).map_batches(
-        _CurieStage, batch_format="pyarrow", concurrency=(1, 4)
+    from outbreak_kg_ray.stages.maputil import map_stage
+
+    return map_stage(
+        ground_queries_dataset(sf_dir), _CurieStage, batch_size=1024,
     )
 
 

@@ -430,10 +430,8 @@ def embedding_outliers(sf_dir: str, *, threshold: float = 0.0):
                 }
             )
 
-    return ds.map_batches(
-        OutlierStage,
-        fn_constructor_args=(cent_ref,),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 8),
+    from outbreak_kg_ray.stages.maputil import map_stage
+
+    return map_stage(
+        ds, OutlierStage, batch_size=2048, ctor_args=(cent_ref,),
     )

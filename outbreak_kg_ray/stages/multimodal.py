@@ -435,17 +435,12 @@ def _map_stage(ds, cls, *, batch_size: int, concurrency=None, **ctor):
     back into the actor pool, which is when per-actor ``__init__``
     matters (that wiring stays tested via the explicit-concurrency
     path)."""
-    if concurrency is None:
-        return ds.map_batches(
-            cls(**ctor), batch_format="pyarrow", batch_size=batch_size
-        )
-    return ds.map_batches(
-        cls,
-        fn_constructor_kwargs=ctor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+    from .maputil import map_stage
+
+    return map_stage(
+        ds, cls, batch_size=batch_size, concurrency=concurrency, **ctor
     )
+
 
 def decode_image_real(payload: bytes):
     """Real-codec dispatch: PNG decodes natively (pure stdlib

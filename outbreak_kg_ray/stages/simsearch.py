@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from outbreak_kg_ray.stages.maputil import map_stage
 from outbreak_kg_ray.functions.rounding import np_round_half_away
 
 
@@ -101,17 +102,14 @@ def topk_merge(partials_ds, k: int = 10):
 
 
 def ann_topk(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
-             concurrency=(1, 4)):
+             concurrency=None):
     """Brute-force cosine top-k — the exact baseline."""
     import ray
 
     ref = ray.put((list(query_ids), np.asarray(query_matrix)))
-    partials = embeddings_ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
+    partials = map_stage(
+        embeddings_ds, BruteForceTopK, batch_size=4096,
+        concurrency=concurrency, queries_ref=ref, k=k,
     )
     return topk_merge(partials, k)
 
@@ -168,15 +166,10 @@ def ann_topk_ivf(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
     import ray
 
     ref = ray.put((list(query_ids), np.asarray(query_matrix)))
-    partials = embeddings_ds.map_batches(
-        IVFTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref, "k": k, "n_clusters": n_clusters,
-            "nprobe": nprobe, "dim": dim,
-        },
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
+    partials = map_stage(
+        embeddings_ds, IVFTopK, batch_size=4096,
+        queries_ref=ref, k=k, n_clusters=n_clusters,
+        nprobe=nprobe, dim=dim,
     )
     return topk_merge(partials, k)
 
@@ -240,15 +233,10 @@ def ann_topk_lsh(embeddings_ds, query_ids, query_matrix, *, k: int = 10,
     import ray
 
     ref = ray.put((list(query_ids), np.asarray(query_matrix)))
-    partials = embeddings_ds.map_batches(
-        HyperplaneLSHTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref, "k": k, "n_planes": n_planes,
-            "n_bands": n_bands, "dim": dim,
-        },
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
+    partials = map_stage(
+        embeddings_ds, HyperplaneLSHTopK, batch_size=4096,
+        queries_ref=ref, k=k, n_planes=n_planes,
+        n_bands=n_bands, dim=dim,
     )
     return topk_merge(partials, k)
 
@@ -292,12 +280,9 @@ def embedding_near_dup_pairs(embeddings_ds, subset_ids, subset_matrix,
     import ray
 
     ref = ray.put((list(subset_ids), np.asarray(subset_matrix)))
-    return embeddings_ds.map_batches(
-        CosinePairs,
-        fn_constructor_kwargs={"subset_ref": ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
+    return map_stage(
+        embeddings_ds, CosinePairs, batch_size=4096,
+        subset_ref=ref, threshold=threshold,
     )
 
 
@@ -499,14 +484,9 @@ def ann_topk_pq(embeddings_ds, query_ids, query_matrix, train_sample,
     )
     qref = ray.put((list(query_ids), np.asarray(query_matrix)))
     bref = ray.put(books)
-    partials = embeddings_ds.map_batches(
-        PQTopK,
-        fn_constructor_kwargs={
-            "queries_ref": qref, "books_ref": bref, "k": k,
-        },
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
+    partials = map_stage(
+        embeddings_ds, PQTopK, batch_size=4096,
+        queries_ref=qref, books_ref=bref, k=k,
     )
     return topk_merge(partials, k)
 
@@ -544,7 +524,7 @@ class RangeSearch:
 
 
 def ann_range_search(embeddings_ds, query_ids, query_matrix, *,
-                     threshold: float = 0.3, concurrency=(1, 4)):
+                     threshold: float = 0.3, concurrency=None):
     """Radius (range) search: every corpus vector within the cosine
     threshold of each query.  Same broadcast-matmul shape as the
     brute-force top-k, but emission is threshold-gated instead of
@@ -552,12 +532,9 @@ def ann_range_search(embeddings_ds, query_ids, query_matrix, *,
     import ray
 
     ref = ray.put((list(query_ids), np.asarray(query_matrix)))
-    return embeddings_ds.map_batches(
-        RangeSearch,
-        fn_constructor_kwargs={"queries_ref": ref, "threshold": threshold},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
+    return map_stage(
+        embeddings_ds, RangeSearch, batch_size=4096,
+        concurrency=concurrency, queries_ref=ref, threshold=threshold,
     )
 
 
