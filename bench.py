@@ -158,6 +158,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         from outbreak_kg_ray.pipelines import contexts
 
         return contexts
+
+    def _grounding():
+        from outbreak_kg_ray.stages import grounding
+
+        return grounding
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -241,6 +246,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lpa_communities": lambda: graph.lpa_communities(sf_dir),
         "bpe_token_counts": lambda: _bpe().bpe_token_counts(sf_dir),
         "perplexity_buckets": lambda: docops.perplexity_buckets(sf_dir),
+        # round-4 continuation: crawl quota + scored grounding
+        "host_cap_sample": lambda: webcrawl.host_cap_sample(sf_dir),
+        "scored_groundings": lambda: _grounding().scored_groundings(
+            sf_dir
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
