@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 
 from ..stages import dedup as dd
+from ..stages.maputil import map_stage
 from ..stages import simsearch as ss
 from ..stages import textstats as ts
 from outbreak_kg_ray.sources.io import (
@@ -475,12 +476,9 @@ def decontaminate(sf_dir: str, *, n: int = 4, modulus: int = 50):
         else np.empty(0, dtype=np.uint64)
     )
     bench_ref = ray.put(bench)
-    return _documents(sf_dir).map_batches(
-        dc.DecontaminateStage,
-        fn_constructor_args=(bench_ref, n, modulus),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        _documents(sf_dir), dc.DecontaminateStage, batch_size=1024,
+        ctor_args=(bench_ref, n, modulus),
     )
 
 
@@ -576,12 +574,9 @@ def unigram_logprob(sf_dir: str, *, vocab_size: int = 1 << 16):
                 }
             )
 
-    return docs.map_batches(
-        NLLStage,
-        fn_constructor_args=(nll_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, NLLStage, batch_size=1024,
+        ctor_args=(nll_ref,),
     )
 
 
@@ -665,12 +660,9 @@ def oov_rate(sf_dir: str, *, vocab_size: int = 20):
                 }
             )
 
-    return docs.map_batches(
-        OOVStage,
-        fn_constructor_args=(vocab_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, OOVStage, batch_size=1024,
+        ctor_args=(vocab_ref,),
     )
 
 
@@ -1401,12 +1393,9 @@ def boilerplate_ratio(
                 }
             )
 
-    return docs.map_batches(
-        BoilerplateStage,
-        fn_constructor_args=(hot_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, BoilerplateStage, batch_size=1024,
+        ctor_args=(hot_ref,),
     )
 
 
@@ -1583,12 +1572,9 @@ def lang_median_filter(sf_dir: str):
             keep = t.column("n_tokens").to_numpy() >= thresholds
             return t.filter(pa.array(keep, pa.bool_()))
 
-    return counted.map_batches(
-        Gate,
-        fn_constructor_args=(med_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        counted, Gate, batch_size=1024,
+        ctor_args=(med_ref,),
     )
 
 
@@ -1759,12 +1745,9 @@ def dedup_spans(
                 }
             )
 
-    return docs.map_batches(
-        SpanRewriteStage,
-        fn_constructor_args=(hot_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, SpanRewriteStage, batch_size=1024,
+        ctor_args=(hot_ref,),
     )
 
 
@@ -1913,12 +1896,9 @@ def mixture_downsample(sf_dir: str):
             )
             return out.filter(pa.array(keep, pa.bool_()))
 
-    return docs.map_batches(
-        MixtureGate,
-        fn_constructor_args=(rates_ref,),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, MixtureGate, batch_size=4096,
+        ctor_args=(rates_ref,),
     )
 
 
@@ -1979,12 +1959,9 @@ def domain_quality_filter(sf_dir: str):
                 }
             )
 
-    return scored.map_batches(
-        DomainGate,
-        fn_constructor_args=(keep_ref,),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 8),
+    return map_stage(
+        scored, DomainGate, batch_size=4096,
+        ctor_args=(keep_ref,),
     )
 
 
@@ -2456,12 +2433,9 @@ def phrase_blocklist(sf_dir: str):
                 }
             )
 
-    return docs.map_batches(
-        BlocklistStage,
-        fn_constructor_args=(pat_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, BlocklistStage, batch_size=1024,
+        ctor_args=(pat_ref,),
     )
 
 
@@ -2862,12 +2836,9 @@ def dsir_weights(
                 }
             )
 
-    return docs.map_batches(
-        DsirStage,
-        fn_constructor_args=(ratio_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    return map_stage(
+        docs, DsirStage, batch_size=1024,
+        ctor_args=(ratio_ref,),
     )
 
 
@@ -3169,11 +3140,8 @@ def source_vocab_jaccard(sf_dir: str):
                 }
             )
 
-    return inter.map_batches(
-        JaccardStage,
-        fn_constructor_args=(sizes_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
+    return map_stage(
+        inter, JaccardStage, batch_size=4096, ctor_args=(sizes_ref,),
     )
 
 
@@ -4137,12 +4105,9 @@ def perplexity_buckets(sf_dir: str, *, vocab_size: int = 1 << 16):
                 }
             )
 
-    scored = docs.map_batches(
-        ScoreStage,
-        fn_constructor_args=(nll_ref,),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 8),
+    scored = map_stage(
+        docs, ScoreStage, batch_size=1024,
+        ctor_args=(nll_ref,),
     ).materialize()
 
     hist = (
