@@ -91,9 +91,9 @@ def readability_scores(sf_dir: str):
 
 
 def lang_id(sf_dir: str):
-    return _documents(sf_dir, ("doc_id", "text", "lang")).map_batches(
-        ts.LangIdStage, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4),
+    return map_stage(
+        _documents(sf_dir, ("doc_id", "text", "lang")), ts.LangIdStage,
+        batch_size=1024,
     )
 
 
@@ -279,9 +279,8 @@ def simhash_near_dups(sf_dir: str, *, max_hamming: int = 6):
             "a": pa.int64(), "b": pa.int64(), "hamming": pa.int64(),
         })
     variants = _variants_ds(sf_dir, materialized=True)
-    buckets = variants.map_batches(
-        dd.SimHashStage, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4),
+    buckets = map_stage(
+        variants, dd.SimHashStage, batch_size=512,
     )
     pairs = dd._bucket_pairs(buckets.drop_columns(["simhash"]), "doc_id")
     sigs = dd.simhash_signature_rows(variants)
