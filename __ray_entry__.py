@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         encode,
         graph,
         kg,
+        mlstats,
         realism,
         relational,
         relations,
@@ -551,6 +552,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_evidence": relations.relation_evidence,
         "relation_type_counts": relations.relation_type_counts,
         "disease_causers": relations.disease_causers,
+        # round 4: classical-ML corpus statistics — Zipf power-law
+        # fit, NB source classifier (fastText-style corpus scorer),
+        # covariance/PCA over the embedding column
+        "zipf_slope": mlstats.zipf_slope,
+        "nb_source_scores": mlstats.nb_source_scores,
+        "nb_source_pred": mlstats.nb_source_pred,
+        "embedding_covariance": mlstats.embedding_covariance,
+        # rows-only (eigendecomposition isn't SQL-expressible);
+        # anchored by embedding_covariance + tests/test_mlstats.py
+        "pca_projection": mlstats.pca_projection,
+        # round 4: per-host language-mix entropy (CCNet-style drift
+        # signal over the canonical crawl hosts)
+        "host_lang_entropy": webcrawl.host_lang_entropy,
     }
 
 
@@ -4235,5 +4249,116 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN seg%d g ON t.w = g.w
 GROUP BY t.doc_id
 """ % _bpe_m
+
+    # --- classical-ML corpus statistics (pipelines/mlstats.py) ---
+
+    # OLS of ln(count) on ln(rank) over the top-65536 tokens by
+    # (count DESC, token ASC) — mirrors mlstats.zipf_slope (below the
+    # cap at all testdata scales, so the fit covers the full vocab)
+    sql["zipf_slope"] = """
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+), cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+)
+SELECT count(*) AS n_vocab,
+       round(regr_slope(ln(c), ln(rn)), 6) AS slope,
+       round(regr_intercept(ln(c), ln(rn)), 6) AS intercept
+FROM ranked WHERE rn <= 65536
+HAVING count(*) >= 2
+"""
+
+    # multinomial Laplace-1 NB over source labels; capped vocab is
+    # the full vocab below 65536 (all testdata scales).  Mirrors
+    # mlstats.nb_source_scores: score(d, c) = ln prior(c) +
+    # Σ_tokens ln((count(c,w)+1) / (n_tok(c) + V))
+    _nb_cte = """
+toks AS (
+  SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+  ) WHERE rn <= 65536
+),
+vs AS (SELECT count(*) AS v FROM vocab),
+ft AS (SELECT t.* FROM toks t JOIN vocab USING (w)),
+cls AS (SELECT source AS cls_source, count(*) AS n_tok
+        FROM ft GROUP BY source),
+cw AS (SELECT source AS cls_source, w, count(*) AS c
+       FROM ft GROUP BY source, w),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+prior AS (
+  SELECT source AS cls_source,
+         ln(count(DISTINCT doc_id) / CAST(nd.n AS DOUBLE)) AS lp
+  FROM toks CROSS JOIN nd GROUP BY source, nd.n
+),
+scores AS (
+  SELECT f.doc_id, c.cls_source,
+         p.lp + sum(ln((coalesce(x.c, 0) + 1.0)
+                       / (c.n_tok + 1.0 * vs.v))) AS logprob
+  FROM ft f
+  CROSS JOIN cls c
+  CROSS JOIN vs
+  JOIN prior p ON p.cls_source = c.cls_source
+  LEFT JOIN cw x ON x.cls_source = c.cls_source AND x.w = f.w
+  GROUP BY f.doc_id, c.cls_source, p.lp
+)
+"""
+    sql["nb_source_scores"] = f"""
+WITH {_nb_cte}
+SELECT doc_id, cls_source, round(logprob, 6) AS logprob FROM scores
+"""
+
+    # argmax by (ROUNDED logprob DESC, class ASC) — rounding before
+    # ranking makes the argmax reproducible across summation orders
+    sql["nb_source_pred"] = f"""
+WITH {_nb_cte}
+SELECT doc_id, cls_source AS pred_source, logprob FROM (
+  SELECT doc_id, cls_source, round(logprob, 6) AS logprob,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(logprob, 6) DESC, cls_source
+         ) AS rn
+  FROM scores
+) WHERE rn = 1
+"""
+
+    # population covariance of the embedding column, long
+    # upper-triangle format, 0-based dims — mirrors
+    # mlstats.embedding_covariance's moment-pass formula
+    sql["embedding_covariance"] = """
+WITH vals AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
+FROM vals a JOIN vals b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+    # per-host language entropy over the canonical crawl hosts.  The
+    # canonicalization chain lowercases the authority, so the host
+    # closed-form is lower(source-with-case-noise) || '.example.com'
+    # (same identity the full regex chain yields; asserted equal in
+    # tests/test_mlstats.py)
+    sql["host_lang_entropy"] = """
+WITH hl AS (
+  SELECT lower(CASE WHEN doc_id % 3 = 0 THEN upper(source)
+               ELSE source END) || '.example.com' AS host,
+         lang, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), h AS (SELECT host, sum(c) AS n FROM hl GROUP BY host)
+SELECT h.host, CAST(h.n AS BIGINT) AS n_docs,
+       count(*) AS n_langs,
+       round(ln(h.n) - sum(hl.c * ln(hl.c)) / h.n, 6) AS lang_entropy
+FROM hl JOIN h USING (host) GROUP BY h.host, h.n
+"""
 
     return sql

@@ -163,6 +163,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         from outbreak_kg_ray.stages import grounding
 
         return grounding
+
+    def _mlstats():
+        from outbreak_kg_ray.pipelines import mlstats
+
+        return mlstats
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -249,6 +254,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # round-4 continuation: crawl quota + scored grounding
         "host_cap_sample": lambda: webcrawl.host_cap_sample(sf_dir),
         "scored_groundings": lambda: _grounding().scored_groundings(
+            sf_dir
+        ),
+        # round-4: classical-ML corpus statistics
+        "nb_source_pred": lambda: _mlstats().nb_source_pred(sf_dir),
+        "pca_projection": lambda: _mlstats().pca_projection(sf_dir),
+        "host_lang_entropy": lambda: webcrawl.host_lang_entropy(
             sf_dir
         ),
     }

@@ -353,3 +353,89 @@ def url_blocklist_filter(sf_dir: str, prefixes=DEFAULT_BLOCKED_PREFIXES):
         return out.filter(keep) if keep is not None else out
 
     return pages.map_batches(gate, batch_format="pyarrow")
+
+
+def host_lang_entropy(sf_dir: str):
+    """Per-host language-mix diagnostic: Shannon entropy (nats) of
+    the language distribution of each canonical host's documents →
+    (host, n_docs, n_langs, lang_entropy).  A multilingual webtext
+    ingest uses this to spot hosts whose language mix drifted
+    (scraper regressions, MT spam farms — CCNet §3.2 partitions by
+    exactly this signal).
+
+    The host comes from the SAME canonicalization chain as the rest
+    of the crawl family (lowercased authority of the canonical URL),
+    so the three host rollups (``host_stats``, ``host_cap_sample``,
+    this) agree on host identity by construction.
+
+    Scale shape: (host, lang) count pairs are the ONLY exchange —
+    hosts × langs bounded, never pages; the entropy reduction is a
+    vectorized per-group pass over that bounded rollup (numpy
+    segment sums on the host-sorted table, zero per-group Python).
+    """
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset({
+            "host": pa.string(), "n_docs": pa.int64(),
+            "n_langs": pa.int64(), "lang_entropy": pa.float64(),
+        })
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang"],
+    )
+
+    def with_host(t: pa.Table) -> pa.Table:
+        raw = synthesize_raw_urls(
+            t.append_column(
+                "n_chars", pa.nulls(len(t), pa.int64())
+            )
+        )
+        canon = canonicalize_url_column(raw.column("url"))
+        m = pc.extract_regex(canon, r"^[^/]+//(?P<host>[^/]+)")
+        return pa.table(
+            {"host": pc.struct_field(m, "host"),
+             "lang": t.column("lang")}
+        )
+
+    hl = (
+        ds.map_batches(with_host, batch_format="pyarrow")
+        .groupby(["host", "lang"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def entropy(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "host" not in t.column_names:
+            return pa.schema(
+                [("host", pa.string()), ("n_docs", pa.int64()),
+                 ("n_langs", pa.int64()),
+                 ("lang_entropy", pa.float64())]
+            ).empty_table()
+        st = t.sort_by([("host", "ascending")])
+        hosts = np.asarray(st.column("host").to_pylist(), dtype=object)
+        c = st.column("c").to_numpy().astype(np.float64)
+        # run boundaries of the host-sorted rollup
+        starts = np.flatnonzero(
+            np.concatenate(([True], hosts[1:] != hosts[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(hosts)]))
+        n = np.add.reduceat(c, starts)
+        plogp = np.add.reduceat(c * np.log(c), starts)
+        # H = ln(n) - Σ c·ln(c) / n  (grouped, all vectorized)
+        ent = np.log(n) - plogp / n
+        return pa.table(
+            {"host": pa.array(hosts[starts].tolist(), pa.string()),
+             "n_docs": pa.array(n.astype(np.int64)),
+             "n_langs": pa.array((ends - starts).astype(np.int64)),
+             "lang_entropy": pa_round_half_away(
+                 pa.array(ent, pa.float64()), 6
+             )}
+        )
+
+    # the rollup is hosts×langs-bounded: finish in one map over the
+    # repartitioned aggregate (each host's rows stay in one group
+    # because the aggregate output is hash-partitioned by key prefix)
+    return hl.repartition(1).map_batches(
+        entropy, batch_format="pyarrow", batch_size=None
+    )
