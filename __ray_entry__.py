@@ -565,6 +565,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: per-host language-mix entropy (CCNet-style drift
         # signal over the canonical crawl hosts)
         "host_lang_entropy": webcrawl.host_lang_entropy,
+        # round 4: sufficient-statistics ML — one-pass OLS fit and
+        # Welch A/B readout (9/4 floats per batch are the exchange)
+        "ols_price_model": mlstats.ols_price_model,
+        "ab_test_stats": mlstats.ab_test_stats,
+        # rows-only (matrix inverse isn't SQL-expressible); anchored
+        # by embedding_covariance + tests/test_mlstats.py
+        "mahalanobis_outliers": mlstats.mahalanobis_outliers,
     }
 
 
@@ -4341,6 +4348,60 @@ SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
 FROM vals a JOIN vals b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
+"""
+
+    # one-pass OLS via sufficient statistics — the centered 2×2
+    # normal-equation closed form, same covariance algebra as
+    # mlstats.ols_price_model
+    sql["ols_price_model"] = """
+WITH s AS (
+  SELECT count(*) AS n,
+         avg(l_quantity) AS mq, avg(l_discount) AS md,
+         avg(l_extendedprice) AS my,
+         covar_pop(l_quantity, l_quantity) AS var_q,
+         covar_pop(l_discount, l_discount) AS var_d,
+         covar_pop(l_quantity, l_discount) AS cov_qd,
+         covar_pop(l_quantity, l_extendedprice) AS cov_qy,
+         covar_pop(l_discount, l_extendedprice) AS cov_dy,
+         covar_pop(l_extendedprice, l_extendedprice) AS var_y
+  FROM lineitem
+), b AS (
+  SELECT n, mq, md, my, cov_qy, cov_dy, var_y,
+         (cov_qy * var_d - cov_dy * cov_qd)
+           / (var_q * var_d - cov_qd * cov_qd) AS b1,
+         (cov_dy * var_q - cov_qy * cov_qd)
+           / (var_q * var_d - cov_qd * cov_qd) AS b2
+  FROM s
+)
+SELECT n, round(my - b1 * mq - b2 * md, 6) AS beta0,
+       round(b1, 6) AS beta_quantity, round(b2, 6) AS beta_discount,
+       round((b1 * cov_qy + b2 * cov_dy) / var_y, 6) AS r2
+FROM b WHERE n > 0
+"""
+
+    # Welch two-sample t of each event_type vs all other events,
+    # Welch–Satterthwaite dof — mirrors mlstats.ab_test_stats
+    sql["ab_test_stats"] = """
+WITH g AS (
+  SELECT event_type, count(*) AS n, sum(value) AS sv,
+         sum(value * value) AS svv
+  FROM events GROUP BY event_type
+), tot AS (SELECT sum(n) AS n, sum(sv) AS sv, sum(svv) AS svv FROM g),
+w AS (
+  SELECT g.event_type, g.n AS n1, g.sv / g.n AS m1,
+         (tot.n - g.n) AS n2, (tot.sv - g.sv) / (tot.n - g.n) AS m2,
+         (g.svv - g.sv * g.sv / g.n) / (g.n - 1.0) AS s1,
+         ((tot.svv - g.svv)
+          - (tot.sv - g.sv) * (tot.sv - g.sv) / (tot.n - g.n))
+           / (tot.n - g.n - 1.0) AS s2
+  FROM g CROSS JOIN tot
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n, round(m1, 6) AS mean_value,
+       round((m1 - m2) / sqrt(s1 / n1 + s2 / n2), 6) AS t_stat,
+       round(pow(s1 / n1 + s2 / n2, 2)
+             / (pow(s1 / n1, 2) / (n1 - 1.0)
+                + pow(s2 / n2, 2) / (n2 - 1.0)), 6) AS dof
+FROM w
 """
 
     # per-host language entropy over the canonical crawl hosts.  The

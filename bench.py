@@ -262,6 +262,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "host_lang_entropy": lambda: webcrawl.host_lang_entropy(
             sf_dir
         ),
+        "ols_price_model": lambda: _mlstats().ols_price_model(sf_dir),
+        "mahalanobis_outliers": lambda: _mlstats().mahalanobis_outliers(
+            sf_dir
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}

@@ -530,3 +530,221 @@ def pca_projection(sf_dir: str, *, k: int = 4):
         _embeddings(sf_dir), ProjectStage, batch_size=1024,
         ctor_args=(ref,),
     )
+
+
+# ------------------------------------------- sufficient-statistics ML
+
+
+def ols_price_model(sf_dir: str):
+    """Distributed ordinary-least-squares fit of
+    ``l_extendedprice ~ l_quantity + l_discount`` via sufficient
+    statistics — the canonical "train a linear model with one
+    aggregation" pattern: each batch contributes the 9 moment sums
+    (n, Σq, Σd, Σy, Σqq, Σqd, Σdd, Σqy, Σdy); the normal equations
+    solve on the driver in closed form (centered 2×2 system).  → one
+    row (n, beta0, beta_quantity, beta_discount, r2).
+
+    Exchange volume is 9 floats per batch — constant in table size;
+    this is how regression/GLM training actually runs at 100 TB
+    (sufficient statistics or minibatch SGD; the closed form needs
+    exactly one pass).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    schema = {
+        "n": pa.int64(), "beta0": pa.float64(),
+        "beta_quantity": pa.float64(), "beta_discount": pa.float64(),
+        "r2": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return empty_dataset(schema)
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    _KEYS = ("n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy",
+             "syy")
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy().astype(np.float64)
+        d = t.column("l_discount").to_numpy().astype(np.float64)
+        y = t.column("l_extendedprice").to_numpy().astype(np.float64)
+        vals = [float(len(q)), q.sum(), d.sum(), y.sum(),
+                (q * q).sum(), (q * d).sum(), (d * d).sum(),
+                (q * y).sum(), (d * y).sum(), (y * y).sum()]
+        return pa.table(
+            {"k": pa.array(list(_KEYS), pa.string()),
+             "v": pa.array(vals, pa.float64())}
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )  # exactly 10 rows
+    m = {r["k"]: float(r["v"]) for r in rows}
+    n = m["n"]
+    mq, md, my = m["sq"] / n, m["sd"] / n, m["sy"] / n
+    var_q = m["sqq"] / n - mq * mq
+    var_d = m["sdd"] / n - md * md
+    cov_qd = m["sqd"] / n - mq * md
+    cov_qy = m["sqy"] / n - mq * my
+    cov_dy = m["sdy"] / n - md * my
+    var_y = m["syy"] / n - my * my
+    det = var_q * var_d - cov_qd * cov_qd
+    b1 = (cov_qy * var_d - cov_dy * cov_qd) / det
+    b2 = (cov_dy * var_q - cov_qy * cov_qd) / det
+    b0 = my - b1 * mq - b2 * md
+    r2 = (b1 * cov_qy + b2 * cov_dy) / var_y
+    return rd.from_arrow(
+        pa.table(
+            {"n": pa.array([int(n)], pa.int64()),
+             "beta0": pa.array([round_half_away(b0, 6)], pa.float64()),
+             "beta_quantity": pa.array(
+                 [round_half_away(b1, 6)], pa.float64()),
+             "beta_discount": pa.array(
+                 [round_half_away(b2, 6)], pa.float64()),
+             "r2": pa.array([round_half_away(r2, 6)], pa.float64())}
+        )
+    )
+
+
+def ab_test_stats(sf_dir: str):
+    """Per-event-type Welch two-sample t statistic of ``value``
+    against all OTHER events — the A/B experiment readout shape
+    (each variant vs the pooled rest).  → (event_type, n, mean_value,
+    t_stat, dof), Welch–Satterthwaite degrees of freedom.
+
+    One grouped aggregate produces per-type (n, Σv, Σv²); the
+    complement statistics derive from the global totals — no second
+    scan, no per-row work beyond the partial sums; the exchange is
+    event-type-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    schema = {
+        "event_type": pa.string(), "n": pa.int64(),
+        "mean_value": pa.float64(), "t_stat": pa.float64(),
+        "dof": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(schema)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy().astype(np.float64)
+        uniq, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.float64)
+        sv = np.bincount(inv, weights=v)
+        svv = np.bincount(inv, weights=v * v)
+        return pa.table(
+            {"event_type": pa.array(uniq.tolist(), pa.string()),
+             "n": pa.array(n, pa.float64()),
+             "sv": pa.array(sv, pa.float64()),
+             "svv": pa.array(svv, pa.float64())}
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sv", alias_name="sv"),
+            Sum("svv", alias_name="svv"),
+        )
+        .take_all()
+    )  # event-type-bounded
+    tot_n = sum(r["n"] for r in rows)
+    tot_sv = sum(r["sv"] for r in rows)
+    tot_svv = sum(r["svv"] for r in rows)
+    out = {k: [] for k in schema}
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        n1, sv1, svv1 = float(r["n"]), float(r["sv"]), float(r["svv"])
+        n2 = tot_n - n1
+        sv2, svv2 = tot_sv - sv1, tot_svv - svv1
+        m1, m2 = sv1 / n1, sv2 / n2
+        # sample variances (n-1 denominator, Welch's t convention)
+        s1 = (svv1 - n1 * m1 * m1) / (n1 - 1.0)
+        s2 = (svv2 - n2 * m2 * m2) / (n2 - 1.0)
+        se2 = s1 / n1 + s2 / n2
+        t_stat = (m1 - m2) / np.sqrt(se2)
+        dof = se2 * se2 / (
+            (s1 / n1) ** 2 / (n1 - 1.0) + (s2 / n2) ** 2 / (n2 - 1.0)
+        )
+        out["event_type"].append(r["event_type"])
+        out["n"].append(int(n1))
+        out["mean_value"].append(round_half_away(m1, 6))
+        out["t_stat"].append(round_half_away(float(t_stat), 6))
+        out["dof"].append(round_half_away(float(dof), 6))
+    return rd.from_arrow(
+        pa.table(
+            {"event_type": pa.array(out["event_type"], pa.string()),
+             "n": pa.array(out["n"], pa.int64()),
+             "mean_value": pa.array(out["mean_value"], pa.float64()),
+             "t_stat": pa.array(out["t_stat"], pa.float64()),
+             "dof": pa.array(out["dof"], pa.float64())}
+        )
+    )
+
+
+def mahalanobis_outliers(sf_dir: str, *, k: int = 25):
+    """Top-``k`` embedding outliers by Mahalanobis distance to the
+    corpus distribution — the covariance-aware upgrade of
+    ``kmeans.embedding_outliers`` (Euclidean-to-centroid): directions
+    of low variance count MORE, so it catches off-manifold vectors a
+    spherical distance misses.  → (vec_id, mdist) top-k by
+    (distance DESC, vec_id ASC), rounded 6.
+
+    Same dim²-bounded moment pass as ``embedding_covariance``; the
+    precision matrix inverts on the driver (dim × dim); scoring is a
+    streaming broadcast pass with a per-batch partial top-k combiner
+    (sort + limit finishes the cut in-cluster).
+
+    Rows-only by design (matrix inverse isn't SQL-expressible);
+    anchored by the oracle-checked ``embedding_covariance`` twin and
+    the numpy whole-corpus reference in tests/test_mlstats.py."""
+    import ray
+
+    schema = {"vec_id": pa.int64(), "mdist": pa.float64()}
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset(schema)
+    _, mu, cov = _mean_cov(_moment_partials(sf_dir))
+    # ridge for numerical safety on degenerate corpora (testdata
+    # covariances are full-rank; the epsilon is documentation-level)
+    prec = np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
+    ref = ray.put((mu, prec))
+
+    from ..stages.maputil import map_stage
+
+    class ScoreStage:
+        def __init__(self, r) -> None:
+            self._mu, self._prec = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _batch_matrix(t) - self._mu
+            d2 = np.einsum("ij,jk,ik->i", x, self._prec, x)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            tbl = pa.table(
+                {"vec_id": t.column("vec_id"),
+                 "mdist": pa.array(
+                     [round_half_away(float(v), 6) for v in d],
+                     pa.float64(),
+                 )}
+            )
+            # partial top-k combiner: only k rows per batch survive
+            order = tbl.sort_by(
+                [("mdist", "descending"), ("vec_id", "ascending")]
+            )
+            return order.slice(0, k)
+
+    scored = map_stage(
+        _embeddings(sf_dir), ScoreStage, batch_size=2048,
+        ctor_args=(ref,),
+    )
+    return scored.sort(["mdist", "vec_id"], descending=[True, False]).limit(k)

@@ -208,3 +208,67 @@ def test_host_lang_entropy_values(sf_dir):
         assert r["n_docs"] == n
         assert r["lang_entropy"] == pytest.approx(ref, abs=1e-6)
         assert 0.0 <= r["lang_entropy"] <= math.log(max(r["n_langs"], 1)) + 1e-9
+
+
+def test_ols_matches_lstsq(sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+    q = t.column("l_quantity").to_numpy().astype(np.float64)
+    d = t.column("l_discount").to_numpy().astype(np.float64)
+    y = t.column("l_extendedprice").to_numpy().astype(np.float64)
+    X = np.column_stack([np.ones_like(q), q, d])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1.0 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+
+    row = mlstats.ols_price_model(sf_dir).take_all()[0]
+    assert row["n"] == len(y)
+    assert row["beta0"] == pytest.approx(beta[0], rel=1e-6)
+    assert row["beta_quantity"] == pytest.approx(beta[1], rel=1e-6)
+    assert row["beta_discount"] == pytest.approx(beta[2], rel=1e-4)
+    assert row["r2"] == pytest.approx(r2, abs=1e-6)
+
+
+def test_ab_test_matches_scipy_formula(sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    v = t.column("value").to_numpy().astype(np.float64)
+
+    got = mlstats.ab_test_stats(sf_dir).to_pandas().set_index("event_type")
+    assert set(got.index) == set(np.unique(et))
+    for typ in np.unique(et):
+        a, b = v[et == typ], v[et != typ]
+        m1, m2 = a.mean(), b.mean()
+        s1, s2 = a.var(ddof=1), b.var(ddof=1)
+        se2 = s1 / len(a) + s2 / len(b)
+        t_stat = (m1 - m2) / np.sqrt(se2)
+        dof = se2**2 / (
+            (s1 / len(a)) ** 2 / (len(a) - 1)
+            + (s2 / len(b)) ** 2 / (len(b) - 1)
+        )
+        r = got.loc[typ]
+        assert r["n"] == len(a)
+        assert r["mean_value"] == pytest.approx(m1, abs=1e-6)
+        assert r["t_stat"] == pytest.approx(t_stat, abs=1e-6)
+        assert r["dof"] == pytest.approx(dof, rel=1e-6)
+
+
+def test_mahalanobis_matches_numpy(sf_dir):
+    ids, mat = _embedding_matrix(sf_dir)
+    mu = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    prec = np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
+    x = mat - mu
+    d = np.sqrt(np.einsum("ij,jk,ik->i", x, prec, x))
+    order = np.lexsort((ids, -np.round(d, 6)))[:25]
+
+    got = mlstats.mahalanobis_outliers(sf_dir, k=25).to_pandas()
+    assert list(got["vec_id"]) == list(ids[order])
+    assert np.allclose(got["mdist"], np.round(d[order], 6), atol=1e-6)
+    # distances strictly ordered and positive
+    assert (got["mdist"] > 0).all()
+    assert (np.diff(got["mdist"]) <= 1e-12).all()
