@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         encode,
         graph,
         kg,
+        linkpred,
         mlstats,
         realism,
         relational,
@@ -572,6 +573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (matrix inverse isn't SQL-expressible); anchored
         # by embedding_covariance + tests/test_mlstats.py
         "mahalanobis_outliers": mlstats.mahalanobis_outliers,
+        # round 4: link prediction — common-neighbor / Jaccard
+        # proposals for missing KG edges (Liben-Nowell & Kleinberg)
+        "common_neighbors_topk": linkpred.common_neighbors_topk,
     }
 
 
@@ -4349,6 +4353,39 @@ FROM vals a JOIN vals b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
 """
+
+    # link prediction: top-k non-adjacent pairs by common-neighbor
+    # count (+ Jaccard) over the co-occurrence graph — mirrors
+    # pipelines/linkpred.py (wedge apex self-join, NOT EXISTS
+    # anti-join, deterministic (n DESC, u, w) cut)
+    sql["common_neighbors_topk"] = (
+        graph_edges.replace(
+            "e AS (SELECT start_id AS u, end_id AS v FROM cooc\n"
+            "      UNION ALL SELECT end_id, start_id FROM cooc),\n"
+            "nd AS (SELECT DISTINCT u AS v FROM e)",
+            "ce AS (SELECT LEAST(start_id, end_id) AS lo,\n"
+            "              GREATEST(start_id, end_id) AS hi\n"
+            "       FROM cooc WHERE start_id <> end_id GROUP BY 1, 2),\n"
+            "e AS (SELECT lo AS u, hi AS v FROM ce\n"
+            "      UNION ALL SELECT hi, lo FROM ce),\n"
+            "deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),\n"
+            "wed AS (SELECT e1.v AS u, e2.v AS w, count(*) AS n_common\n"
+            "        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v\n"
+            "        GROUP BY 1, 2),\n"
+            "cand AS (SELECT * FROM wed\n"
+            "         WHERE NOT EXISTS (SELECT 1 FROM ce\n"
+            "                WHERE ce.lo = wed.u AND ce.hi = wed.w))",
+        )
+        + """
+SELECT c.u, c.w, c.n_common,
+       round(c.n_common
+             / CAST(du.d + dw.d - c.n_common AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN deg du ON du.u = c.u
+JOIN deg dw ON dw.u = c.w
+ORDER BY c.n_common DESC, c.u, c.w LIMIT 50
+"""
+    )
 
     # one-pass OLS via sufficient statistics — the centered 2×2
     # normal-equation closed form, same covariance algebra as

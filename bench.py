@@ -168,6 +168,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         from outbreak_kg_ray.pipelines import mlstats
 
         return mlstats
+
+    def _linkpred():
+        from outbreak_kg_ray.pipelines import linkpred
+
+        return linkpred
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -263,6 +268,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             sf_dir
         ),
         "ols_price_model": lambda: _mlstats().ols_price_model(sf_dir),
+        "common_neighbors_topk": lambda: _linkpred()
+        .common_neighbors_topk(sf_dir),
         "mahalanobis_outliers": lambda: _mlstats().mahalanobis_outliers(
             sf_dir
         ),

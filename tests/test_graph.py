@@ -329,3 +329,40 @@ def test_lpa_deterministic_tiebreak(ray_session):
     ).to_pandas()
     com = dict(zip(df["curie"], df["community"]))
     assert com == {"a": "a", "b": "a"}
+
+
+def test_common_neighbors_topk(sf_dir):
+    """Link prediction vs a networkx-free python reference over the
+    same co-occurrence pair set: candidate set, counts and Jaccard
+    all agree; returned pairs are non-adjacent by construction."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from outbreak_kg_ray.pipelines import kg, linkpred
+
+    pairs = set()
+    for r in kg.cooccurrence_edges(sf_dir).take_all():
+        a, b = r["start_id"], r["end_id"]
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    cn = defaultdict(int)
+    for apex, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if (ns[i], ns[j]) not in pairs:
+                    cn[(ns[i], ns[j])] += 1
+    ranked = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    got = linkpred.common_neighbors_topk(sf_dir, k=50).take_all()
+    assert [(r["u"], r["w"]) for r in got] == [p for p, _ in ranked]
+    for r, (p, c) in zip(got, ranked):
+        assert r["n_common"] == c
+        union = len(adj[p[0]] | adj[p[1]])
+        assert r["jaccard"] == round(c / union, 6)
+        assert p not in pairs  # non-adjacent
