@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         kg,
         linkpred,
+        lmdata,
         mlstats,
         realism,
         relational,
@@ -576,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: link prediction — common-neighbor / Jaccard
         # proposals for missing KG edges (Liben-Nowell & Kleinberg)
         "common_neighbors_topk": linkpred.common_neighbors_topk,
+        # round 4: T5-style span-corruption example construction
+        "span_corruption_pairs": lmdata.span_corruption_pairs,
     }
 
 
@@ -4352,6 +4355,47 @@ SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
 FROM vals a JOIN vals b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
+"""
+
+    # T5 span corruption with the deterministic mask
+    # (doc_id + p) % 7 < 2 — mirrors pipelines/lmdata.py: contiguous
+    # masked runs collapse to one numbered sentinel in the input and
+    # enumerate after their sentinel in the target
+    sql["span_corruption_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+         generate_subscripts(string_split(trim(text), ' '), 1) AS p
+  FROM documents WHERE trim(text) <> ''
+), m AS (
+  SELECT doc_id, w, p,
+         ((doc_id + p) % 7) < 2 AS msk
+  FROM toks
+), sp AS (
+  SELECT *,
+         msk AND NOT coalesce(
+           lag(msk) OVER (PARTITION BY doc_id ORDER BY p), FALSE
+         ) AS strt
+  FROM m
+), kk AS (
+  SELECT *,
+         CAST(sum(CASE WHEN strt THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) - 1
+           AS k
+  FROM sp
+)
+SELECT doc_id,
+       coalesce(string_agg(
+         CASE WHEN NOT msk THEN w
+              WHEN strt THEN '<extra_id_' || k || '>' END,
+         ' ' ORDER BY p), '') AS input_text,
+       coalesce(string_agg(
+         CASE WHEN msk AND strt
+                THEN '<extra_id_' || k || '> ' || w
+              WHEN msk THEN w END,
+         ' ' ORDER BY p), '') AS target_text,
+       CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked
+FROM kk GROUP BY doc_id
 """
 
     # link prediction: top-k non-adjacent pairs by common-neighbor

@@ -1,0 +1,90 @@
+"""LM training-example construction: T5-style span corruption
+(Raffel et al. 2020 §3.1.4) — rewrite each document into an
+(input, target) pair where masked token spans are replaced by
+numbered sentinels in the input and enumerated after their sentinels
+in the target.  This is the step that turns a CLEANED corpus into
+actual seq2seq training examples, downstream of the hygiene ops
+(dedup_spans / decontaminate / pack_sequences).
+
+Determinism: real T5 samples spans at random; a reproducible data
+pipeline needs the mask to be a pure function of content position, so
+the mask rule here is closed-form — token at 1-based position ``p``
+of ``doc_id`` ``d`` is masked iff ``(d + p) % 7 < 2`` (≈28.6% noise
+density in 2-token spans every 7 positions; the same
+seeded-closed-form pattern every deterministic op in this repo uses,
+mirrored exactly in the DuckDB oracle).
+
+Scale shape: pure streaming ``map_batches`` — zero shuffle, zero
+driver state; per-doc work is one numpy mask + span-boundary diff and
+one join per output string.  At 100 TB this stage is
+embarrassingly parallel and I/O-bound by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from outbreak_kg_ray.sources.io import (
+    empty_dataset,
+    parquet_rows,
+    read_parquet_clean,
+)
+
+
+def span_corruption_pairs(sf_dir: str, *, modulus: int = 7,
+                          span: int = 2):
+    """→ (doc_id, input_text, target_text, n_masked): T5 span
+    corruption with the deterministic mask ``(doc_id + p) % modulus
+    < span``.  Contiguous masked runs become one ``<extra_id_k>``
+    sentinel (k numbered left to right) in the input; the target is
+    ``<extra_id_k> tok tok <extra_id_k+1> tok ...`` in order.  Docs
+    with no maskable token still emit a row (target empty) so the
+    output is exactly one example per non-empty document."""
+    from ..stages.decontam import tokenize
+
+    schema = {
+        "doc_id": pa.int64(), "input_text": pa.string(),
+        "target_text": pa.string(), "n_masked": pa.int64(),
+    }
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(schema)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids_out, inp_out, tgt_out, nm_out = [], [], [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not x.strip():
+                continue
+            toks = tokenize(x)
+            n = len(toks)
+            p = np.arange(1, n + 1, dtype=np.int64)
+            mask = (doc_id + p) % modulus < span
+            # span starts: masked positions whose predecessor is not
+            start = mask & np.concatenate(([True], ~mask[:-1]))
+            k = np.cumsum(start) - 1  # sentinel index per position
+            inp_parts, tgt_parts = [], []
+            for i in range(n):
+                if mask[i]:
+                    if start[i]:
+                        s = f"<extra_id_{k[i]}>"
+                        inp_parts.append(s)
+                        tgt_parts.append(s)
+                    tgt_parts.append(toks[i])
+                else:
+                    inp_parts.append(toks[i])
+            ids_out.append(doc_id)
+            inp_out.append(" ".join(inp_parts))
+            tgt_out.append(" ".join(tgt_parts))
+            nm_out.append(int(mask.sum()))
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "input_text": pa.array(inp_out, pa.string()),
+             "target_text": pa.array(tgt_out, pa.string()),
+             "n_masked": pa.array(nm_out, pa.int64())}
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(corrupt, batch_format="pyarrow")

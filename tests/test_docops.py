@@ -1290,3 +1290,46 @@ def test_perplexity_buckets_tercile_invariants(ray_session):
             assert max(mids or heads) <= min(tails)
         assert len(heads) >= (n + 2) // 3
         assert len(heads) + len(mids) >= (2 * n + 2) // 3
+
+
+def test_span_corruption_roundtrip(sf_dir):
+    """T5 semantics: interleaving input and target at matching
+    sentinels reconstructs the original document byte-for-byte, and
+    the mask density matches the closed form."""
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import lmdata
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+        if r["text"].strip()
+    }
+    rows = lmdata.span_corruption_pairs(sf_dir).take_all()
+    assert len(rows) == len(docs)
+    for r in rows[:200]:
+        orig = docs[r["doc_id"]].strip().split(" ")
+        # parse target into {sentinel: [tokens]}
+        fills: dict[str, list[str]] = {}
+        cur = None
+        for tok in (r["target_text"].split(" ")
+                    if r["target_text"] else []):
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                fills[cur] = []
+            else:
+                fills[cur].append(tok)
+        rebuilt: list[str] = []
+        for tok in r["input_text"].split(" "):
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(fills[tok])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig
+        n_mask_ref = sum(
+            1 for p in range(1, len(orig) + 1)
+            if (r["doc_id"] + p) % 7 < 2
+        )
+        assert r["n_masked"] == n_mask_ref
