@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors_topk": linkpred.common_neighbors_topk,
         # round 4: T5-style span-corruption example construction
         "span_corruption_pairs": lmdata.span_corruption_pairs,
+        # round 4: SCD-Type-2 dimension build from the CDC stream
+        "user_type_scd2": relational.user_type_scd2,
     }
 
 
@@ -4355,6 +4357,37 @@ SELECT a.i AS i, b.i AS j, round(covar_pop(a.x, b.x), 6) AS cov
 FROM vals a JOIN vals b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
+"""
+
+    # SCD-Type-2 validity intervals from the event change log —
+    # mirrors relational.user_type_scd2 (run collapse over
+    # (ts, event_id) order; open interval's valid_to is NULL)
+    sql["user_type_scd2"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CASE WHEN prev_type IS NULL
+                   OR prev_type <> event_type THEN 1 ELSE 0 END
+              AS is_start
+  FROM o
+), g AS (
+  SELECT *, sum(is_start)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS grp
+  FROM s
+), iv AS (
+  SELECT user_id, event_type, grp, min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM g GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from)
+         OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+       n_events
+FROM iv
 """
 
     # T5 span corruption with the deterministic mask

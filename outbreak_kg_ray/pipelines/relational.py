@@ -3608,3 +3608,66 @@ def daily_value_drift(sf_dir: str):
             }
         )
     )
+
+
+def user_type_scd2(sf_dir: str):
+    """SCD-Type-2 dimension build from the event change log: collapse
+    each user's history (ordered by ts, event_id) into validity
+    intervals of consecutive same-``event_type`` runs →
+    (user_id, event_type, valid_from, valid_to, n_events) with
+    ``valid_to`` NULL on the open (current) interval — the
+    slowly-changing-dimension materialization every warehouse builds
+    from CDC streams (Kimball type 2).
+
+    Shape: ONE hash shuffle by user (``keyed_partitions``), then a
+    whole-partition vectorized sweep — lexsort + run-boundary diff +
+    ``reduceat``; zero per-group Python (the sessionizer's pattern)."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("valid_from", pa.timestamp("us")),
+        ("valid_to", pa.timestamp("us")), ("n_events", pa.int64()),
+    ])
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(out_schema)
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return out_schema.empty_table()
+        st = t.sort_by([
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        uid = st.column("user_id").to_numpy()
+        ts = st.column("ts").to_numpy()  # datetime64[us]
+        et = np.asarray(st.column("event_type").to_pylist(), dtype=object)
+        n = len(uid)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        new_type = np.concatenate(([True], et[1:] != et[:-1]))
+        starts = np.flatnonzero(new_user | new_type)
+        ends = np.concatenate((starts[1:], [n]))
+        # valid_to = next interval's valid_from, unless the next
+        # interval belongs to another user (open interval → null)
+        vfrom = ts[starts]
+        open_iv = np.concatenate((new_user[starts[1:]], [True]))
+        vto = np.empty(len(starts), dtype=ts.dtype)
+        vto[:-1] = ts[starts[1:]]
+        vto_arr = pa.array(vto, pa.timestamp("us"), mask=open_iv)
+        return pa.table(
+            {"user_id": pa.array(uid[starts], pa.int64()),
+             "event_type": pa.array(et[starts].tolist(), pa.string()),
+             "valid_from": pa.array(vfrom, pa.timestamp("us")),
+             "valid_to": vto_arr,
+             "n_events": pa.array(
+                 (ends - starts).astype(np.int64), pa.int64()
+             )}
+        )
+
+    return keyed_partitions(ev, ["user_id"], sweep, schema=out_schema)

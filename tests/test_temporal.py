@@ -1244,3 +1244,36 @@ def test_purchase_attribution_last_touch_semantics(tmp_path):
         "click": (1, 50.25),     # p2: tie broken to event_id 20
         "(direct)": (1, 10.10),  # p3
     }
+
+
+def test_user_type_scd2_invariants(sf_dir):
+    """SCD2 contract: per user, intervals tile the history — exactly
+    one open interval (valid_to null) per user, valid_to equals the
+    next interval's valid_from, n_events sums to the user's event
+    count, and consecutive intervals never share an event_type."""
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import relational
+
+    df = (
+        relational.user_type_scd2(sf_dir)
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).to_pandas()
+    per_user = ev.groupby("user_id").size()
+    got_sum = df.groupby("user_id")["n_events"].sum()
+    assert got_sum.to_dict() == per_user.to_dict()
+    for uid, g in df.groupby("user_id"):
+        assert g["valid_to"].isna().sum() == 1
+        assert g["valid_to"].iloc[-1] is None or g["valid_to"].isna().iloc[-1]
+        # chaining: closed intervals point at the next valid_from
+        nxt = g["valid_from"].shift(-1)
+        closed = g["valid_to"].notna()
+        assert (g.loc[closed, "valid_to"].values
+                == nxt[closed].values).all()
+        # no two consecutive intervals share a type
+        assert (g["event_type"].shift() != g["event_type"]).iloc[1:].all()
