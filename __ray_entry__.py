@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from outbreak_kg_ray.stages import invindex
     from outbreak_kg_ray.stages import sketch
     from outbreak_kg_ray.stages import grounding
+    from outbreak_kg_ray.stages import dsp
+    from outbreak_kg_ray.stages import logreg
     from outbreak_kg_ray.stages.extract import extract_docs
     from outbreak_kg_ray.sources.pages import pages_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
@@ -581,6 +583,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_pairs": lmdata.span_corruption_pairs,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
+        # round 4: audio DSP feature extraction (rows-only — FFT
+        # isn't SQL; numpy reference in tests/test_multimodal.py)
+        "wav_spectrogram": dsp.wav_spectrogram,
+        # round 4: distributed logistic-regression probe (rows-only —
+        # iterative GD isn't SQL; numpy reference + monotone-loss
+        # invariants in tests/test_mlstats.py)
+        "logreg_scores": logreg.logreg_scores,
     }
 
 

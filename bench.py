@@ -173,6 +173,21 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         from outbreak_kg_ray.pipelines import linkpred
 
         return linkpred
+
+    def _dsp():
+        from outbreak_kg_ray.stages import dsp
+
+        return dsp
+
+    def _logreg():
+        from outbreak_kg_ray.stages import logreg
+
+        return logreg
+
+    def _lmdata():
+        from outbreak_kg_ray.pipelines import lmdata
+
+        return lmdata
     from outbreak_kg_ray.pipelines.kg import docs_dataset
     from outbreak_kg_ray.stages.ner import mentions_dataset
 
@@ -270,6 +285,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "ols_price_model": lambda: _mlstats().ols_price_model(sf_dir),
         "common_neighbors_topk": lambda: _linkpred()
         .common_neighbors_topk(sf_dir),
+        "wav_spectrogram": lambda: _dsp().wav_spectrogram(sf_dir),
+        "logreg_scores": lambda: _logreg().logreg_scores(sf_dir),
+        "span_corruption_pairs": lambda: _lmdata()
+        .span_corruption_pairs(sf_dir),
+        "user_type_scd2": lambda: relational.user_type_scd2(sf_dir),
         "mahalanobis_outliers": lambda: _mlstats().mahalanobis_outliers(
             sf_dir
         ),

@@ -272,3 +272,52 @@ def test_mahalanobis_matches_numpy(sf_dir):
     # distances strictly ordered and positive
     assert (got["mdist"] > 0).all()
     assert (np.diff(got["mdist"]) <= 1e-12).all()
+
+
+def test_logreg_matches_single_process_reference(sf_dir):
+    """Distributed GD (raw tasks over pinned blocks) reproduces the
+    single-process full-batch reference to float tolerance, and the
+    per-round loss strictly decreases."""
+    from outbreak_kg_ray.stages import logreg
+
+    ids, mat = _embedding_matrix(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+    y = (t.column("label").to_numpy()[order] == 0).astype(np.float64)
+
+    def sigmoid(z):
+        out = np.empty_like(z)
+        pos = z >= 0
+        out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+        ez = np.exp(z[~pos])
+        out[~pos] = ez / (1.0 + ez)
+        return out
+
+    w = np.zeros(mat.shape[1] + 1)
+    ref_losses = []
+    for _ in range(20):
+        p = sigmoid(w[0] + mat @ w[1:])
+        resid = p - y
+        g = np.concatenate(([resid.sum()], mat.T @ resid))
+        pc_ = np.clip(p, 1e-12, 1 - 1e-12)
+        ref_losses.append(
+            float(-(y * np.log(pc_) + (1 - y) * np.log(1 - pc_)).mean())
+        )
+        w = w - 0.5 * g / len(y)
+
+    got_w, got_losses = logreg.train_logreg(sf_dir)
+    assert np.allclose(got_w, w, atol=1e-9)
+    assert np.allclose(got_losses, ref_losses, atol=1e-9)
+    assert all(a > b for a, b in zip(got_losses, got_losses[1:]))
+
+    scores = (
+        logreg.logreg_scores(sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    p_ref = sigmoid(w[0] + mat @ w[1:])
+    assert np.allclose(scores["p"], np.round(p_ref, 6), atol=1e-6)
+    assert (scores["pred"].to_numpy() == (p_ref >= 0.5)).all()

@@ -200,3 +200,24 @@ def test_video_pipeline_plumbing(ray_session):
     thumbs = mm.image_thumbnails(SF).to_pandas()
     assert len(thumbs) == 500
     assert (thumbs["thumb_w"] == 8).all()
+
+
+def test_wav_spectrogram_matches_numpy(sf_dir):
+    """Distributed spectrogram stage == direct numpy reference over
+    the same deterministic WAV payloads; band energies cover the
+    full power spectrum (sum of band means ~ total mean power)."""
+    import numpy as np
+
+    from outbreak_kg_ray.stages import dsp
+    from outbreak_kg_ray.stages.multimodal import make_wav_payload
+
+    got = dsp.wav_spectrogram(sf_dir).to_pandas()
+    assert (got.groupby("media_id")["band"].count() == 8).all()
+    for mid in list(got["media_id"].unique())[:20]:
+        n_frames, energies, centroid = dsp.spectrogram_features(
+            make_wav_payload(int(mid))
+        )
+        sub = got[got["media_id"] == mid].sort_values("band")
+        assert (sub["n_frames"] == n_frames).all()
+        assert np.allclose(sub["energy"], np.round(energies, 4))
+        assert np.allclose(sub["centroid_hz"], round(centroid, 4))
