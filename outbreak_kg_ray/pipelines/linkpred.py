@@ -26,6 +26,16 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Broadcast-CSR fastpath bound: below this many canonical edges the
+# whole adjacency (two int64 arrays + one sorted edge-key array +
+# the name dictionary, ~24 B/edge) ships once via ``ray.put`` and
+# every stage probes it in shared memory — zero shuffle joins.  4 M
+# edges ≈ 100 MB of object store, far under a worker heap; past the
+# bound the four-hash-join path below carries the same semantics
+# distributed (same measured-size policy as
+# relational.BROADCAST_DIM_ROWS).
+_BROADCAST_EDGES = 4_000_000
+
 
 def common_neighbors_topk(sf_dir: str, *, k: int = 50, products=None):
     """→ top-``k`` non-adjacent pairs (u, w, n_common, jaccard) by
@@ -60,9 +70,12 @@ def common_neighbors_topk(sf_dir: str, *, k: int = 50, products=None):
     pairs = _drop_empty_blocks(
         pairs, pa.schema([("lo", pa.string()), ("hi", pa.string())])
     ).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return empty_dataset(schema)
-    nparts = _join_partitions(pairs.count())
+    if n_pairs <= _BROADCAST_EDGES:
+        return _common_neighbors_broadcast(pairs, k, schema)
+    nparts = _join_partitions(n_pairs)
 
     def symmetrize(t: pa.Table) -> pa.Table:
         if "lo" not in t.column_names or len(t) == 0:
@@ -172,3 +185,119 @@ def common_neighbors_topk(sf_dir: str, *, k: int = 50, products=None):
     return scored.sort(
         ["n_common", "u", "w"], descending=[True, False, False]
     ).limit(k)
+
+
+def _common_neighbors_broadcast(pairs_mat, k: int, schema: dict):
+    """Measured-small-graph path: one ``ray.put`` of the CSR
+    adjacency, apex fan-out via ``map_batches`` over the node range,
+    ONE integer-keyed groupby for the partial wedge counts, and a
+    distributed sort+limit — no hash joins at all.
+
+    Wedge enumeration per apex is vectorized (``np.triu_indices``
+    over the apex's sorted neighbor slice; Python cost is per APEX,
+    numpy cost per pair).  Codes are assigned by ``np.unique`` so
+    integer code order == lexicographic name order, which makes the
+    ``cu < cw`` cut and every downstream tie-break byte-identical to
+    the join path / SQL oracle.  The anti-join against existing
+    edges and both degree lookups become ``searchsorted`` probes of
+    the broadcast arrays inside the finishing stage.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.functions.rounding import pa_round_half_away
+
+    tab = pa.concat_tables(ray.get(pairs_mat.to_arrow_refs()))
+    lo = tab.column("lo").to_numpy(zero_copy_only=False)
+    hi = tab.column("hi").to_numpy(zero_copy_only=False)
+    names, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    n = len(names)
+    lo_c, hi_c = inv[: len(lo)], inv[len(lo):]
+    # symmetric CSR, neighbor lists sorted by code (== by name)
+    src = np.concatenate([lo_c, hi_c])
+    dst = np.concatenate([hi_c, lo_c])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(n + 1)).astype(np.int64)
+    deg = np.diff(indptr)
+    edge_keys = np.sort(lo_c.astype(np.int64) * n + hi_c)
+    adj_ref = ray.put(
+        (names, indptr, dst.astype(np.int64), deg.astype(np.int64),
+         edge_keys)
+    )
+
+    partial_schema = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+
+    def wedge_partials(t: pa.Table) -> pa.Table:
+        a_names, a_indptr, a_nbr, _, _ = ray.get(adj_ref)
+        nn = len(a_names)
+        keys = []
+        for a in t.column("id").to_numpy(zero_copy_only=False):
+            nb = a_nbr[a_indptr[a]:a_indptr[a + 1]]
+            d = len(nb)
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, 1)
+            keys.append(nb[iu] * nn + nb[ju])
+        if not keys:
+            return partial_schema.empty_table()
+        uk, counts = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table(
+            {"key": uk, "c": counts.astype(np.int64)},
+            schema=partial_schema,
+        )
+
+    apexes = rd.range(n, override_num_blocks=max(1, min(32, n // 64 or 1)))
+    cn = (
+        apexes.map_batches(wedge_partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n_common"))
+    )
+
+    out_schema = pa.schema(list(schema.items()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "key" not in t.column_names:
+            return out_schema.empty_table()
+        a_names, _, _, a_deg, a_edge_keys = ray.get(adj_ref)
+        nn = len(a_names)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ncm = t.column("n_common").to_numpy(zero_copy_only=False)
+        # anti-join: drop pairs already connected (sorted-key probe)
+        pos = np.searchsorted(a_edge_keys, key)
+        pos_c = np.minimum(pos, max(len(a_edge_keys) - 1, 0))
+        keep = (
+            a_edge_keys[pos_c] != key
+            if len(a_edge_keys)
+            else np.ones(len(key), bool)
+        )
+        key, ncm = key[keep], ncm[keep]
+        cu, cw = key // nn, key % nn
+        union = (a_deg[cu] + a_deg[cw] - ncm).astype(np.float64)
+        out = pa.table(
+            {
+                "u": pa.array(a_names[cu], pa.string()),
+                "w": pa.array(a_names[cw], pa.string()),
+                "n_common": pa.array(ncm.astype(np.int64)),
+                "jaccard": pa_round_half_away(
+                    pa.array(ncm.astype(np.float64) / union), 6
+                ),
+            },
+            schema=out_schema,
+        )
+        # per-batch prune: only the batch-local top-k can survive the
+        # global (n_common DESC, u, w) cut
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("n_common", "descending"), ("u", "ascending"),
+                       ("w", "ascending")],
+        )
+        return out.take(idx[:k])
+
+    return (
+        cn.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_common", "u", "w"], descending=[True, False, False])
+        .limit(k)
+    )
