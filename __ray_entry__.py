@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": docops.simhash_near_dups,
         "ngram_jaccard_near_dups": docops.ngram_jaccard_near_dups,
         "ann_topk": docops.ann_topk,
+        "hard_negatives_topk": docops.hard_negatives_topk,
         "ann_topk_ivf": docops.ann_topk_ivf,
         "ann_topk_lsh": docops.ann_topk_lsh,
         "ann_topk_pq": docops.ann_topk_pq,
@@ -1466,6 +1467,29 @@ scored AS (
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, round(raw, 6) AS score FROM scored WHERE rn <= 10
+"""
+
+    # contrastive hard-negative mining: ann_topk's 8-query set, but
+    # only OTHER-label rows compete (stages/simsearch.hard_negatives)
+    sql["hard_negatives_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                    DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score
+FROM scored WHERE rn <= 10
 """
 
     # cosine radius search for the same 8-query set (threshold 0.3,

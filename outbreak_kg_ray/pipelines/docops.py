@@ -366,6 +366,41 @@ def ann_topk_pq(sf_dir: str, *, k: int = 10, n_train: int = 256,
     )
 
 
+def hard_negatives_topk(sf_dir: str, *, k: int = 10):
+    """Contrastive hard-negative mining: for each of the 8 canonical
+    query vectors (smallest vec_ids, same set as ann_topk), the
+    top-``k`` most-cosine-similar embeddings whose ``label`` DIFFERS
+    from the query's — the standard triplet/InfoNCE mining rule that
+    turns an embedding table into metric-learning training triples.
+    Exact (oracle hash-checked): same broadcast-queries / per-batch
+    partial top-k / grouped exact merge shape as ann_topk."""
+    import pyarrow as pa
+
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset({
+            "query_id": pa.int64(), "vec_id": pa.int64(),
+            "label": pa.int64(), "score": pa.float64(),
+        })
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    rows = sorted(
+        zip(
+            t.column("vec_id").to_pylist(),
+            t.column("label").to_pylist(),
+            t.column("embedding").to_pylist(),
+        )
+    )[:8]
+    return ss.hard_negatives(
+        _embeddings(sf_dir),
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        [r[2] for r in rows],
+        k=k,
+    )
+
+
 def mutual_nn_pairs(sf_dir: str):
     """Mutual cosine nearest-neighbor pairs over the embeddings table
     (IVF-bucketed candidates; see stages/simsearch.mutual_nn_pairs)."""

@@ -672,3 +672,91 @@ def mutual_nn_pairs(embeddings_ds, *, n_clusters: int = 16,
              ("score", pa.float64())]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive / metric-learning data prep)
+# ---------------------------------------------------------------------------
+
+class HardNegativeTopK:
+    """embeddings(vec_id, embedding, label) batch → partial top-k
+    (query_id, vec_id, label, score) where only rows whose label
+    differs from the query's label compete — the "hard negative"
+    set for contrastive training (most-similar OTHER-class items,
+    the standard triplet/InfoNCE mining rule).
+
+    Same shape as ``BruteForceTopK``: queries broadcast once via
+    ``ray.put``, one matmul per batch, per-batch deterministic
+    partial top-k (score DESC, vec_id ASC), exact global cut in
+    ``hard_negative_merge``."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+
+        qids, qlabels, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.qlabels = qlabels
+        self.q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(t.column("vec_id").to_pylist())
+        labels = np.asarray(t.column("label").to_pylist())
+        emb = _normalize(_to_matrix(t.column("embedding")))
+        scores = emb @ self.q.T  # (batch, Q)
+        out_q, out_v, out_l, out_s = [], [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = labels != self.qlabels[qi]
+            if not mask.any():
+                continue
+            ids = vec_ids[mask]
+            lbl = labels[mask]
+            col = scores[mask, qi]
+            order = np.lexsort((ids, -col))[: self.k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_l.extend(lbl[order].tolist())
+            out_s.extend(col[order].tolist())  # unrounded until merge
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def hard_negatives(embeddings_ds, query_ids, query_labels, query_matrix,
+                   *, k: int = 10):
+    """Exact top-``k`` hard negatives per query (cosine DESC,
+    vec_id ASC tie-break; scores rounded 6 at the final merge only)."""
+    import ray
+
+    ref = ray.put(
+        (list(query_ids), list(query_labels), np.asarray(query_matrix))
+    )
+    partials = map_stage(
+        embeddings_ds, HardNegativeTopK, batch_size=4096,
+        queries_ref=ref, k=k,
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        scores = g.column("score").to_numpy(zero_copy_only=False)
+        vec_ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vec_ids, -scores))[:k]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "query_id": g.column("query_id").take(take),
+                "vec_id": pa.array(vec_ids[order], pa.int64()),
+                "label": g.column("label").take(take),
+                "score": pa.array(
+                    np_round_half_away(scores[order], 6), pa.float64()
+                ),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow"
+    )

@@ -240,3 +240,59 @@ def test_mutual_nn_pairs_match_bruteforce(ray_session):
         (a, b) for a, b in nn.items() if nn.get(b) == a and a < b
     }
     assert got == want and len(want) > 0
+
+
+def test_hard_negatives_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.simsearch import hard_negatives
+
+    rng = np.random.RandomState(11)
+    n, dim, k = 200, 16, 5
+    mat = rng.randn(n, dim)
+    labels = (np.arange(n) % 3).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(mat.tolist()),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+    ).repartition(4)
+    qids = [0, 1]
+    got = hard_negatives(ds, qids, labels[:2], mat[:2], k=k).to_pandas()
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        scores = normed @ normed[qi]
+        mask = labels != labels[qi]
+        cand = np.arange(n)[mask]
+        order = cand[np.lexsort((cand, -scores[mask]))[:k]]
+        g = got[got.query_id == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        assert list(g["vec_id"]) == order.tolist()
+        assert np.allclose(g["score"], np.round(scores[order], 6))
+        # every mined negative is strictly another class
+        assert (g["label"] != labels[qi]).all()
+
+
+def test_hard_negatives_single_label_degenerate(ray_session):
+    import ray.data as rd
+
+    from outbreak_kg_ray.stages.simsearch import hard_negatives
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(20, 8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(mat.tolist()),
+                "label": pa.array([0] * 20, pa.int32()),
+            }
+        )
+    )
+    got = hard_negatives(ds, [0], [0], mat[:1], k=5).to_pandas()
+    assert len(got) == 0
