@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors_topk": linkpred.common_neighbors_topk,
         # round 4: T5-style span-corruption example construction
         "span_corruption_pairs": lmdata.span_corruption_pairs,
+        "next_event_examples": lmdata.next_event_examples,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -4462,6 +4463,24 @@ SELECT doc_id,
        CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
          AS n_masked
 FROM kk GROUP BY doc_id
+"""
+
+    # GPT-style next-event examples: per-user lag-window contexts —
+    # mirrors pipelines/lmdata.py:next_event_examples (concat_ws
+    # skips NULL lags, so the context is the available prefix)
+    sql["next_event_examples"] = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2,
+         lag(event_type, 3) OVER w AS p3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       concat_ws(' ', p3, p2, p1) AS context,
+       event_type AS target
+FROM seq WHERE p1 IS NOT NULL
 """
 
     # link prediction: top-k non-adjacent pairs by common-neighbor

@@ -88,3 +88,71 @@ def span_corruption_pairs(sf_dir: str, *, modulus: int = 7,
     return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(corrupt, batch_format="pyarrow")
+
+
+def next_event_examples(sf_dir: str, *, context: int = 3):
+    """GPT-style autoregressive example construction over the event
+    log: one (user_id, event_id, context, target) training example
+    per event with at least one same-user predecessor, where
+    ``context`` is the space-joined previous up-to-3 event types in
+    time order (oldest first) and ``target`` is the event's own type
+    — the sequence-modeling analog of next-token prediction for
+    behavioral models (session recommendation / churn LMs).
+
+    Scale shape: ONE hash exchange (keyed_partitions by user_id),
+    then a whole-partition vectorized sweep — one lexsort over
+    (user, ts, event_id) and three shifted same-user masks build
+    every example with zero per-group Python; output streams, no
+    aggregation, no driver state."""
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("event_id", pa.int64()),
+         ("context", pa.string()), ("target", pa.string())]
+    )
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    from ..stages.shuffle import keyed_partitions
+
+    def examples(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return schema.empty_table()
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        et = g.column("event_type").to_numpy(zero_copy_only=False)[
+            order
+        ].astype(str)
+        # lag-d predecessor value + same-user validity mask
+        lags = []
+        for d in range(1, context + 1):
+            valid = np.zeros(n, dtype=bool)
+            valid[d:] = uid[d:] == uid[:-d]
+            prev = np.full(n, "", dtype=et.dtype)
+            prev[d:] = et[:-d]
+            lags.append((valid, np.where(valid, prev, "")))
+        keep = lags[0][0]
+        if not keep.any():
+            return schema.empty_table()
+        # oldest-first join: lag3 lag2 lag1, spaces only where present
+        ctx = lags[0][1]
+        for valid, prev in lags[1:]:
+            ctx = np.char.add(
+                np.where(valid, np.char.add(prev, " "), ""), ctx
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "context": pa.array(ctx[keep], pa.string()),
+                "target": pa.array(et[keep], pa.string()),
+            }
+        )
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return keyed_partitions(events, ["user_id"], examples, schema=schema)

@@ -1333,3 +1333,35 @@ def test_span_corruption_roundtrip(sf_dir):
             if (r["doc_id"] + p) % 7 < 2
         )
         assert r["n_masked"] == n_mask_ref
+
+
+def test_next_event_examples_matches_pandas_lag(sf_dir):
+    """Every example's context equals the user's previous up-to-3
+    event types in (ts, event_id) order, oldest first; exactly one
+    example per event with >=1 same-user predecessor."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import lmdata
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id")["event_type"]
+    expect = {}
+    lag1, lag2, lag3 = g.shift(1), g.shift(2), g.shift(3)
+    for i, row in enumerate(ev.itertuples(index=False)):
+        parts = [v for v in (lag3.iloc[i], lag2.iloc[i], lag1.iloc[i])
+                 if isinstance(v, str)]
+        if pd.notna(lag1.iloc[i]):
+            expect[row.event_id] = (
+                row.user_id, " ".join(parts), row.event_type
+            )
+
+    got = lmdata.next_event_examples(sf_dir).take_all()
+    assert len(got) == len(expect)
+    for r in got:
+        u, ctx, tgt = expect[r["event_id"]]
+        assert (r["user_id"], r["context"], r["target"]) == (u, ctx, tgt)
+        assert 1 <= len(r["context"].split(" ")) <= 3
