@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile": docops.quality_percentile,
         "source_lang_chi2": docops.source_lang_chi2,
         "length_buckets": docops.length_buckets,
+        "preference_pairs": docops.preference_pairs,
+        "near_dup_keep_best": docops.near_dup_keep_best,
         "bigram_nll": docops.bigram_nll,
         "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
@@ -1009,6 +1011,44 @@ SELECT doc_id, nt AS n_tokens,
                       ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END) / 8.0,
                      1.0) * 0.2, 6) AS quality
 FROM s
+"""
+
+    # DPO-style preference pairs: i-th best vs i-th worst quality per
+    # (lang, source) group — mirrors docops.py:preference_pairs
+    sql["preference_pairs"] = r"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS ns
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, source,
+         round(least(nt / 100.0, 1.0) * 0.5
+               + CASE WHEN nt = 0 THEN 0.0
+                      ELSE ns / CAST(nt AS DOUBLE) END * 0.3
+               + least((CASE WHEN nt = 0 THEN 0.0
+                        ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END)
+                       / 8.0, 1.0) * 0.2, 6) AS quality
+  FROM s
+), r AS (
+  SELECT doc_id, lang, source, quality,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY quality DESC, doc_id ASC) AS rt,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY quality ASC, doc_id DESC) AS rb,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM q
+)
+SELECT a.lang, a.source,
+       a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       a.quality AS chosen_quality, b.quality AS rejected_quality,
+       round(a.quality - b.quality, 6) AS margin
+FROM r a
+JOIN r b ON a.lang = b.lang AND a.source = b.source AND b.rb = a.rt
+WHERE a.rt <= a.n // 2 AND a.quality > b.quality
 """
 
     # mirrors pipelines/docops.py:diversified_topk (k=10, quota 2)
@@ -2811,6 +2851,49 @@ FROM pair p
 JOIN cnt ca ON ca.doc_id = p.doc_a
 JOIN cnt cb ON cb.doc_id = p.doc_b
 WHERE 2 * inter >= ca.n + cb.n - inter
+"""
+
+    # quality-aware canonical selection over the exact Jaccard pair
+    # graph — mirrors docops.py:near_dup_keep_best (CC min-label =
+    # cluster_id; keep = max quality, doc_id tie-break)
+    sql["near_dup_keep_best"] = f"""
+WITH RECURSIVE nd AS ({sql["prefix_block_jaccard"]}),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM nd UNION SELECT doc_b, doc_a FROM nd
+),
+reach(n, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+qs AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS ns
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(least(nt / 100.0, 1.0) * 0.5
+               + CASE WHEN nt = 0 THEN 0.0
+                      ELSE ns / CAST(nt AS DOUBLE) END * 0.3
+               + least((CASE WHEN nt = 0 THEN 0.0
+                        ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END)
+                       / 8.0, 1.0) * 0.2, 6) AS quality
+  FROM qs
+),
+best AS (
+  SELECT l.cluster_id, l.doc_id AS keep_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT l.doc_id, l.cluster_id, b.keep_id, l.doc_id = b.keep_id AS is_keep
+FROM lab l JOIN best b ON b.cluster_id = l.cluster_id AND b.rn = 1
 """
 
     # polynomial rolling hash h = (h*1000003 + byte) mod 2^61-1 over

@@ -4183,3 +4183,164 @@ def perplexity_buckets(sf_dir: str, *, vocab_size: int = 1 << 16):
         return t.append_column("bucket", pa.array(buckets, pa.string()))
 
     return scored.map_batches(bucketize, batch_format="pyarrow")
+
+
+def preference_pairs(sf_dir: str):
+    """DPO-style preference-pair construction: within each
+    (lang, source) group — the "same prompt" analog — pair the i-th
+    best-quality document with the i-th worst (i ≤ ⌊n/2⌋, ranked by
+    quality DESC/doc_id ASC vs quality ASC/doc_id DESC) and keep
+    pairs with a strictly positive margin.  This is the step that
+    turns a scored candidate pool into (chosen, rejected) alignment
+    training data.
+
+    Scale shape: the streaming quality scorer (zero shuffle) feeds
+    ONE hash exchange by group key; pairing is a whole-partition
+    vectorized pass — two lexsorts + per-group offset masks, zero
+    per-group Python — and the output streams with no aggregation."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("chosen_id", pa.int64()), ("rejected_id", pa.int64()),
+         ("chosen_quality", pa.float64()),
+         ("rejected_quality", pa.float64()),
+         ("margin", pa.float64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    from ..functions.rounding import np_round_half_away
+    from ..stages.shuffle import keyed_partitions
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ts.quality_batch(t)
+        return pa.table(
+            {
+                "doc_id": q.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "quality": q.column("quality"),
+            }
+        )
+
+    scored = _documents(
+        sf_dir, ("doc_id", "text", "lang", "source")
+    ).map_batches(score, batch_format="pyarrow")
+
+    def pair(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return schema.empty_table()
+        lang = np.asarray(g.column("lang").to_pylist())
+        src = np.asarray(g.column("source").to_pylist())
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        qual = g.column("quality").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(lang.astype(str), "\x1f"),
+                          src.astype(str))
+        _, codes, counts = np.unique(
+            key, return_inverse=True, return_counts=True
+        )
+        half = counts // 2
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        top = np.lexsort((doc, -qual, codes))
+        bot = np.lexsort((-doc, qual, codes))
+        # both sorts order groups identically (codes ascending), so
+        # position-within-group < half selects aligned pair slots
+        pos = np.arange(n) - starts[codes[top]]  # codes[top]==codes[bot]
+        keep = pos < half[codes[top]]
+        ci, ri = top[keep], bot[keep]
+        strict = qual[ci] > qual[ri]
+        ci, ri = ci[strict], ri[strict]
+        return pa.table(
+            {
+                "lang": pa.array(lang[ci], pa.string()),
+                "source": pa.array(src[ci], pa.string()),
+                "chosen_id": pa.array(doc[ci], pa.int64()),
+                "rejected_id": pa.array(doc[ri], pa.int64()),
+                "chosen_quality": pa.array(qual[ci], pa.float64()),
+                "rejected_quality": pa.array(qual[ri], pa.float64()),
+                "margin": pa.array(
+                    np_round_half_away(qual[ci] - qual[ri], 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return keyed_partitions(
+        scored, ["lang", "source"], pair, schema=schema
+    )
+
+
+def near_dup_keep_best(sf_dir: str):
+    """Quality-aware canonical selection: cluster the EXACT
+    prefix-block Jaccard near-dup pairs with distributed connected
+    components, then keep each cluster's highest-quality member
+    (quality DESC, doc_id ASC tie-break) instead of the naive
+    min-id — the real-world dedup keep rule (FineWeb/RefinedWeb keep
+    the "best" duplicate, not an arbitrary one).  → one row per
+    clustered doc: (doc_id, cluster_id, keep_id, is_keep).
+
+    Scale shape: pair list (not corpus) bounds every structure; CC is
+    the convergence-checked min-label propagation; quality attaches
+    via ONE hash join of the pair-bounded membership against the
+    streaming scorer; keep-best is a whole-partition lexsort +
+    group-boundary argmax with zero per-group Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+         ("keep_id", pa.int64()), ("is_keep", pa.bool_())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    from ..stages.dedup import _join_partitions_for
+    from ..stages.shuffle import keyed_partitions
+
+    pairs = prefix_block_jaccard(sf_dir)
+    labels = dd.connected_components(
+        pairs, a_col="doc_a", b_col="doc_b"
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        q = ts.quality_batch(t)
+        return q.select(["doc_id", "quality"])
+
+    quality = _documents(sf_dir).map_batches(slim, batch_format="pyarrow")
+    labeled = labels.join(
+        quality, "inner",
+        _join_partitions_for(labels),
+        on=("doc_id",),
+    )
+
+    def keep_best(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = g.column("cluster_id").to_numpy(zero_copy_only=False)
+        qual = g.column("quality").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -qual, cl))
+        cs = cl[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
+        starts = np.flatnonzero(first)
+        # winner of each cluster, fanned back to members in order
+        win = doc[order][starts]
+        keep = win[np.cumsum(first) - 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order], pa.int64()),
+                "cluster_id": pa.array(cs, pa.int64()),
+                "keep_id": pa.array(keep, pa.int64()),
+                "is_keep": pa.array(doc[order] == keep, pa.bool_()),
+            }
+        )
+
+    return keyed_partitions(
+        labeled, ["cluster_id"], keep_best, schema=schema
+    )

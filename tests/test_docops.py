@@ -1365,3 +1365,63 @@ def test_next_event_examples_matches_pandas_lag(sf_dir):
         u, ctx, tgt = expect[r["event_id"]]
         assert (r["user_id"], r["context"], r["target"]) == (u, ctx, tgt)
         assert 1 <= len(r["context"].split(" ")) <= 3
+
+
+def test_preference_pairs_invariants(sf_dir):
+    """Strict positive margin; per-group pairs <= n//2; a doc never
+    appears as both chosen and rejected within its group."""
+    import collections
+
+    from outbreak_kg_ray.pipelines import docops
+
+    rows = docops.preference_pairs(sf_dir).take_all()
+    assert rows
+    qual = {
+        r["doc_id"]: r["quality"]
+        for r in docops.quality_scores(sf_dir).take_all()
+    }
+    sizes = collections.Counter()
+    for r in docops._documents(
+        sf_dir, ("doc_id", "lang", "source")
+    ).take_all():
+        sizes[(r["lang"], r["source"])] += 1
+    per_group = collections.Counter()
+    chosen, rejected = collections.defaultdict(set), collections.defaultdict(set)
+    for r in rows:
+        g = (r["lang"], r["source"])
+        per_group[g] += 1
+        assert r["chosen_quality"] > r["rejected_quality"]
+        assert r["margin"] > 0
+        assert qual[r["chosen_id"]] == r["chosen_quality"]
+        assert qual[r["rejected_id"]] == r["rejected_quality"]
+        chosen[g].add(r["chosen_id"])
+        rejected[g].add(r["rejected_id"])
+    for g, c in per_group.items():
+        assert c <= sizes[g] // 2
+        assert not (chosen[g] & rejected[g])
+
+
+def test_near_dup_keep_best_invariants(sf_dir):
+    """Exactly one keeper per cluster; the keeper is the cluster's
+    quality argmax (doc_id tie-break); cluster_id is the min member."""
+    import collections
+
+    from outbreak_kg_ray.pipelines import docops
+
+    rows = docops.near_dup_keep_best(sf_dir).take_all()
+    assert rows
+    qual = {
+        r["doc_id"]: r["quality"]
+        for r in docops.quality_scores(sf_dir).take_all()
+    }
+    clusters = collections.defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m["doc_id"] for m in members)
+        keepers = [m for m in members if m["is_keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-qual[m["doc_id"]], m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(m["keep_id"] == best["doc_id"] for m in members)
+        assert len(members) >= 2
