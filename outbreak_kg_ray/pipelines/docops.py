@@ -2147,8 +2147,114 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
 
 def curate_corpus(sf_dir: str):
     """Final survivors of the composed curation DAG → (doc_id,
-    source).  See :func:`_curation_chain`."""
-    return _curation_chain(sf_dir)[-1][1]
+    source).  Same set as :func:`_curation_chain`'s last stage (the
+    funnel keeps the staged path for its per-stage counts), but
+    FUSED: the three per-row gates — quality ≥ 0.5, benchmark
+    decontamination, declared-mixture downsample — are independent
+    row predicates (set intersections commute), so they run in ONE
+    streamed pass over the corpus, leaving exactly one semi-join
+    against the exact-dedup keep set.  7 corpus scans + 4 joins in
+    the staged path → 3 scans + 1 join here; the sorted benchmark
+    gram array loads once per actor in ``__init__``."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from outbreak_kg_ray.functions.partitions import adaptive_partitions
+
+    from ..stages import decontam as dc
+    from ..stages import dedup as ddm
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs == 0:
+        return _documents(sf_dir, ("doc_id", "source"))
+
+    n, modulus = 4, 50
+    bench_parts = [
+        b.column("g").to_numpy()
+        for b in _documents(sf_dir)
+        .map_batches(
+            dc.bench_grams_batch(n, modulus), batch_format="pyarrow"
+        )
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench = (
+        np.unique(np.concatenate(bench_parts))
+        if bench_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    class CurationGate:
+        def __init__(self, ref) -> None:
+            self._decon = dc.DecontaminateStage(ref, n, modulus)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            ok = (
+                ts.quality_batch(t)
+                .column("quality")
+                .to_numpy(zero_copy_only=False)
+                >= 0.5
+            )
+            # decontamination drops benchmark docs and flags overlap
+            # with the broadcast benchmark gram set (row-aligned: the
+            # stage preserves order over the non-benchmark subset)
+            nonbench = np.flatnonzero(ids % modulus != 0)
+            d = self._decon(t)
+            decon_ok = np.zeros(len(ids), dtype=bool)
+            decon_ok[nonbench] = ~(
+                d.column("contaminated").to_numpy(zero_copy_only=False)
+            )
+            # declared-mixture Bernoulli: the rate is a pure function
+            # of the source name, so no distinct-source pre-pass
+            thresh: dict[str, int] = {}
+            mix_ok = np.empty(len(ids), dtype=bool)
+            for i, (did, s) in enumerate(
+                zip(ids.tolist(), t.column("source").to_pylist())
+            ):
+                th = thresh.get(s)
+                if th is None:
+                    digit = int(
+                        hashlib.md5(s.encode()).hexdigest()[0], 16
+                    )
+                    th = int((digit % 4 + 1) / 4.0 * 65536)
+                    thresh[s] = th
+                h4 = int(
+                    hashlib.md5(str(did).encode()).hexdigest()[:4], 16
+                )
+                mix_ok[i] = h4 < th
+            keep = pa.array(ok & decon_ok & mix_ok)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").filter(keep),
+                    "source": t.column("source").filter(keep),
+                }
+            )
+
+    gated = map_stage(
+        _documents(sf_dir, ("doc_id", "text", "source")), CurationGate,
+        batch_size=1024, ctor_args=(bench_ref,),
+    )
+
+    norm = normalize_text(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+
+    def _pin_ids(t: pa.Table) -> pa.Table:
+        if "doc_id" in t.column_names:
+            return pa.table({"doc_id": t.column("doc_id")})
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+
+    kept = ddm.exact_dedup_keep(norm).map_batches(
+        _pin_ids, batch_format="pyarrow"
+    )
+    return gated.join(
+        kept, "inner", adaptive_partitions(n_docs), on=("doc_id",)
+    )
 
 
 def curation_funnel(sf_dir: str):
