@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numpy whole-corpus reference is pinned in tests/test_kmeans.py
         "semantic_dedup": kmeans.semantic_dedup,
         "pack_sequences": pack.pack_sequences,
+        "padded_batch_plan": pack.padded_batch_plan,
         "repetition_scores": docops.repetition_scores,
         "dedup_spans": docops.dedup_spans,
         "redact_pii": docops.redact_pii,
@@ -2263,6 +2264,28 @@ FROM agg
 """
 
     # global ordered prefix sum -> fixed-size training-window packing
+    # group-by-length batch planning — mirrors
+    # stages/pack.py:padded_batch_plan (rank by n_tokens DESC,
+    # doc_id ASC; batch = rank // 8; padded to the batch max)
+    sql["padded_batch_plan"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+           AS rk
+  FROM t
+)
+SELECT doc_id, n_tokens, rk // 8 AS batch_id,
+       max(n_tokens) OVER (PARTITION BY rk // 8) AS batch_max_tokens,
+       max(n_tokens) OVER (PARTITION BY rk // 8) - n_tokens
+         AS pad_waste
+FROM r
+"""
+
     sql["pack_sequences"] = """
 WITH t AS (
   SELECT doc_id,

@@ -335,3 +335,95 @@ def write_training_shards(
     return ranked.groupby("shard_id").map_groups(
         write_shard, batch_format="pyarrow"
     )
+
+
+def padded_batch_plan(sf_dir: str, *, batch_size: int = 8):
+    """Group-by-length batch planning (the HF ``group_by_length`` /
+    padding-efficiency op): rank every document by (n_tokens DESC,
+    doc_id ASC), cut the rank order into fixed-size training batches,
+    and report each batch's padded length and per-doc padding waste
+    → (doc_id, n_tokens, batch_id, batch_max_tokens, pad_waste).
+    Length-sorted batching is what keeps padding FLOPs near zero for
+    variable-length fine-tuning.
+
+    Scale shape: the global rank is a two-level scan keyed by
+    n_tokens ITSELF — the driver holds one (length, count) row per
+    DISTINCT token length (bounded by max doc length, never the
+    corpus) and turns it into exclusive rank offsets; one keyed
+    exchange co-locates each length and a whole-partition lexsort
+    assigns ranks vectorized.  batch_max_tokens is a broadcast
+    step-function lookup (searchsorted against the offsets) — the
+    batch's longest member is rank ``batch_id*batch_size`` by
+    construction, so no second exchange and no join."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("batch_id", pa.int64()), ("batch_max_tokens", pa.int64()),
+         ("pad_waste", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def counted(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(_token_counts(t), pa.int64()),
+            }
+        )
+
+    counted_ds = docs.map_batches(counted, batch_format="pyarrow")
+    rows = (
+        counted_ds.groupby("n_tokens")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )  # one row per distinct length
+    rows.sort(key=lambda r: -r["n_tokens"])
+    lengths = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    offs = {int(L): int(s) for L, s in zip(lengths, starts)}
+    state_ref = ray.put((offs, starts, lengths))
+
+    def plan(g: pa.Table) -> pa.Table:
+        offs_, starts_, lengths_ = ray.get(state_ref)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -nt))
+        doc, nt = doc[order], nt[order]
+        n = len(nt)
+        first = np.concatenate(([True], nt[1:] != nt[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)
+        )
+        base = np.fromiter(
+            (offs_[int(v)] for v in nt[first]), dtype=np.int64,
+            count=int(first.sum()),
+        )
+        rank = base[np.cumsum(first) - 1] + (np.arange(n) - run_start)
+        batch = rank // batch_size
+        bmax = lengths_[
+            np.searchsorted(
+                starts_, batch * batch_size, side="right"
+            ) - 1
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "batch_id": pa.array(batch, pa.int64()),
+                "batch_max_tokens": pa.array(bmax, pa.int64()),
+                "pad_waste": pa.array(bmax - nt, pa.int64()),
+            }
+        )
+
+    return keyed_partitions(counted_ds, ["n_tokens"], plan, schema=schema)

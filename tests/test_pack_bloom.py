@@ -191,3 +191,32 @@ def test_write_training_shards_resumable(ray_session, sf_dir, tmp_path):
     assert man2.drop(index=victim)["skipped"].all()
     assert os.path.getmtime(other) == mtime_before  # untouched
     assert os.path.exists(os.path.join(vdir, "part.parquet"))
+
+
+def test_padded_batch_plan_invariants(sf_dir):
+    """Batches are contiguous rank cuts: every batch has exactly
+    batch_size members (except possibly the last), batch_max is the
+    true member max, waste = max - own, and lengths never increase
+    across ascending batch ids."""
+    import collections
+
+    from outbreak_kg_ray.stages.pack import padded_batch_plan
+
+    rows = padded_batch_plan(sf_dir, batch_size=8).take_all()
+    assert rows
+    batches = collections.defaultdict(list)
+    for r in rows:
+        assert r["pad_waste"] == r["batch_max_tokens"] - r["n_tokens"]
+        assert r["pad_waste"] >= 0
+        batches[r["batch_id"]].append(r)
+    ordered = sorted(batches)
+    assert ordered == list(range(len(ordered)))
+    for b in ordered:
+        members = batches[b]
+        assert len(members) == (8 if b < len(ordered) - 1
+                                else len(rows) - 8 * b)
+        assert max(m["n_tokens"] for m in members) == \
+            members[0]["batch_max_tokens"]
+    # group-by-length: batch maxima are non-increasing
+    maxima = [batches[b][0]["batch_max_tokens"] for b in ordered]
+    assert maxima == sorted(maxima, reverse=True)
