@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_edges": kg.cooccurrence_edges,
         "cooccurrence_nodes": kg.cooccurrence_nodes,
         "pagerank": graph.pagerank,
+        "hits_scores": graph.hits_scores,
         "connected_components": graph.connected_components,
         "lpa_communities": graph.lpa_communities,
         "join_skew_report": relational.join_skew_report,
@@ -2972,6 +2973,40 @@ r0 AS (SELECT v, 1.0 / (SELECT c FROM nn) AS "rank" FROM nd)"""
         + """
 SELECT v AS curie, ROUND("rank", 6) AS "rank" FROM r10"""
     )
+
+    # weighted HITS over the bipartite user→event_type graph —
+    # mirrors pipelines/graph.py:hits_scores (5 unrolled
+    # power-iteration rounds, L2 normalization per half-step,
+    # h0 = 1/sqrt(|hubs|), w = interaction count).  MATERIALIZED is
+    # load-bearing: without it DuckDB re-inlines each CTE at every
+    # reference and the 20-CTE chain re-evaluates exponentially.
+    hits_iters = ""
+    _prev_h = "h0"
+    for _i in range(1, 6):
+        hits_iters += f""",
+a{_i}r AS MATERIALIZED (SELECT e.v, SUM(e.w * x.h) AS a
+           FROM he e JOIN {_prev_h} x ON x.u = e.u GROUP BY e.v),
+a{_i} AS MATERIALIZED (SELECT v,
+           a / sqrt((SELECT SUM(a*a) FROM a{_i}r)) AS a FROM a{_i}r),
+h{_i}r AS MATERIALIZED (SELECT e.u, SUM(e.w * y.a) AS h
+           FROM he e JOIN a{_i} y ON y.v = e.v GROUP BY e.u),
+h{_i} AS MATERIALIZED (SELECT u,
+           h / sqrt((SELECT SUM(h*h) FROM h{_i}r)) AS h FROM h{_i}r)"""
+        _prev_h = f"h{_i}"
+    sql["hits_scores"] = f"""
+WITH he AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS v, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM events GROUP BY 1, 2
+),
+hu AS (SELECT DISTINCT u FROM he),
+h0 AS MATERIALIZED (
+  SELECT u, 1.0 / sqrt((SELECT COUNT(*) FROM hu)) AS h FROM hu
+){hits_iters}
+SELECT CAST(u AS VARCHAR) AS node, 'hub' AS kind, ROUND(h, 6) AS score
+FROM h5
+UNION ALL
+SELECT v AS node, 'authority' AS kind, ROUND(a, 6) AS score FROM a5
+"""
 
     sql["triangle_counts"] = (
         graph_edges.replace(

@@ -1283,3 +1283,237 @@ def lpa_communities(sf_dir: str, *, rounds: int | None = 4,
         symmetric_cooccurrence_edges(sf_dir),
         rounds=rounds, distributed=distributed,
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) over the bipartite
+# user → event_type interaction graph
+# ---------------------------------------------------------------------------
+
+def _hits_edges(sf_dir: str):
+    """Weighted (user_id, event_type, w) interaction edges — the
+    bipartite graph HITS ranks (hubs = users, authorities = types;
+    w = interaction count, which keeps the ranking non-degenerate on
+    a dense user×type grid).  Batch-local count combiner, then one
+    grouped sum — the exchange carries one row per distinct pair per
+    batch, never the raw event log."""
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["u", "v", "w"])
+        )
+
+    def as_float(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t.column("u"), "v": t.column("v"),
+             "w": pc.cast(t.column("w"), pa.float64())}
+        )
+
+    return (
+        ev.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("w", alias_name="w"))
+        .map_batches(as_float, batch_format="pyarrow")
+    )
+
+
+def hits_scores(sf_dir: str, *, iterations: int = 5,
+                distributed: bool | None = None):
+    """Weighted HITS power iteration: h ← W·a, a ← Wᵀ·h (W = the
+    user×type interaction-count matrix), each L2-normalized per round
+    (fixed ``iterations``, h₀ = 1/√|hubs|) → (node, kind, score)
+    with kind ∈ {hub, authority}, score rounded 6 dp.  The classic
+    bipartite importance ranking — which users drive engagement,
+    which event types they concentrate on.
+
+    Scale shape: same split as pagerank — numpy fastpath under
+    ``EDGE_FASTPATH_ROWS``; above it, per round TWO hash joins +
+    TWO grouped sums over the (u, v) edge list plus one scalar
+    (Σx²) aggregate each — the driver holds two floats per round,
+    never a score vector."""
+    from outbreak_kg_ray.sources.io import empty_dataset, parquet_rows
+
+    schema = {
+        "node": pa.string(), "kind": pa.string(),
+        "score": pa.float64(),
+    }
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(schema)
+    edges_ds = _hits_edges(sf_dir).materialize()
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        rows = edges_ds.take_all()
+        users = sorted({r["u"] for r in rows})
+        types = sorted({r["v"] for r in rows})
+        ui = {u: i for i, u in enumerate(users)}
+        vi = {v: i for i, v in enumerate(types)}
+        uc = np.array([ui[r["u"]] for r in rows], dtype=np.int64)
+        vc = np.array([vi[r["v"]] for r in rows], dtype=np.int64)
+        w = np.array([r["w"] for r in rows], dtype=np.float64)
+        h = np.full(len(users), 1.0 / np.sqrt(len(users)))
+        a = np.zeros(len(types))
+        for _ in range(iterations):
+            a = np.zeros(len(types))
+            np.add.at(a, vc, w * h[uc])
+            a /= np.linalg.norm(a)
+            h = np.zeros(len(users))
+            np.add.at(h, uc, w * a[vc])
+            h /= np.linalg.norm(h)
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {
+                "node": pa.array(
+                    [str(u) for u in users] + list(types), pa.string()
+                ),
+                "kind": pa.array(
+                    ["hub"] * len(users) + ["authority"] * len(types),
+                    pa.string(),
+                ),
+                "score": pa.array(
+                    np_round_half_away(np.concatenate([h, a]), 6),
+                    pa.float64(),
+                ),
+            }
+        ))
+    return _hits_distributed(edges_ds, iterations=iterations)
+
+
+def _hits_distributed(edges_ds, *, iterations: int):
+    """General path: hubs/authorities live as Datasets; per round
+    edges ⋈ hubs → groupby(v).Sum → normalize (one scalar), then
+    edges ⋈ authorities → groupby(u).Sum → normalize."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    n_edges = edges_ds.count()
+    nparts = _join_partitions(n_edges)
+    # distinct hub set with initial score
+    n_hubs = edges_ds.groupby("u").count().count()
+    h0 = 1.0 / math.sqrt(n_hubs)
+    hubs = (
+        edges_ds.groupby("u")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"u": t.column("u"),
+                 "h": pa.array([h0] * len(t), pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    auth = None
+    _h_schema = pa.schema([("u", pa.int64()), ("h", pa.float64())])
+    _a_schema = pa.schema([("v", pa.string()), ("a", pa.float64())])
+
+    def _scalar_norm(ds, col):
+        sq = ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"s": pa.array(
+                    [float(np.square(
+                        t.column(c).to_numpy(zero_copy_only=False)
+                    ).sum())],
+                    pa.float64(),
+                )}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+        return math.sqrt(sq)
+
+    for _ in range(iterations):
+        j = edges_ds.join(hubs, "inner", nparts, on=("u",))
+        raw_a = (
+            j.map_batches(
+                lambda t: (
+                    pa.table(
+                        {"v": t.column("v"),
+                         "a": pc.multiply(t.column("w"),
+                                          t.column("h"))}
+                    )
+                    if "v" in t.column_names and len(t)
+                    else _a_schema.empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("v")
+            .aggregate(Sum("a", alias_name="a"))
+            .materialize()
+        )
+        nrm = _scalar_norm(raw_a, "a")
+        auth = raw_a.map_batches(
+            lambda t, z=nrm: pa.table(
+                {"v": t.column("v"),
+                 "a": pc.divide(t.column("a"), pa.scalar(z))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        j2 = edges_ds.join(auth, "inner", nparts, on=("v",))
+        raw_h = (
+            j2.map_batches(
+                lambda t: (
+                    pa.table(
+                        {"u": t.column("u"),
+                         "h": pc.multiply(t.column("w"),
+                                          t.column("a"))}
+                    )
+                    if "u" in t.column_names and len(t)
+                    else _h_schema.empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("u")
+            .aggregate(Sum("h", alias_name="h"))
+            .materialize()
+        )
+        nrm_h = _scalar_norm(raw_h, "h")
+        hubs = raw_h.map_batches(
+            lambda t, z=nrm_h: pa.table(
+                {"u": t.column("u"),
+                 "h": pc.divide(t.column("h"), pa.scalar(z))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def out_h(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(t.column("u"), pa.string()),
+                "kind": pa.array(["hub"] * len(t), pa.string()),
+                "score": pa.array(
+                    np_round_half_away(
+                        t.column("h").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    def out_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("v"),
+                "kind": pa.array(["authority"] * len(t), pa.string()),
+                "score": pa.array(
+                    np_round_half_away(
+                        t.column("a").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return hubs.map_batches(out_h, batch_format="pyarrow").union(
+        auth.map_batches(out_a, batch_format="pyarrow")
+    )

@@ -366,3 +366,27 @@ def test_common_neighbors_topk(sf_dir):
         union = len(adj[p[0]] | adj[p[1]])
         assert r["jaccard"] == round(c / union, 6)
         assert p not in pairs  # non-adjacent
+
+
+def test_hits_distributed_matches_fastpath(ray_session):
+    """The per-round join/groupby path and the numpy fastpath agree
+    bit-for-bit after 6-dp rounding, and scores are L2-normalized
+    per kind."""
+    import numpy as np
+
+    from outbreak_kg_ray.pipelines import graph as g
+
+    SF = "/root/testdata/sf0.001"
+    fast = {
+        (r["node"], r["kind"]): r["score"]
+        for r in g.hits_scores(SF, distributed=False).take_all()
+    }
+    dist = {
+        (r["node"], r["kind"]): r["score"]
+        for r in g.hits_scores(SF, distributed=True).take_all()
+    }
+    assert fast == dist
+    for kind in ("hub", "authority"):
+        v = np.array([s for (_, k), s in fast.items() if k == kind])
+        assert len(v) > 0
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
