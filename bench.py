@@ -293,6 +293,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "mahalanobis_outliers": lambda: _mlstats().mahalanobis_outliers(
             sf_dir
         ),
+        # round-4 session-4: alignment/batching/graph additions
+        "hard_negatives_topk": lambda: docops.hard_negatives_topk(
+            sf_dir
+        ),
+        "next_event_examples": lambda: _lmdata().next_event_examples(
+            sf_dir
+        ),
+        "preference_pairs": lambda: docops.preference_pairs(sf_dir),
+        "near_dup_keep_best": lambda: docops.near_dup_keep_best(sf_dir),
+        "padded_batch_plan": lambda: pack.padded_batch_plan(sf_dir),
+        "hits_scores": lambda: graph.hits_scores(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
