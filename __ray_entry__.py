@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: T5-style span-corruption example construction
         "span_corruption_pairs": lmdata.span_corruption_pairs,
         "next_event_examples": lmdata.next_event_examples,
+        "negative_sampling_table": lmdata.negative_sampling_table,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -4604,6 +4605,38 @@ SELECT doc_id,
        CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
          AS n_masked
 FROM kk GROUP BY doc_id
+"""
+
+    # word2vec negative-sampling table — mirrors
+    # pipelines/lmdata.py:negative_sampling_table (integer
+    # microweights round(freq^0.75 * 1e6) make the cumulative slot
+    # boundaries exact in both engines; 2^16 slots)
+    sql["negative_sampling_table"] = r"""
+WITH tf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+mw AS (
+  SELECT w, freq,
+         CAST(round(pow(freq, 0.75) * 1000000) AS BIGINT) AS m
+  FROM tf
+),
+c AS (
+  SELECT w, freq, m,
+         COALESCE(SUM(m) OVER (
+             ORDER BY freq DESC, w ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS lo,
+         SUM(m) OVER () AS tot
+  FROM mw
+)
+SELECT w AS token, freq,
+       CAST((65536 * (lo + m)) // tot - (65536 * lo) // tot
+            AS BIGINT) AS n_slots
+FROM c
 """
 
     # GPT-style next-event examples: per-user lag-window contexts —

@@ -156,3 +156,130 @@ def next_event_examples(sf_dir: str, *, context: int = 3):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
     return keyed_partitions(events, ["user_id"], examples, schema=schema)
+
+
+def negative_sampling_table(sf_dir: str, *, table_size: int = 1 << 16,
+                            alpha: float = 0.75):
+    """word2vec negative-sampling table construction (Mikolov et al.
+    2013 §2.2): allot each vocabulary token a share of a
+    ``table_size``-slot sampling table proportional to
+    ``count^alpha`` → (token, freq, n_slots).  The op that turns
+    corpus counts into the smoothed-unigram noise distribution
+    contrastive word/embedding training samples from.
+
+    Exactness: slot boundaries use INTEGER microweights
+    (``round(count^0.75 * 1e6)`` as int64), so cumulative sums are
+    exact in both engines — no float-accumulation-order drift —
+    and ``n_slots = floor(S·hi/W) − floor(S·lo/W)`` reproduces
+    bit-for-bit in SQL.  (table_size · total-microweight must fit
+    int64 — at 2^16 slots that bounds the corpus at ~10^12 total
+    microweight, beyond which nest the same scan.)
+
+    Scale shape: the token-count pass is the standard
+    np.unique-combiner grouped sum (vocab stays distributed); the
+    driver holds one row per DISTINCT frequency (the Zipf spectrum —
+    a few hundred rows at web scale) and turns it into exclusive
+    microweight offsets, because every token of frequency c has the
+    SAME microweight; one keyed exchange by frequency then assigns
+    per-token ranges vectorized (rank · mw(c) is exact int math)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import np_round_half_away
+    from ..stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("token", pa.string()), ("freq", pa.int64()),
+         ("n_slots", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    import ray
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks.extend(w for w in x.split(" ") if w)
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.array(toks, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="freq"))
+    ).materialize()
+
+    def spectrum_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            t.column("freq").to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {"freq": pa.array(uniq, pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    spec = (
+        tf.map_batches(spectrum_partial, batch_format="pyarrow")
+        .groupby("freq")
+        .aggregate(Sum("n", alias_name="n_terms"))
+        .take_all()
+    )  # one row per distinct frequency
+
+    def microweight(c: int) -> int:
+        return int(np_round_half_away(
+            np.array([float(c) ** alpha * 1e6]), 0
+        )[0])
+
+    spec.sort(key=lambda r: -r["freq"])
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in spec:
+        offs[r["freq"]] = acc
+        acc += r["n_terms"] * microweight(r["freq"])
+    total = acc
+    state_ref = ray.put((offs, total))
+
+    def assign(g: pa.Table) -> pa.Table:
+        offs_, total_ = ray.get(state_ref)
+        w_arr = np.asarray(g.column("w").to_pylist(), dtype=object)
+        freq = g.column("freq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w_arr, -freq))
+        w_arr, freq = w_arr[order], freq[order]
+        n = len(freq)
+        first = np.concatenate(([True], freq[1:] != freq[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)
+        )
+        mw = np.fromiter(
+            (microweight(int(c)) for c in freq), dtype=np.int64, count=n
+        )
+        base = np.fromiter(
+            (offs_[int(c)] for c in freq[first]), dtype=np.int64,
+            count=int(first.sum()),
+        )
+        lo = base[np.cumsum(first) - 1] + (np.arange(n) - run_start) * mw
+        hi = lo + mw
+        n_slots = (table_size * hi) // total_ - (table_size * lo) // total_
+        return pa.table(
+            {
+                "token": pa.array(w_arr.tolist(), pa.string()),
+                "freq": pa.array(freq, pa.int64()),
+                "n_slots": pa.array(n_slots, pa.int64()),
+            }
+        )
+
+    return keyed_partitions(tf, ["freq"], assign, schema=schema)

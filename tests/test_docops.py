@@ -1425,3 +1425,19 @@ def test_near_dup_keep_best_invariants(sf_dir):
         assert keepers[0]["doc_id"] == best["doc_id"]
         assert all(m["keep_id"] == best["doc_id"] for m in members)
         assert len(members) >= 2
+
+
+def test_negative_sampling_table_partitions_slots(sf_dir):
+    """Slot counts tile the table exactly: non-negative, sum to
+    table_size, and monotone with the (freq DESC, token ASC) rank
+    up to integer-floor jitter of 1."""
+    from outbreak_kg_ray.pipelines import lmdata
+
+    rows = lmdata.negative_sampling_table(sf_dir).take_all()
+    assert rows
+    assert all(r["n_slots"] >= 0 for r in rows)
+    assert sum(r["n_slots"] for r in rows) == 1 << 16
+    ordered = sorted(rows, key=lambda r: (-r["freq"], r["token"]))
+    slots = [r["n_slots"] for r in ordered]
+    for a, b in zip(slots, slots[1:]):
+        assert b <= a + 1  # floor jitter only; allocation follows rank
