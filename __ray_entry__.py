@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_nodes": kg.cooccurrence_nodes,
         "pagerank": graph.pagerank,
         "hits_scores": graph.hits_scores,
+        "deepwalk_corpus": graph.deepwalk_corpus,
         "connected_components": graph.connected_components,
         "lpa_communities": graph.lpa_communities,
         "join_skew_report": relational.join_skew_report,
@@ -3008,6 +3009,47 @@ FROM h5
 UNION ALL
 SELECT v AS node, 'authority' AS kind, ROUND(a, 6) AS score FROM a5
 """
+
+    # DeepWalk corpus — mirrors pipelines/graph.py:deepwalk_corpus
+    # (2 walks × 4 steps per node; transition = sorted-neighbor index
+    # md5("start|walk|step|cur")[:6] % degree)
+    dw_steps = ""
+    _prev_s = "s0"
+    for _s in range(1, 5):
+        dw_steps += f""",
+s{_s} AS MATERIALIZED (
+  SELECT f.start, f.w, a.nb AS cur
+  FROM {_prev_s} f
+  JOIN dwdeg d ON d.node = f.cur
+  JOIN dwadj a ON a.node = f.cur
+   AND a.idx = CAST('0x' || substr(md5(f.start || '|' ||
+         CAST(f.w AS VARCHAR) || '|{_s}|' || f.cur), 1, 6) AS BIGINT)
+         % d.deg
+)"""
+        _prev_s = f"s{_s}"
+    sql["deepwalk_corpus"] = (
+        graph_edges
+        + f""",
+de AS (SELECT DISTINCT u, v FROM e),
+dwadj AS MATERIALIZED (
+  SELECT u AS node, v AS nb,
+         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx
+  FROM de
+),
+dwdeg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM dwadj GROUP BY node
+),
+s0 AS MATERIALIZED (
+  SELECT d.node AS start, t.w, d.node AS cur
+  FROM dwdeg d, (VALUES (0), (1)) t(w)
+){dw_steps}
+SELECT start, w AS walk, 0 AS step, cur AS node FROM s0
+UNION ALL SELECT start, w, 1, cur FROM s1
+UNION ALL SELECT start, w, 2, cur FROM s2
+UNION ALL SELECT start, w, 3, cur FROM s3
+UNION ALL SELECT start, w, 4, cur FROM s4
+"""
+    )
 
     sql["triangle_counts"] = (
         graph_edges.replace(

@@ -1517,3 +1517,236 @@ def _hits_distributed(edges_ds, *, iterations: int):
     return hubs.map_batches(out_h, batch_format="pyarrow").union(
         auth.map_batches(out_a, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepWalk-style deterministic walk corpus (Perozzi et al. 2014)
+# ---------------------------------------------------------------------------
+
+def _walk_index(start: str, walk: int, step: int, cur: str,
+                deg: int) -> int:
+    import hashlib
+
+    key = f"{start}|{walk}|{step}|{cur}"
+    return int(hashlib.md5(key.encode()).hexdigest()[:6], 16) % deg
+
+
+def deepwalk_corpus(sf_dir: str, *, walk_len: int = 4,
+                    walks_per_node: int = 2,
+                    distributed: bool | None = None):
+    """DeepWalk/node2vec data prep: ``walks_per_node`` walks of
+    ``walk_len`` steps from EVERY node of the co-occurrence graph →
+    (start, walk, step, node) node-sequence training corpus.  Real
+    DeepWalk samples transitions uniformly at random; a reproducible
+    pipeline needs the walk to be a pure function of content, so the
+    step-``s`` transition picks sorted-neighbor index
+    ``md5("start|walk|s|cur")[:6] % degree`` — the repo's standard
+    seeded-closed-form pattern, replayed exactly by the SQL oracle.
+
+    Scale shape: numpy/dict fastpath under ``EDGE_FASTPATH_ROWS``;
+    above it, per step TWO hash joins (frontier ⋈ degree → index,
+    then (cur, idx) ⋈ the row_number-indexed adjacency) — walk state
+    is (start, walk, cur), never materialized beyond one step's
+    frontier, and every exchange is bounded by nodes × walks."""
+    from outbreak_kg_ray.sources.io import empty_dataset
+
+    schema = {
+        "start": pa.string(), "walk": pa.int64(),
+        "step": pa.int64(), "node": pa.string(),
+    }
+    edges_ds = symmetric_cooccurrence_edges(sf_dir).materialize()
+    if _edge_count(edges_ds) == 0:
+        return empty_dataset(schema)
+    if distributed is None:
+        distributed = _edge_count(edges_ds) > EDGE_FASTPATH_ROWS
+    if not distributed:
+        import ray.data as rd
+
+        rows = edges_ds.take_all()
+        adj: dict[str, list[str]] = {}
+        for r in rows:
+            adj.setdefault(r["u"], []).append(r["v"])
+        for k in adj:
+            adj[k] = sorted(set(adj[k]))
+        out_s, out_w, out_p, out_n = [], [], [], []
+        for start in sorted(adj):
+            for w in range(walks_per_node):
+                cur = start
+                out_s.append(start); out_w.append(w)
+                out_p.append(0); out_n.append(cur)
+                for s in range(1, walk_len + 1):
+                    nbs = adj[cur]
+                    cur = nbs[_walk_index(start, w, s, cur, len(nbs))]
+                    out_s.append(start); out_w.append(w)
+                    out_p.append(s); out_n.append(cur)
+        return rd.from_arrow(pa.table(
+            {
+                "start": pa.array(out_s, pa.string()),
+                "walk": pa.array(out_w, pa.int64()),
+                "step": pa.array(out_p, pa.int64()),
+                "node": pa.array(out_n, pa.string()),
+            }
+        ))
+    return _deepwalk_distributed(
+        edges_ds, walk_len=walk_len, walks_per_node=walks_per_node
+    )
+
+
+def _deepwalk_distributed(edges_ds, *, walk_len: int,
+                          walks_per_node: int):
+    """General path: adjacency indexed once (per-node sorted
+    neighbor rank via one keyed exchange); each step joins the
+    frontier to the degree table (picks the md5 index) and then to
+    the indexed adjacency (follows the edge)."""
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    n_edges = edges_ds.count()
+    nparts = _join_partitions(n_edges)
+
+    _adj_schema = pa.schema(
+        [("node", pa.string()), ("idx", pa.int64()),
+         ("nb", pa.string()), ("deg", pa.int64())]
+    )
+
+    def index_adj(g: pa.Table) -> pa.Table:
+        u = np.asarray(g.column("u").to_pylist(), dtype=object)
+        v = np.asarray(g.column("v").to_pylist(), dtype=object)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        # dedup (u, v) then rank within u
+        keep = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1]))
+        )
+        u, v = u[keep], v[keep]
+        n = len(u)
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)
+        )
+        idx = np.arange(n) - run_start
+        # degree fans back to members: run length via next start
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.concatenate((starts, [n])))
+        deg = lens[np.cumsum(first) - 1]
+        return pa.table(
+            {
+                "node": pa.array(u.tolist(), pa.string()),
+                "idx": pa.array(idx, pa.int64()),
+                "nb": pa.array(v.tolist(), pa.string()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    adj = keyed_partitions(
+        edges_ds, ["u"], index_adj, schema=_adj_schema
+    ).materialize()
+    deg = adj.map_batches(
+        lambda t: (
+            pa.table({"node": t.column("node"), "deg": t.column("deg")})
+            .group_by(["node", "deg"]).aggregate([])
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_pylist()
+        return pa.table(
+            {
+                "start": pa.array(
+                    [x for x in nodes for _ in range(walks_per_node)],
+                    pa.string(),
+                ),
+                "walk": pa.array(
+                    [w for _ in nodes for w in range(walks_per_node)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    frontier = deg.map_batches(
+        lambda t: seed(t).append_column(
+            "cur", pa.array(
+                [x for x in t.column("node").to_pylist()
+                 for _ in range(walks_per_node)], pa.string()
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    outputs = [frontier.map_batches(
+        lambda t: pa.table(
+            {"start": t.column("start"), "walk": t.column("walk"),
+             "step": pa.array([0] * len(t), pa.int64()),
+             "node": t.column("cur")}
+        ),
+        batch_format="pyarrow",
+    )]
+    _f_schema = pa.schema(
+        [("start", pa.string()), ("walk", pa.int64()),
+         ("cur", pa.string())]
+    )
+    for s in range(1, walk_len + 1):
+        with_deg = frontier.join(
+            deg, "inner", nparts, on=("cur",), right_on=("node",)
+        )
+
+        def pick(t: pa.Table, _s=s) -> pa.Table:
+            if "cur" not in t.column_names or len(t) == 0:
+                return pa.schema(
+                    [("start", pa.string()), ("walk", pa.int64()),
+                     ("cur", pa.string()), ("idx", pa.int64())]
+                ).empty_table()
+            starts = t.column("start").to_pylist()
+            walks = t.column("walk").to_pylist()
+            curs = t.column("cur").to_pylist()
+            degs = t.column("deg").to_pylist()
+            idx = [
+                _walk_index(a, w, _s, c, d)
+                for a, w, c, d in zip(starts, walks, curs, degs)
+            ]
+            return pa.table(
+                {"start": pa.array(starts, pa.string()),
+                 "walk": pa.array(walks, pa.int64()),
+                 "cur": pa.array(curs, pa.string()),
+                 "idx": pa.array(idx, pa.int64())}
+            )
+
+        stepped = (
+            with_deg.map_batches(pick, batch_format="pyarrow")
+            .join(
+                adj.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"),
+                         "idx": t.column("idx"),
+                         "nb": t.column("nb")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                "inner", nparts,
+                on=("cur", "idx"), right_on=("node", "idx"),
+            )
+        )
+        frontier = stepped.map_batches(
+            lambda t: (
+                pa.table(
+                    {"start": t.column("start"),
+                     "walk": t.column("walk"),
+                     "cur": t.column("nb")}
+                )
+                if "nb" in t.column_names and len(t)
+                else _f_schema.empty_table()
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        outputs.append(frontier.map_batches(
+            lambda t, _s=s: pa.table(
+                {"start": t.column("start"), "walk": t.column("walk"),
+                 "step": pa.array([_s] * len(t), pa.int64()),
+                 "node": t.column("cur")}
+            ),
+            batch_format="pyarrow",
+        ))
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

@@ -390,3 +390,33 @@ def test_hits_distributed_matches_fastpath(ray_session):
         v = np.array([s for (_, k), s in fast.items() if k == kind])
         assert len(v) > 0
         assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+
+def test_deepwalk_distributed_matches_fastpath(ray_session):
+    """Join-per-step path and the dict fastpath produce the same
+    walk set; every consecutive (step s, s+1) pair is a real edge."""
+    from outbreak_kg_ray.pipelines import graph as g
+
+    SF = "/root/testdata/sf0.001"
+    fast = sorted(
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in g.deepwalk_corpus(SF, distributed=False).take_all()
+    )
+    dist = sorted(
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in g.deepwalk_corpus(SF, distributed=True).take_all()
+    )
+    assert fast == dist
+    edges = {
+        (r["u"], r["v"])
+        for r in g.symmetric_cooccurrence_edges(SF).take_all()
+    }
+    walks = {}
+    for s_, w_, p_, n_ in fast:
+        walks.setdefault((s_, w_), {})[p_] = n_
+    assert walks
+    for (s_, w_), seq in walks.items():
+        assert seq[0] == s_
+        assert sorted(seq) == list(range(len(seq)))
+        for p_ in range(1, len(seq)):
+            assert (seq[p_ - 1], seq[p_]) in edges
