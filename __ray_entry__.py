@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_pairs": lmdata.span_corruption_pairs,
         "next_event_examples": lmdata.next_event_examples,
         "negative_sampling_table": lmdata.negative_sampling_table,
+        "skipgram_pairs": lmdata.skipgram_pairs,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -4679,6 +4680,24 @@ SELECT w AS token, freq,
        CAST((65536 * (lo + m)) // tot - (65536 * lo) // tot
             AS BIGINT) AS n_slots
 FROM c
+"""
+
+    # skip-gram pair counts (±2 window, min_count 2) — mirrors
+    # pipelines/lmdata.py:skipgram_pairs
+    sql["skipgram_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS w,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p
+  FROM documents
+)
+SELECT a.w AS center, b.w AS context, COUNT(*) AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 2
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
 """
 
     # GPT-style next-event examples: per-user lag-window contexts —

@@ -283,3 +283,79 @@ def negative_sampling_table(sf_dir: str, *, table_size: int = 1 << 16,
         )
 
     return keyed_partitions(tf, ["freq"], assign, schema=schema)
+
+
+def skipgram_pairs(sf_dir: str, *, window: int = 2,
+                   min_count: int = 2):
+    """Skip-gram (center, context) pair counts with a ±``window``
+    token window (Mikolov et al. 2013 §2) → (center, context, n)
+    for pairs seen ≥ ``min_count`` times — the co-occurrence stream
+    word2vec/GloVe-style embedding training consumes, and the
+    natural companion of :func:`negative_sampling_table`.
+
+    Scale shape: pure streaming pair generation (zero state) with a
+    batch-local ``np.unique`` combiner, then ONE grouped sum bounded
+    by the distinct-pair vocabulary (≤ vocab² but Zipf-concentrated
+    in practice); the min_count cut is a vectorized post-filter on
+    the aggregate, never a driver collect."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    schema = pa.schema(
+        [("center", pa.string()), ("context", pa.string()),
+         ("n", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks = x.split()
+            for d in range(1, window + 1):
+                if len(toks) <= d:
+                    continue
+                left, right = toks[:-d], toks[d:]
+                # both directions: (center, context) and mirrored
+                pairs.extend(map("\x1f".join, zip(left, right)))
+                pairs.extend(map("\x1f".join, zip(right, left)))
+        if not pairs:
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.array(pairs, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"pair": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    counted = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        if "pair" not in t.column_names or len(t) == 0:
+            return schema.empty_table()
+        t = t.filter(
+            pc.greater_equal(t.column("n"), pa.scalar(min_count))
+        )
+        parts = pc.split_pattern(t.column("pair"), "\x1f")
+        return pa.table(
+            {
+                "center": pc.list_element(parts, 0),
+                "context": pc.list_element(parts, 1),
+                "n": t.column("n"),
+            }
+        )
+
+    return counted.map_batches(split, batch_format="pyarrow")

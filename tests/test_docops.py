@@ -1441,3 +1441,32 @@ def test_negative_sampling_table_partitions_slots(sf_dir):
     slots = [r["n_slots"] for r in ordered]
     for a, b in zip(slots, slots[1:]):
         assert b <= a + 1  # floor jitter only; allocation follows rank
+
+
+def test_skipgram_pairs_symmetric_and_windowed(sf_dir):
+    """Pair counts are symmetric (window pairing emits both
+    directions) and match a direct python recount."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import lmdata
+
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in lmdata.skipgram_pairs(sf_dir).take_all()
+    }
+    assert got
+    expect = collections.Counter()
+    for r in pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pylist():
+        toks = r["text"].split()
+        for i, c in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    expect[(c, toks[j])] += 1
+    expect = {k: v for k, v in expect.items() if v >= 2}
+    assert got == expect
+    for (a, b), n in got.items():
+        assert got.get((b, a)) == n
