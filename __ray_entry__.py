@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_buckets": docops.length_buckets,
         "preference_pairs": docops.preference_pairs,
         "near_dup_keep_best": docops.near_dup_keep_best,
+        "oversample_balanced": docops.oversample_balanced,
         "bigram_nll": docops.bigram_nll,
         "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
@@ -1054,6 +1055,22 @@ SELECT a.lang, a.source,
 FROM r a
 JOIN r b ON a.lang = b.lang AND a.source = b.source AND b.rb = a.rt
 WHERE a.rt <= a.n // 2 AND a.quality > b.quality
+"""
+
+    # class-balanced oversampling — mirrors
+    # docops.py:oversample_balanced (replicate floor(max/n) per class)
+    sql["oversample_balanced"] = """
+WITH pool AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label
+  FROM embeddings WHERE vec_id % (label + 1) = 0
+),
+c AS (SELECT label, COUNT(*) AS n FROM pool GROUP BY label),
+f AS (
+  SELECT label, CAST((SELECT MAX(n) FROM c) // n AS BIGINT) AS k
+  FROM c
+)
+SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
+FROM pool e JOIN f ON f.label = e.label
 """
 
     # mirrors pipelines/docops.py:diversified_topk (k=10, quota 2)

@@ -4450,3 +4450,80 @@ def near_dup_keep_best(sf_dir: str):
     return keyed_partitions(
         labeled, ["cluster_id"], keep_best, schema=schema
     )
+
+
+def oversample_balanced(sf_dir: str):
+    """Class-balanced oversampling (imbalanced-training prep): each
+    embedding row is replicated ``floor(max_class_count / own_class
+    count)`` times → (vec_id, label, copy_idx), so every class's
+    replicated mass approaches the majority class — the deterministic
+    analog of minority-class oversampling.
+
+    The synthetic embeddings table is class-balanced by construction,
+    so the op first takes the deterministic subset
+    ``vec_id % (label + 1) == 0`` (label 0 keeps all rows, label k
+    keeps ~1/(k+1)) — a replayable stand-in for the imbalanced
+    labeled pools real classifier training starts from.
+
+    Scale shape: the class-count table is label-bounded (one grouped
+    count), broadcast once; replication is a streaming vectorized
+    fan-out (np.repeat + segmented arange) with no shuffle — output
+    size is ≤ #classes × max_class_count by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("copy_idx", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    def imbalance(t: pa.Table) -> pa.Table:
+        vec = t.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = vec % (lab + 1) == 0
+        return pa.table(
+            {"vec_id": pa.array(vec[keep], pa.int64()),
+             "label": pa.array(lab[keep], pa.int64())}
+        )
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(imbalance, batch_format="pyarrow")
+    counts = {
+        int(r["label"]): r["count()"]
+        for r in emb.groupby("label").count().take_all()
+    }  # label-bounded
+    mx = max(counts.values())
+    factors = {lab: mx // n for lab, n in counts.items()}
+    ref = ray.put(factors)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        vec = t.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = np.fromiter(
+            (f[int(x)] for x in lab), dtype=np.int64, count=len(lab)
+        )
+        rep_v = np.repeat(vec, k)
+        rep_l = np.repeat(lab, k)
+        # segmented 0..k_i-1 copy indices
+        ends = np.cumsum(k)
+        idx = np.arange(ends[-1] if len(ends) else 0) - np.repeat(
+            ends - k, k
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(rep_v, pa.int64()),
+                "label": pa.array(rep_l, pa.int64()),
+                "copy_idx": pa.array(idx, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(fan_out, batch_format="pyarrow")

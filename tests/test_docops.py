@@ -1470,3 +1470,39 @@ def test_skipgram_pairs_symmetric_and_windowed(sf_dir):
     assert got == expect
     for (a, b), n in got.items():
         assert got.get((b, a)) == n
+
+
+def test_oversample_balanced_replication(sf_dir):
+    """Every pool row appears exactly floor(max/n_class) times with
+    contiguous copy indices, and post-balance class masses are within
+    one replication factor of the majority class."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    pool = collections.Counter()
+    for r in pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pylist():
+        if r["vec_id"] % (r["label"] + 1) == 0:
+            pool[r["label"]] += 1
+    mx = max(pool.values())
+    rows = docops.oversample_balanced(sf_dir).take_all()
+    per_row = collections.Counter()
+    for r in rows:
+        per_row[(r["vec_id"], r["label"])] += 1
+    out_mass = collections.Counter()
+    for (v, lab), k in per_row.items():
+        assert k == mx // pool[lab]
+        out_mass[lab] += k
+    for lab, m in out_mass.items():
+        assert mx - m < mx // pool[lab] * pool[lab] + pool[lab]
+        assert m <= mx
+    # copy indices are 0..k-1 per row
+    seen = collections.defaultdict(set)
+    for r in rows:
+        seen[(r["vec_id"], r["label"])].add(r["copy_idx"])
+    for key, idxs in seen.items():
+        assert idxs == set(range(len(idxs)))
