@@ -4406,15 +4406,50 @@ def near_dup_keep_best(sf_dir: str):
     from ..stages.dedup import _join_partitions_for
     from ..stages.shuffle import keyed_partitions
 
-    pairs = prefix_block_jaccard(sf_dir)
-    labels = dd.connected_components(
-        pairs, a_col="doc_a", b_col="doc_b"
-    ).map_batches(
-        lambda t: pa.table(
-            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
-        ),
-        batch_format="pyarrow",
-    )
+    pairs = prefix_block_jaccard(sf_dir).materialize()
+    # same auto-split as the graph module: under the fastpath bound
+    # the pair list is driver-trivial (union-find beats 4 join
+    # rounds of all-overhead); past it, the distributed min-label
+    # propagation takes over unchanged
+    from .graph import EDGE_FASTPATH_ROWS
+
+    if pairs.count() <= EDGE_FASTPATH_ROWS:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.take_all():
+            a, b = r["doc_a"], r["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        import ray.data as rd
+
+        members = sorted(parent)
+        labels = rd.from_arrow(pa.table(
+            {
+                "doc_id": pa.array(members, pa.int64()),
+                "cluster_id": pa.array(
+                    [find(m) for m in members], pa.int64()
+                ),
+            }
+        ))
+    else:
+        labels = dd.connected_components(
+            pairs, a_col="doc_a", b_col="doc_b"
+        ).map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("node"),
+                 "cluster_id": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
 
     def slim(t: pa.Table) -> pa.Table:
         q = ts.quality_batch(t)
