@@ -304,6 +304,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "near_dup_keep_best": lambda: docops.near_dup_keep_best(sf_dir),
         "padded_batch_plan": lambda: pack.padded_batch_plan(sf_dir),
         "hits_scores": lambda: graph.hits_scores(sf_dir),
+        "negative_sampling_table": lambda: (
+            _lmdata().negative_sampling_table(sf_dir)
+        ),
+        "skipgram_pairs": lambda: _lmdata().skipgram_pairs(sf_dir),
+        "deepwalk_corpus": lambda: graph.deepwalk_corpus(sf_dir),
+        "oversample_balanced": lambda: docops.oversample_balanced(
+            sf_dir
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
