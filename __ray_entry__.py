@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": temporal.sessionize_events,
         "event_transitions": temporal.event_transitions,
         "user_gap_stats": temporal.user_gap_stats,
+        "late_event_report": temporal.late_event_report,
         "revenue_yoy": relational.revenue_yoy,
         "langid_confusion": docops.langid_confusion,
         "export_by_lang": docops.export_by_lang,
@@ -3746,6 +3747,30 @@ GROUP BY e.event_type, q.qlo, q.qhi
 
     # per-user inter-event gap statistics (exact microsecond gaps).
     # Mirrors pipelines/temporal.py:user_gap_stats
+    # out-of-order arrival audit — mirrors
+    # pipelines/temporal.py:late_event_report (arrival = block-4
+    # delivery shuffle of event_id; late iff ts < running max ts of
+    # earlier arrivals)
+    sql["late_event_report"] = """
+WITH o AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id
+                       ORDER BY event_id - event_id % 4
+                                + (3 - event_id % 4)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prior_max
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN ts < prior_max
+                     THEN epoch_us(prior_max) - epoch_us(ts) END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM o GROUP BY user_id
+"""
+
     sql["user_gap_stats"] = """
 WITH g AS (
   SELECT user_id,

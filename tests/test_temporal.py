@@ -1277,3 +1277,46 @@ def test_user_type_scd2_invariants(sf_dir):
                 == nxt[closed].values).all()
         # no two consecutive intervals share a type
         assert (g["event_type"].shift() != g["event_type"]).iloc[1:].all()
+
+
+def test_late_event_report_matches_python(sf_dir):
+    """Per-user late counts and max lateness match a direct python
+    replay of the block-4 delivery shuffle, and lateness is nonzero
+    somewhere (the audit is non-degenerate on the testdata)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).to_pylist()
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        arr = r["event_id"] - r["event_id"] % 4 + (3 - r["event_id"] % 4)
+        by_user[r["user_id"]].append((arr, r["ts"]))
+    expect = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        prior, n_late, max_late = None, 0, 0
+        for _, ts in rows:
+            if prior is not None and ts < prior:
+                n_late += 1
+                d = prior - ts
+                max_late = max(
+                    max_late,
+                    d.days * 86_400_000_000 + d.seconds * 1_000_000
+                    + d.microseconds,
+                )
+            prior = ts if prior is None else max(prior, ts)
+        expect[u] = (len(rows), n_late, max_late)
+
+    got = temporal.late_event_report(sf_dir).take_all()
+    assert len(got) == len(expect)
+    for r in got:
+        assert expect[r["user_id"]] == (
+            r["n_events"], r["n_late"], r["max_lateness_us"]
+        )
+    assert sum(r["n_late"] for r in got) > 0
