@@ -411,6 +411,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": docops.preference_pairs,
         "near_dup_keep_best": docops.near_dup_keep_best,
         "oversample_balanced": docops.oversample_balanced,
+        # absolute min_df=2 pinned for the audit query (the library
+        # default is corpus-relative, which is correct at scale but
+        # empties on the testdata's sf0.1 dup density)
+        "repeated_span_report": (
+            lambda sf_dir: docops.repeated_span_report(
+                sf_dir, min_df=2
+            )
+        ),
         "bigram_nll": docops.bigram_nll,
         "user_type_entropy": relational.user_type_entropy,
         "boilerplate_ratio": docops.boilerplate_ratio,
@@ -1072,6 +1080,43 @@ f AS (
 )
 SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
 FROM pool e JOIN f ON f.label = e.label
+"""
+
+    # sliding-window repeated-span report — mirrors
+    # docops.py:repeated_span_report (8-token windows at every
+    # offset, corpus-relative df cut, merged coverage islands)
+    sql["repeated_span_report"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS p,
+         array_to_string(ws[CAST(t.p AS INT):CAST(t.p + 7 AS INT)],
+                         ' ') AS w8
+  FROM toks, LATERAL unnest(range(1, len(ws) - 6)) AS t(p)
+  WHERE len(ws) >= 8
+),
+hot AS (
+  SELECT w8 FROM win GROUP BY w8
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT f.doc_id, f.p + z.o AS pos
+  FROM (SELECT DISTINCT doc_id, p FROM win JOIN hot USING (w8)) f,
+       LATERAL unnest(range(0, 8)) AS z(o)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS grp
+  FROM cov
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+       MAX(pos) - MIN(pos) + 1 AS span_len
+FROM isl GROUP BY doc_id, grp
 """
 
     # mirrors pipelines/docops.py:diversified_topk (k=10, quota 2)

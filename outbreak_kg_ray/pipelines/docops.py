@@ -4562,3 +4562,153 @@ def oversample_balanced(sf_dir: str):
         )
 
     return emb.map_batches(fan_out, batch_format="pyarrow")
+
+
+def repeated_span_report(sf_dir: str, *, k: int = 8,
+                         min_df: int | None = None,
+                         min_df_frac: float = 0.004):
+    """Sliding-window repeated-span detection (Lee et al. 2022
+    "Deduplicating Training Data" §3, window analog of their
+    suffix-array exact-substring pass): find every ``k``-token
+    window occurring in ≥ min_df documents at ANY offset, and report
+    each doc's MAXIMAL merged repeated spans → (doc_id, span_start,
+    span_end, span_len), 1-based token positions.  Unlike
+    :func:`dedup_spans` (aligned disjoint chunks, rewrite transform)
+    this scans all offsets and reports the merged interval map — the
+    audit a suffix-array dedup run produces before cutting.
+
+    Scale shape: mirrors dedup_spans — pass 1 pre-collapses per-doc
+    DISTINCT rolling window hashes inside each block before ONE
+    grouped df sum; survivors under the CORPUS-RELATIVE threshold
+    (df ≥ max(2, ceil(frac·n_docs))) form the bounded broadcast hot
+    set; pass 2 streams, probing each doc's windows by vectorized
+    searchsorted and merging covered positions into islands."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.decontam import TokenHasher, gram_hashes, tokenize
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("span_start", pa.int64()),
+         ("span_end", pa.int64()), ("span_len", pa.int64())]
+    )
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
+    if n_docs == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+    if min_df is None:
+        min_df = relative_min_df(n_docs, floor=2, frac=min_df_frac)
+
+    docs = _documents(sf_dir)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        hasher = TokenHasher()
+        gs: list[np.ndarray] = []
+        for x in t.column("text").to_pylist():
+            toks = tokenize(x)
+            if len(toks) >= k:
+                gs.append(np.unique(
+                    gram_hashes(hasher.hash_tokens(toks), k)
+                    .view(np.int64)
+                ))
+        if not gs:
+            return pa.table(
+                {"g": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        cat = np.concatenate(gs)
+        uniq, cnt = np.unique(cat, return_counts=True)
+        return pa.table(
+            {"g": pa.array(uniq, pa.int64()),
+             "df": pa.array(cnt, pa.int64())}
+        )
+
+    import pyarrow.compute as _pc
+
+    def hot_cut(t: pa.Table) -> pa.Table:
+        if "g" not in t.column_names or len(t) == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        return pa.table(
+            {"g": t.filter(
+                _pc.greater_equal(t.column("df"), pa.scalar(min_df))
+            ).column("g")}
+        )
+
+    hot_parts = [
+        b.column("g").to_numpy()
+        for b in (
+            docs.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Sum("df", alias_name="df"))
+            .map_batches(hot_cut, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        if b.num_rows
+    ]
+    hot = (
+        np.unique(np.concatenate(hot_parts))
+        if hot_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    class SpanProbe:
+        def __init__(self, ref) -> None:
+            self._hot: np.ndarray = ray.get(ref)
+            self._hasher = TokenHasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_d, out_s, out_e = [], [], []
+            hot_ = self._hot
+            for doc_id, x in zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            ):
+                toks = tokenize(x)
+                n = len(toks)
+                if n < k or len(hot_) == 0:
+                    continue
+                g = gram_hashes(
+                    self._hasher.hash_tokens(toks), k
+                ).view(np.int64)
+                idx = np.minimum(
+                    np.searchsorted(hot_, g), len(hot_) - 1
+                )
+                flagged = np.flatnonzero(hot_[idx] == g)
+                if not len(flagged):
+                    continue
+                covered = np.zeros(n + 1, dtype=np.int64)
+                covered[flagged] += 1
+                covered[np.minimum(flagged + k, n)] -= 1
+                mask = np.cumsum(covered[:-1]) > 0
+                d = np.diff(mask.astype(np.int8))
+                starts = np.flatnonzero(d == 1) + 1
+                ends = np.flatnonzero(d == -1) + 1
+                if mask[0]:
+                    starts = np.concatenate(([0], starts))
+                if mask[-1]:
+                    ends = np.concatenate((ends, [n]))
+                for s, e in zip(starts, ends):
+                    out_d.append(doc_id)
+                    out_s.append(int(s) + 1)
+                    out_e.append(int(e))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "span_start": pa.array(out_s, pa.int64()),
+                    "span_end": pa.array(out_e, pa.int64()),
+                    "span_len": pa.array(
+                        np.asarray(out_e, dtype=np.int64)
+                        - np.asarray(out_s, dtype=np.int64) + 1,
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    from outbreak_kg_ray.sources.io import pinned_schema
+
+    return pinned_schema(
+        map_stage(docs, SpanProbe, batch_size=512, ctor_args=(hot_ref,)),
+        schema,
+    )

@@ -1506,3 +1506,51 @@ def test_oversample_balanced_replication(sf_dir):
         seen[(r["vec_id"], r["label"])].add(r["copy_idx"])
     for key, idxs in seen.items():
         assert idxs == set(range(len(idxs)))
+
+
+def test_repeated_span_report_spans_are_real_duplicates(sf_dir):
+    """Every reported span covers only windows whose 8-token text
+    occurs in >= 2 documents, spans are maximal (no adjacent
+    flagged window extends them), and positions are in-range."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    texts = {
+        r["doc_id"]: r["text"].split()
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    df = collections.Counter()
+    win_docs = collections.defaultdict(set)
+    for d, toks in texts.items():
+        for p in range(len(toks) - 7):
+            win_docs[" ".join(toks[p:p + 8])].add(d)
+    hot = {w for w, ds_ in win_docs.items() if len(ds_) >= 2}
+
+    # expected islands per doc
+    expect = collections.defaultdict(list)
+    for d, toks in texts.items():
+        covered = [False] * len(toks)
+        for p in range(len(toks) - 7):
+            if " ".join(toks[p:p + 8]) in hot:
+                for o in range(8):
+                    covered[p + o] = True
+        start = None
+        for i, c in enumerate(covered + [False]):
+            if c and start is None:
+                start = i
+            elif not c and start is not None:
+                expect[d].append((start + 1, i))
+                start = None
+
+    got = collections.defaultdict(list)
+    for r in docops.repeated_span_report(sf_dir, min_df=2).take_all():
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    assert {d: sorted(v) for d, v in got.items()} == \
+        {d: sorted(v) for d, v in expect.items()}
+    assert got  # non-degenerate
