@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": docops.preference_pairs,
         "near_dup_keep_best": docops.near_dup_keep_best,
         "oversample_balanced": docops.oversample_balanced,
+        "curriculum_rank": docops.curriculum_rank,
         # absolute min_df=2 pinned for the audit query (the library
         # default is corpus-relative, which is correct at scale but
         # empties on the testdata's sf0.1 dup density)
@@ -600,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_examples": lmdata.next_event_examples,
         "negative_sampling_table": lmdata.negative_sampling_table,
         "skipgram_pairs": lmdata.skipgram_pairs,
+        "char_coverage_table": lmdata.char_coverage_table,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -1080,6 +1082,34 @@ f AS (
 )
 SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
 FROM pool e JOIN f ON f.label = e.label
+"""
+
+    # curriculum ordering — mirrors docops.py:curriculum_rank
+    sql["curriculum_rank"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS ns
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         round(least(nt / 100.0, 1.0) * 0.5
+               + CASE WHEN nt = 0 THEN 0.0
+                      ELSE ns / CAST(nt AS DOUBLE) END * 0.3
+               + least((CASE WHEN nt = 0 THEN 0.0
+                        ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END)
+                       / 8.0, 1.0) * 0.2, 6) AS quality
+  FROM s
+)
+SELECT doc_id, quality,
+       row_number() OVER (ORDER BY quality DESC, doc_id ASC)
+         AS "rank",
+       (row_number() OVER (ORDER BY quality DESC, doc_id ASC) - 1)
+         // 64 AS shard
+FROM q
 """
 
     # sliding-window repeated-span report — mirrors
@@ -4767,6 +4797,31 @@ SELECT w AS token, freq,
        CAST((65536 * (lo + m)) // tot - (65536 * lo) // tot
             AS BIGINT) AS n_slots
 FROM c
+"""
+
+    # SentencePiece-style character coverage — mirrors
+    # pipelines/lmdata.py:char_coverage_table (integer in_vocab cut)
+    sql["char_coverage_table"] = """
+WITH chars AS (
+  SELECT substr(text, CAST(t.i AS INT), 1) AS ch
+  FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS t(i)
+),
+f AS (SELECT ch, COUNT(*) AS freq FROM chars GROUP BY ch),
+r AS (
+  SELECT ch, freq,
+         COALESCE(SUM(freq) OVER (
+             ORDER BY freq DESC, ch ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cumb,
+         SUM(freq) OVER (ORDER BY freq DESC, ch ASC) AS cum,
+         SUM(freq) OVER () AS tot
+  FROM f
+)
+SELECT ch, freq,
+       round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS coverage,
+       cumb * 10000 < tot * 9995 AS in_vocab
+FROM r
 """
 
     # skip-gram pair counts (±2 window, min_count 2) — mirrors

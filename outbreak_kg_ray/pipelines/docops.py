@@ -4712,3 +4712,86 @@ def repeated_span_report(sf_dir: str, *, k: int = 8,
         map_stage(docs, SpanProbe, batch_size=512, ctor_args=(hot_ref,)),
         schema,
     )
+
+
+def curriculum_rank(sf_dir: str, *, shard_size: int = 64):
+    """Curriculum-learning order: global rank of every document by
+    (quality DESC, doc_id ASC) plus its training shard
+    ``(rank-1) // shard_size`` → (doc_id, quality, rank, shard) —
+    the easy-to-hard ordering curriculum schedules read, materialized
+    as a shard map so readers can consume it without a global sort.
+
+    Scale shape: the two-level rank scan keyed by the COARSE quality
+    bucket ``floor(quality·100)`` (quality ∈ [0,1] ⇒ ≤ 101 buckets
+    on the driver — floor is monotone, so bucket boundaries respect
+    the global order); one keyed exchange, whole-partition lexsort,
+    offsets broadcast.  No global sort operator anywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("quality", pa.float64()),
+         ("rank", pa.int64()), ("shard", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    from ..stages.shuffle import keyed_partitions
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ts.quality_batch(t)
+        qual = q.column("quality").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": q.column("doc_id"),
+                "quality": q.column("quality"),
+                "bucket": pa.array(
+                    np.floor(qual * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = _documents(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    ).materialize()
+
+    counts = {
+        int(r["bucket"]): r["count()"]
+        for r in scored.groupby("bucket").count().take_all()
+    }  # ≤ 101 rows
+    offs, acc = {}, 0
+    for b in sorted(counts, reverse=True):
+        offs[b] = acc
+        acc += counts[b]
+    off_ref = ray.put(offs)
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        offs_ = ray.get(off_ref)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        qual = g.column("quality").to_numpy(zero_copy_only=False)
+        bkt = g.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -qual, -bkt))
+        doc, qual, bkt = doc[order], qual[order], bkt[order]
+        n = len(doc)
+        first = np.concatenate(([True], bkt[1:] != bkt[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0)
+        )
+        base = np.fromiter(
+            (offs_[int(b)] for b in bkt[first]), dtype=np.int64,
+            count=int(first.sum()),
+        )
+        rank = base[np.cumsum(first) - 1] + (np.arange(n) - run_start) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "quality": pa.array(qual, pa.float64()),
+                "rank": pa.array(rank, pa.int64()),
+                "shard": pa.array((rank - 1) // shard_size, pa.int64()),
+            }
+        )
+
+    return keyed_partitions(
+        scored, ["bucket"], rank_part, schema=schema
+    )

@@ -359,3 +359,70 @@ def skipgram_pairs(sf_dir: str, *, window: int = 2,
         )
 
     return counted.map_batches(split, batch_format="pyarrow")
+
+
+def char_coverage_table(sf_dir: str, *, coverage_bp: int = 9995):
+    """SentencePiece-style character-coverage table (Kudo &
+    Richardson 2018, ``--character_coverage``): corpus character
+    frequencies ranked (freq DESC, char ASC) with cumulative
+    coverage, flagging the smallest prefix of the alphabet that
+    covers ``coverage_bp``/10000 of all characters → (ch, freq,
+    coverage, in_vocab).  The step that decides which characters a
+    tokenizer keeps vs maps to <unk>.
+
+    Exactness: the in_vocab cut is the INTEGER comparison
+    ``cum_before · 10000 < total · coverage_bp`` — no float
+    boundary; ``coverage`` itself is one int/int division rounded
+    6 dp (identical doubles in both engines).
+
+    Scale shape: per-batch ``Counter`` partials → ONE grouped sum
+    bounded by the alphabet; the ranked rollup (≤ alphabet rows)
+    finishes on the driver."""
+    import collections
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    cols = ["ch", "freq", "coverage", "in_vocab"]
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pd.DataFrame(
+            {"ch": pd.Series(dtype=str),
+             "freq": pd.Series(dtype="int64"),
+             "coverage": pd.Series(dtype=float),
+             "in_vocab": pd.Series(dtype=bool)}
+        )
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def char_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for x in t.column("text").to_pylist():
+            c.update(x)
+        return pa.table(
+            {"ch": pa.array(list(c.keys()), pa.string()),
+             "f": pa.array(list(c.values()), pa.int64())}
+        )
+
+    rows = (
+        docs.map_batches(char_partial, batch_format="pyarrow")
+        .groupby("ch")
+        .aggregate(Sum("f", alias_name="freq"))
+        .take_all()
+    )  # alphabet-bounded
+    rows.sort(key=lambda r: (-r["freq"], r["ch"]))
+    total = sum(r["freq"] for r in rows)
+    out, cum = [], 0
+    for r in rows:
+        in_vocab = cum * 10000 < total * coverage_bp
+        cum += r["freq"]
+        out.append(
+            {"ch": r["ch"], "freq": r["freq"],
+             "coverage": round_half_away(cum / total, 6),
+             "in_vocab": in_vocab}
+        )
+    return pd.DataFrame(out, columns=cols)
