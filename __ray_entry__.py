@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_best": docops.near_dup_keep_best,
         "oversample_balanced": docops.oversample_balanced,
         "curriculum_rank": docops.curriculum_rank,
+        "corpus_datacard": docops.corpus_datacard,
         # absolute min_df=2 pinned for the audit query (the library
         # default is corpus-relative, which is correct at scale but
         # empties on the testdata's sf0.1 dup density)
@@ -602,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_sampling_table": lmdata.negative_sampling_table,
         "skipgram_pairs": lmdata.skipgram_pairs,
         "char_coverage_table": lmdata.char_coverage_table,
+        "token_dropout_augment": lmdata.token_dropout_augment,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -1082,6 +1084,35 @@ f AS (
 )
 SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
 FROM pool e JOIN f ON f.label = e.label
+"""
+
+    # dataset-card summary row — mirrors docops.py:corpus_datacard
+    sql["corpus_datacard"] = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS ns
+  FROM documents
+), q AS (
+  SELECT round(least(nt / 100.0, 1.0) * 0.5
+               + CASE WHEN nt = 0 THEN 0.0
+                      ELSE ns / CAST(nt AS DOUBLE) END * 0.3
+               + least((CASE WHEN nt = 0 THEN 0.0
+                        ELSE (nc - (nt - 1)) / CAST(nt AS DOUBLE) END)
+                       / 8.0, 1.0) * 0.2, 6) AS quality
+  FROM s
+)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT CAST(SUM(nt) AS BIGINT) FROM s) AS n_tokens,
+  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+  (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+  round(1.0 - (SELECT COUNT(DISTINCT md5(text)) FROM documents)
+            * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS dup_rate,
+  (SELECT round(SUM(quality) / COUNT(*), 6) FROM q) AS mean_quality
 """
 
     # curriculum ordering — mirrors docops.py:curriculum_rank
@@ -4797,6 +4828,33 @@ SELECT w AS token, freq,
        CAST((65536 * (lo + m)) // tot - (65536 * lo) // tot
             AS BIGINT) AS n_slots
 FROM c
+"""
+
+    # deterministic token-dropout augmentation — mirrors
+    # pipelines/lmdata.py:token_dropout_augment
+    sql["token_dropout_augment"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+fan AS (
+  SELECT t.doc_id, a.aug_id, t.ws
+  FROM toks t, (VALUES (0), (1)) a(aug_id)
+),
+pos AS (
+  SELECT doc_id, aug_id, ws[CAST(p AS INT)] AS w, p
+  FROM fan, LATERAL unnest(range(1, len(ws) + 1)) AS z(p)
+  WHERE (doc_id + aug_id + p) % 7 <> 0
+)
+SELECT f.doc_id, CAST(f.aug_id AS BIGINT) AS aug_id,
+       COALESCE(p.txt, '') AS text
+FROM fan f
+LEFT JOIN (
+  SELECT doc_id, aug_id, string_agg(w, ' ' ORDER BY p) AS txt
+  FROM pos GROUP BY doc_id, aug_id
+) p ON p.doc_id = f.doc_id AND p.aug_id = f.aug_id
 """
 
     # SentencePiece-style character coverage — mirrors

@@ -4795,3 +4795,85 @@ def curriculum_rank(sf_dir: str, *, shard_size: int = 64):
     return keyed_partitions(
         scored, ["bucket"], rank_part, schema=schema
     )
+
+
+def corpus_datacard(sf_dir: str):
+    """Dataset-card summary row (the "data card" every corpus release
+    ships): one row of corpus-level facts — n_docs, n_tokens,
+    n_langs, n_sources, exact-dup rate, mean quality — composed
+    entirely from this engine's one-pass aggregates.
+
+    Scale shape: ONE streaming stats pass (per-batch scalar
+    partials), two vocabulary-bounded distinct counts (lang,
+    source), and one hash-keyed distinct-content count (the
+    exact-dedup exchange); the driver holds six scalars."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    cols = ["n_docs", "n_tokens", "n_langs", "n_sources",
+            "dup_rate", "mean_quality"]
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="float64" if c in
+                          ("dup_rate", "mean_quality") else "int64")
+             for c in cols}
+        )
+
+    docs = _documents(sf_dir, ("doc_id", "text", "lang", "source"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = ts.quality_batch(t)
+        nt = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        qual = q.column("quality").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(nt)], pa.int64()),
+                "tok": pa.array([int(nt.sum())], pa.int64()),
+                "sumq": pa.array([float(qual.sum())], pa.float64()),
+            }
+        )
+
+    scal = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .sum(["n", "tok", "sumq"])
+    )
+    n_docs, n_tokens = scal["sum(n)"], scal["sum(tok)"]
+    sumq = scal["sum(sumq)"]
+
+    n_langs = docs.select_columns(["lang"]).groupby("lang").count().count()
+    n_sources = (
+        docs.select_columns(["source"]).groupby("source").count().count()
+    )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(x.encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    n_distinct = (
+        docs.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("h")
+        .count()
+        .count()
+    )
+    return pd.DataFrame(
+        [{
+            "n_docs": n_docs,
+            "n_tokens": n_tokens,
+            "n_langs": n_langs,
+            "n_sources": n_sources,
+            "dup_rate": round_half_away(
+                1.0 - n_distinct / n_docs, 6
+            ),
+            "mean_quality": round_half_away(sumq / n_docs, 6),
+        }],
+        columns=cols,
+    )

@@ -426,3 +426,49 @@ def char_coverage_table(sf_dir: str, *, coverage_bp: int = 9995):
              "in_vocab": in_vocab}
         )
     return pd.DataFrame(out, columns=cols)
+
+
+def token_dropout_augment(sf_dir: str, *, n_augments: int = 2,
+                          modulus: int = 7):
+    """EDA-style token-dropout augmentation (Wei & Zou 2019 random
+    deletion, made reproducible): each document yields ``n_augments``
+    variants where token at 1-based position ``p`` is dropped iff
+    ``(doc_id + aug_id + p) % modulus == 0`` — the deterministic
+    stand-in for random deletion, a pure function of content
+    position like every seeded op in this repo → (doc_id, aug_id,
+    text).  Docs whose variant drops every token still emit a row
+    (empty text) so output cardinality is exactly docs × augments.
+
+    Scale shape: pure streaming map_batches fan-out, zero shuffle,
+    zero state."""
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("aug_id", pa.int64()),
+         ("text", pa.string())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids_out, aug_out, txt_out = [], [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = x.split()
+            n = len(toks)
+            p = np.arange(1, n + 1, dtype=np.int64)
+            for a in range(n_augments):
+                keep = (doc_id + a + p) % modulus != 0
+                ids_out.append(doc_id)
+                aug_out.append(a)
+                txt_out.append(
+                    " ".join(np.asarray(toks, dtype=object)[keep])
+                )
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "aug_id": pa.array(aug_out, pa.int64()),
+             "text": pa.array(txt_out, pa.string())}
+        )
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(augment, batch_format="pyarrow")

@@ -1599,3 +1599,48 @@ def test_char_coverage_table_tiles_corpus(sf_dir):
             seen_false = True
         else:
             assert not seen_false
+
+
+def test_token_dropout_augment_roundtrip(sf_dir):
+    """Exactly n_augments rows per doc; each variant equals the
+    closed-form deletion of its source text."""
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import lmdata
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    rows = lmdata.token_dropout_augment(sf_dir).take_all()
+    assert len(rows) == 2 * len(texts)
+    for r in rows[:300]:
+        toks = texts[r["doc_id"]].split()
+        expect = " ".join(
+            w for p, w in enumerate(toks, start=1)
+            if (r["doc_id"] + r["aug_id"] + p) % 7 != 0
+        )
+        assert r["text"] == expect
+        assert len(r["text"].split()) < max(len(toks), 1) or not toks
+
+
+def test_corpus_datacard_scalars(sf_dir):
+    """Datacard facts match direct recomputation."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    card = docops.corpus_datacard(sf_dir).iloc[0]
+    texts = t.column("text").to_pylist()
+    assert card["n_docs"] == len(texts)
+    assert card["n_tokens"] == sum(len(x.split()) for x in texts)
+    assert card["n_langs"] == len(set(t.column("lang").to_pylist()))
+    assert card["n_sources"] == len(set(t.column("source").to_pylist()))
+    distinct = len({hashlib.md5(x.encode()).hexdigest() for x in texts})
+    assert abs(card["dup_rate"] - (1 - distinct / len(texts))) < 1e-6
+    assert 0.0 <= card["mean_quality"] <= 1.0
