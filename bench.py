@@ -312,6 +312,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "oversample_balanced": lambda: docops.oversample_balanced(
             sf_dir
         ),
+        "repeated_span_report": lambda: docops.repeated_span_report(
+            sf_dir, min_df=2
+        ),
+        "late_event_report": lambda: temporal.late_event_report(sf_dir),
+        "curriculum_rank": lambda: docops.curriculum_rank(sf_dir),
+        "token_dropout_augment": lambda: (
+            _lmdata().token_dropout_augment(sf_dir)
+        ),
+        "corpus_datacard": lambda: docops.corpus_datacard(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
