@@ -472,6 +472,86 @@ def run_events_stress(sf_dir: str, repeat: int) -> dict:
     }
 
 
+def run_docs_stress(sf_dir: str, repeat: int) -> dict:
+    """×repeat-replication stress of the WEBTEXT curation path — the
+    graft's payload family, which the KG/encode/events stresses never
+    exercise.  Synthesizes an independent-replica corpus (doc_id
+    offset r·10⁹, text prefixed with a replica token so hash/dedup
+    structure replicates rather than collapsing into one giant dup
+    cluster) to a /tmp parquet file via a streaming writer, then runs
+    the FUSED curation DAG (quality + decontaminate + mixture in one
+    scan, one exact-dedup semi-join) over it.  Reports docs/s and
+    driver RSS growth — the driver must stay bounded by the hot/eval
+    broadcast sets, never the corpus."""
+    import resource
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _init_ray(NUM_CPUS)
+    from outbreak_kg_ray.sources.io import read_parquet_clean
+
+    base = read_parquet_clean(f"{sf_dir}/documents.parquet")
+
+    def rep(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang")
+        srcs = t.column("source")
+        outs = []
+        for r in range(repeat):
+            new_texts = [f"r{r} {x}" for x in texts]
+            outs.append(pa.table(
+                {
+                    "doc_id": pa.array(did + r * 10**9, pa.int64()),
+                    "text": pa.array(new_texts, pa.string()),
+                    "lang": langs,
+                    "source": srcs,
+                    "n_chars": pa.array(
+                        [len(x) for x in new_texts], pa.int64()
+                    ),
+                }
+            ))
+        return pa.concat_tables(outs)
+
+    tmpdir = tempfile.mkdtemp(prefix="graft_docs_stress_")
+    path = f"{tmpdir}/documents.parquet"
+    writer = None
+    t_synth = time.perf_counter()
+    for b in base.map_batches(
+        rep, batch_format="pyarrow", batch_size=128
+    ).iter_batches(batch_format="pyarrow"):
+        if writer is None:
+            writer = pq.ParquetWriter(path, b.schema)
+        writer.write_table(b)
+    writer.close()
+    synth_sec = time.perf_counter() - t_synth
+    n_docs = pq.read_metadata(path).num_rows
+
+    from outbreak_kg_ray.pipelines import docops
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.perf_counter()
+    n_kept = docops.curate_corpus(tmpdir).count()
+    dt = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    return {
+        "metric": "docs_stress",
+        "repeat": repeat,
+        "n_docs": n_docs,
+        "n_kept": n_kept,
+        "synth_sec": round(synth_sec, 2),
+        "sec": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "driver_peak_rss_mb": round(rss1, 1),
+        "driver_rss_growth_mb": round(rss1 - rss0, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same headline job at two parallelism levels (N and 4N CPUs) in
     fresh processes — the sandbox surrogate for the north_rule's
@@ -597,6 +677,11 @@ def main() -> None:
                     default=None, metavar="REPEAT",
                     help="×REPEAT temporal/keyed-shuffle stress "
                          "(sessionization over replicated events)")
+    ap.add_argument("--stress-docs", type=int, nargs="?", const=64,
+                    default=None, metavar="REPEAT",
+                    help="×REPEAT webtext curation stress (fused "
+                         "gate + dedup semi-join over a replicated "
+                         "corpus)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -607,6 +692,8 @@ def main() -> None:
         res = run_encode_stress(args.sf_dir, args.stress_encode)
     elif args.stress_events:
         res = run_events_stress(args.sf_dir, args.stress_events)
+    elif args.stress_docs:
+        res = run_docs_stress(args.sf_dir, args.stress_docs)
     elif args.scaling:
         res = run_scaling(args.sf_dir)
     elif args.hwcheck:
