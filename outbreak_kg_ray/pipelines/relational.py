@@ -518,43 +518,115 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int | None = None):
             right_on=("s_suppkey",),
         ).select_columns(["l_orderkey", "s_nationkey", "rev"])
 
-    joined = (
-        li.join(
+    cust_path = f"{sf_dir}/customer.parquet"
+    if pq.read_metadata(cust_path).num_rows <= BROADCAST_DIM_ROWS:
+        # measured-size broadcast (same policy as supplier): the
+        # custkey→nationkey map rides the lineitem⋈orders output, so
+        # the second corpus-scale hash join disappears entirely
+        cust = pq.read_table(
+            cust_path, columns=["c_custkey", "c_nationkey"]
+        )
+        cust_ref = ray.put(
+            dict(
+                zip(
+                    cust.column("c_custkey").to_pylist(),
+                    cust.column("c_nationkey").to_pylist(),
+                )
+            )
+        )
+        joined = li.join(
             orders,
             join_type="inner",
             num_partitions=num_partitions,
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )
-        .join(
-            customer,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("o_custkey",),
-            right_on=("c_custkey",),
-        )
-    )
 
-    def attach_dims(t: pa.Table) -> pa.Table:
-        nat_name = ray.get(nat_ref)
-        snat = t.column("s_nationkey").to_numpy(zero_copy_only=False)
-        cnat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        keep = snat == cnat
-        names = [nat_name.get(int(nk)) for nk in snat[keep]]
-        return pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "rev": t.column("rev").filter(pa.array(keep)),
-            }
+        def attach_dims(t: pa.Table) -> pa.Table:
+            if "s_nationkey" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"n_name": pa.array([], pa.string()),
+                     "rev": pa.array([], pa.float64())}
+                )
+            cust_nat = ray.get(cust_ref)
+            nat_name = ray.get(nat_ref)
+            snat = t.column("s_nationkey").to_numpy(
+                zero_copy_only=False
+            )
+            cnat = np.array(
+                [cust_nat.get(c, -2)
+                 for c in t.column("o_custkey").to_pylist()],
+                dtype=np.int64,
+            )
+            keep = snat == cnat
+            names = [nat_name.get(int(nk)) for nk in snat[keep]]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "rev": t.column("rev").filter(pa.array(keep)),
+                }
+            )
+
+    else:
+        joined = (
+            li.join(
+                orders,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            .join(
+                customer,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
         )
 
-    from ray.data.aggregate import Count, Sum
+        def attach_dims(t: pa.Table) -> pa.Table:
+            nat_name = ray.get(nat_ref)
+            snat = t.column("s_nationkey").to_numpy(
+                zero_copy_only=False
+            )
+            cnat = t.column("c_nationkey").to_numpy(
+                zero_copy_only=False
+            )
+            keep = snat == cnat
+            names = [nat_name.get(int(nk)) for nk in snat[keep]]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "rev": t.column("rev").filter(pa.array(keep)),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        # nation-bounded combiner: ≤25 rows leave each batch, so the
+        # final exchange ships 25×blocks rows, never the join output
+        if "n_name" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "rev": pa.array([], pa.float64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        return (
+            t.append_column("c", pa.array([1] * len(t), pa.int64()))
+            .group_by("n_name")
+            .aggregate([("rev", "sum"), ("c", "sum")])
+            .rename_columns(["n_name", "rev", "c"])
+        )
 
     out = (
         joined.map_batches(attach_dims, batch_format="pyarrow")
+        .map_batches(local_sum, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(
-            Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+            Sum("rev", alias_name="revenue"),
+            Sum("c", alias_name="n_items"),
         )
     )
 
