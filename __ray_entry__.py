@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": temporal.event_transitions,
         "user_gap_stats": temporal.user_gap_stats,
         "late_event_report": temporal.late_event_report,
+        "leave_last_out_split": temporal.leave_last_out_split,
+        "bpr_triples": temporal.bpr_triples,
         "revenue_yoy": relational.revenue_yoy,
         "langid_confusion": docops.langid_confusion,
         "export_by_lang": docops.export_by_lang,
@@ -3853,6 +3855,32 @@ GROUP BY e.event_type, q.qlo, q.qhi
 
     # per-user inter-event gap statistics (exact microsecond gaps).
     # Mirrors pipelines/temporal.py:user_gap_stats
+    # BPR implicit-feedback triples — mirrors
+    # pipelines/temporal.py:bpr_triples
+    sql["bpr_triples"] = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id, a.event_type AS pos_type, b.event_type AS neg_type,
+       a.n AS pos_count, b.n AS neg_count
+FROM c a JOIN c b ON a.user_id = b.user_id AND a.n > b.n
+"""
+
+    # recsys leave-last-out split — mirrors
+    # pipelines/temporal.py:leave_last_out_split
+    sql["leave_last_out_split"] = """
+WITH r AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split
+FROM r
+"""
+
     # out-of-order arrival audit — mirrors
     # pipelines/temporal.py:late_event_report (arrival = block-4
     # delivery shuffle of event_id; late iff ts < running max ts of

@@ -1261,3 +1261,133 @@ def late_event_report(sf_dir: str):
         )
 
     return keyed_partitions(events, ["user_id"], audit, schema=schema)
+
+
+def leave_last_out_split(sf_dir: str):
+    """Recsys evaluation protocol: leave-last-out split — each
+    user's latest event (by ts, event_id) is the TEST example,
+    everything earlier is TRAIN → (event_id, user_id, event_type,
+    split).  The standard offline-eval construction for sequential
+    recommenders (He et al. NCF evaluation).
+
+    Scale shape: ONE user-keyed exchange, whole-partition lexsort +
+    run-boundary last-index pick, zero per-group Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("event_type", pa.string()), ("split", pa.string())]
+    )
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def split(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        et = g.column("event_type").to_numpy(zero_copy_only=False)[order]
+        n = len(uid)
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et.astype(object), pa.string()),
+                "split": pa.array(
+                    np.where(last, "test", "train").astype(object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return keyed_partitions(events, ["user_id"], split, schema=schema)
+
+
+def bpr_triples(sf_dir: str):
+    """BPR implicit-feedback training triples (Rendle et al. 2009):
+    for each user, every ordered event-type pair (i, j) where the
+    user interacted with i strictly more often than j → (user_id,
+    pos_type, neg_type, pos_count, neg_count) — the pairwise
+    preference data a ranking recommender trains on.
+
+    Scale shape: ONE grouped (user, type) count (bounded by
+    users × type vocabulary), then a user-keyed exchange whose
+    per-partition pair construction is type-vocab-bounded per user
+    (T ≤ a few dozen ⇒ ≤ T² rows per user by construction)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("pos_type", pa.string()),
+         ("neg_type", pa.string()), ("pos_count", pa.int64()),
+         ("neg_count", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    counts = (
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        )
+        .groupby(["user_id", "event_type"])
+        .count()
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(
+            g.column("event_type").to_pylist(), dtype=object
+        )
+        n = g.column("count()").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, -n, uid))
+        uid, et, n = uid[order], et[order], n[order]
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first).tolist() + [len(uid)]
+        out_u, out_p, out_ng, out_pc, out_nc = [], [], [], [], []
+        for s, e in zip(starts, starts[1:]):
+            seg_n = n[s:e]
+            seg_t = et[s:e]
+            # count-desc order: j to the right with strictly smaller n
+            for i in range(e - s):
+                gt = np.flatnonzero(seg_n < seg_n[i])
+                for j in gt:
+                    out_u.append(int(uid[s]))
+                    out_p.append(seg_t[i])
+                    out_ng.append(seg_t[j])
+                    out_pc.append(int(seg_n[i]))
+                    out_nc.append(int(seg_n[j]))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "pos_type": pa.array(out_p, pa.string()),
+                "neg_type": pa.array(out_ng, pa.string()),
+                "pos_count": pa.array(out_pc, pa.int64()),
+                "neg_count": pa.array(out_nc, pa.int64()),
+            }
+        )
+
+    return keyed_partitions(counts, ["user_id"], pairs, schema=schema)

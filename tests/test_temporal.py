@@ -1320,3 +1320,64 @@ def test_late_event_report_matches_python(sf_dir):
             r["n_events"], r["n_late"], r["max_lateness_us"]
         )
     assert sum(r["n_late"] for r in got) > 0
+
+
+def test_leave_last_out_split_one_test_per_user(sf_dir):
+    """Exactly one 'test' row per user — the user's (ts, event_id)
+    max — everything else 'train'."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    rows = temporal.leave_last_out_split(sf_dir).take_all()
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    ).to_pylist()
+    assert len(rows) == len(ev)
+    latest = {}
+    for r in ev:
+        key = (r["ts"], r["event_id"])
+        if r["user_id"] not in latest or key > latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (key, r["event_id"])
+    test_rows = collections.defaultdict(list)
+    for r in rows:
+        if r["split"] == "test":
+            test_rows[r["user_id"]].append(r["event_id"])
+    assert set(test_rows) == set(latest)
+    for u, eids in test_rows.items():
+        assert eids == [latest[u][1]]
+
+
+def test_bpr_triples_strict_preference(sf_dir):
+    """Every triple has pos_count > neg_count and matches the true
+    per-user type counts; all strictly-ordered pairs are present."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    counts = collections.Counter()
+    for r in pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pylist():
+        counts[(r["user_id"], r["event_type"])] += 1
+    expect = set()
+    by_user = collections.defaultdict(list)
+    for (u, t), n in counts.items():
+        by_user[u].append((t, n))
+    for u, tns in by_user.items():
+        for t1, n1 in tns:
+            for t2, n2 in tns:
+                if n1 > n2:
+                    expect.add((u, t1, t2, n1, n2))
+    got = {
+        (r["user_id"], r["pos_type"], r["neg_type"],
+         r["pos_count"], r["neg_count"])
+        for r in temporal.bpr_triples(sf_dir).take_all()
+    }
+    assert got == expect
+    assert got  # non-degenerate
