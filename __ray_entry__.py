@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oversample_balanced": docops.oversample_balanced,
         "curriculum_rank": docops.curriculum_rank,
         "corpus_datacard": docops.corpus_datacard,
+        "heldout_perplexity": docops.heldout_perplexity,
         # absolute min_df=2 pinned for the audit query (the library
         # default is corpus-relative, which is correct at scale but
         # empties on the testdata's sf0.1 dup density)
@@ -606,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": lmdata.skipgram_pairs,
         "char_coverage_table": lmdata.char_coverage_table,
         "token_dropout_augment": lmdata.token_dropout_augment,
+        "glove_cooccurrence": lmdata.glove_cooccurrence,
         # round 4: SCD-Type-2 dimension build from the CDC stream
         "user_type_scd2": relational.user_type_scd2,
         # round 4: audio DSP feature extraction (rows-only — FFT
@@ -1086,6 +1088,49 @@ f AS (
 )
 SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
 FROM pool e JOIN f ON f.label = e.label
+"""
+
+    # held-out unigram perplexity — mirrors
+    # docops.py:heldout_perplexity (train = md5 gate >= 6553,
+    # add-1 smoothing, OOV = 1/(N+V+1); ppl = exp of the ROUNDED
+    # mean so exp amplifies no sub-6dp drift)
+    sql["heldout_perplexity"] = r"""
+WITH tr AS (
+  SELECT text FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             AS INT) >= 6553
+),
+te AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             AS INT) < 6553
+),
+trtok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS w
+  FROM tr
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM trtok GROUP BY w),
+scal AS (
+  SELECT (SELECT COUNT(*) FROM trtok)
+         + (SELECT COUNT(*) FROM cnt) + 1 AS denom
+),
+tetok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS w
+  FROM te
+),
+sc AS (
+  SELECT t.doc_id,
+         -ln((COALESCE(c.c, 0) + 1)
+             / CAST((SELECT denom FROM scal) AS DOUBLE)) AS nll
+  FROM tetok t LEFT JOIN cnt c USING (w)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(SUM(nll) / COUNT(*), 6) AS nll_mean,
+       round(exp(round(SUM(nll) / COUNT(*), 6)), 6) AS ppl
+FROM sc GROUP BY doc_id
 """
 
     # dataset-card summary row — mirrors docops.py:corpus_datacard
@@ -4908,6 +4953,30 @@ SELECT ch, freq,
          AS coverage,
        cumb * 10000 < tot * 9995 AS in_vocab
 FROM r
+"""
+
+    # GloVe distance-weighted co-occurrence — mirrors
+    # pipelines/lmdata.py:glove_cooccurrence (integer-twelfth
+    # accumulation: 12/d is exact for d <= 4)
+    sql["glove_cooccurrence"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS w,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS p
+  FROM documents
+),
+s AS (
+  SELECT a.w AS center, b.w AS context,
+         SUM(12 // abs(a.p - b.p)) AS w12
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.p <> b.p AND abs(a.p - b.p) <= 4
+  GROUP BY 1, 2
+)
+SELECT center, context,
+       round(CAST(w12 AS DOUBLE) / 12.0, 6) AS x
+FROM s WHERE w12 >= 12
 """
 
     # skip-gram pair counts (±2 window, min_count 2) — mirrors

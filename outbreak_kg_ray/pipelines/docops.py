@@ -4877,3 +4877,188 @@ def corpus_datacard(sf_dir: str):
         }],
         columns=cols,
     )
+
+
+def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
+    """Held-out unigram perplexity — the LM-eval protocol composed
+    end-to-end: train an add-1-smoothed unigram model on the
+    deterministic train split (the same md5 gate as
+    :func:`holdout_split`), score every HOLDOUT document →
+    (doc_id, n_tokens, nll_mean, ppl).  The eval loop a data
+    pipeline runs to compare corpus variants.
+
+    Scale shape: the model table (token, count) STAYS DISTRIBUTED —
+    scoring is one hash join of holdout tokens against it (never a
+    vocab broadcast); OOV tokens score the closed-form smoothed
+    constant, reconstructed from per-doc totals that ride the SAME
+    grouped exchange as the matched partials (tagged-union rows), so
+    the whole op is one join + one grouped sum + two driver scalars
+    (N, V)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages.dedup import _join_partitions_for
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("nll_mean", pa.float64()), ("ppl", pa.float64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    import hashlib
+
+    cut = (holdout_permille * 65536) // 1000
+    docs = _documents(sf_dir)
+
+    def split_mask(t: pa.Table, want_test: bool) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pre = np.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+             for d in ids]
+        )
+        keep = (pre < cut) if want_test else (pre >= cut)
+        return t.filter(pa.array(keep))
+
+    def train_counts(t: pa.Table) -> pa.Table:
+        t = split_mask(t, want_test=False)
+        toks: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks.extend(x.split())
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(
+            np.asarray(toks, dtype=object), return_counts=True
+        )
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "c": pa.array(cnt, pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(train_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+    ).materialize()
+    scal = counts.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([int(sum(t.column("c").to_pylist() or [0]))],
+                           pa.int64()),
+             "v": pa.array([t.num_rows], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum(["n", "v"])
+    N, V = scal["sum(n)"], scal["sum(v)"]
+    denom = float(N + V + 1)
+    nll_oov = -math.log(1.0 / denom)
+
+    _part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("nll_sum", pa.float64()),
+         ("n_matched", pa.int64()), ("n_tok", pa.int64())]
+    )
+
+    def test_tokens(t: pa.Table) -> pa.Table:
+        t = split_mask(t, want_test=True)
+        ids_out, tok_out = [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = x.split()
+            if not toks:
+                continue
+            ids_out.extend([doc_id] * len(toks))
+            tok_out.extend(toks)
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "w": pa.array(tok_out, pa.string())}
+        )
+
+    def test_totals(t: pa.Table) -> pa.Table:
+        t = split_mask(t, want_test=True)
+        ids_out, n_out = [], []
+        for doc_id, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            n = len(x.split())
+            if n:
+                ids_out.append(doc_id)
+                n_out.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "nll_sum": pa.array([0.0] * len(ids_out), pa.float64()),
+                "n_matched": pa.array([0] * len(ids_out), pa.int64()),
+                "n_tok": pa.array(n_out, pa.int64()),
+            },
+            schema=_part_schema,
+        )
+
+    te_tok = docs.map_batches(test_tokens, batch_format="pyarrow")
+    matched = te_tok.join(
+        counts, "inner", _join_partitions_for(counts), on=("w",)
+    )
+
+    def matched_partials(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return _part_schema.empty_table()
+        nll = -np.log(
+            (t.column("c").to_numpy(zero_copy_only=False) + 1.0) / denom
+        )
+        return (
+            pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "nll_sum": pa.array(nll, pa.float64()),
+                 "n_matched": pa.array([1] * len(t), pa.int64()),
+                 "n_tok": pa.array([0] * len(t), pa.int64())}
+            )
+            .group_by("doc_id")
+            .aggregate([("nll_sum", "sum"), ("n_matched", "sum"),
+                        ("n_tok", "sum")])
+            .rename_columns(
+                ["doc_id", "nll_sum", "n_matched", "n_tok"]
+            )
+        )
+
+    partials = matched.map_batches(
+        matched_partials, batch_format="pyarrow"
+    ).union(docs.map_batches(test_totals, batch_format="pyarrow"))
+
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("nll_sum", alias_name="nll_sum"),
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("n_tok", alias_name="n_tok"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return schema.empty_table()
+        n_tok = t.column("n_tok").to_numpy(zero_copy_only=False)
+        nll = (
+            t.column("nll_sum").to_numpy(zero_copy_only=False)
+            + (n_tok - t.column("n_matched").to_numpy(
+                zero_copy_only=False)) * nll_oov
+        )
+        mean = np.array(
+            [round_half_away(v, 6) for v in nll / n_tok]
+        )
+        ppl = np.array(
+            [round_half_away(math.exp(v), 6) for v in mean]
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "nll_mean": pa.array(mean, pa.float64()),
+                "ppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -472,3 +472,98 @@ def token_dropout_augment(sf_dir: str, *, n_augments: int = 2,
     return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(augment, batch_format="pyarrow")
+
+
+def glove_cooccurrence(sf_dir: str, *, window: int = 4,
+                       min_weight: float = 1.0):
+    """GloVe-style distance-weighted co-occurrence counts (Pennington
+    et al. 2014 §3: a pair at token distance ``d`` contributes
+    ``1/d``): X[center, context] summed over a ±``window`` window →
+    (center, context, x) with x rounded 6 dp, pairs with
+    x ≥ ``min_weight`` kept.  The weighted companion of
+    :func:`skipgram_pairs` — the actual matrix GloVe factorizes.
+
+    Exactness: per-pair contributions are accumulated as INTEGER
+    twelfths (1/d · 12 is an integer for every d ≤ 4), so the grouped
+    sum is exact int math and the single final division by 12 yields
+    identical doubles in both engines — no float-accumulation-order
+    drift.
+
+    Scale shape: identical to skipgram_pairs — streaming pair
+    generation with an np.unique combiner, ONE grouped sum bounded by
+    the pair vocabulary."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import np_round_half_away
+
+    schema = pa.schema(
+        [("center", pa.string()), ("context", pa.string()),
+         ("x", pa.float64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    # 1/d in twelfths: d=1→12, 2→6, 3→4, 4→3 (exact ints)
+    TWELFTHS = {d: 12 // d for d in range(1, window + 1)}
+    assert all(12 % d == 0 for d in range(1, window + 1))
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        weights: list[int] = []
+        for x in t.column("text").to_pylist():
+            toks = x.split()
+            for d in range(1, window + 1):
+                if len(toks) <= d:
+                    continue
+                w12 = TWELFTHS[d]
+                left, right = toks[:-d], toks[d:]
+                for a, b in zip(left, right):
+                    pairs.append(a + "\x1f" + b)
+                    weights.append(w12)
+                    pairs.append(b + "\x1f" + a)
+                    weights.append(w12)
+        if not pairs:
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "w12": pa.array([], pa.int64())}
+            )
+        arr = np.array(pairs, dtype=object)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, np.asarray(weights, dtype=np.int64))
+        return pa.table(
+            {"pair": pa.array(uniq.tolist(), pa.string()),
+             "w12": pa.array(sums, pa.int64())}
+        )
+
+    counted = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("w12", alias_name="w12"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "pair" not in t.column_names or len(t) == 0:
+            return schema.empty_table()
+        t = t.filter(
+            pc.greater_equal(
+                t.column("w12"), pa.scalar(int(min_weight * 12))
+            )
+        )
+        parts = pc.split_pattern(t.column("pair"), "\x1f")
+        x = t.column("w12").to_numpy(zero_copy_only=False) / 12.0
+        return pa.table(
+            {
+                "center": pc.list_element(parts, 0),
+                "context": pc.list_element(parts, 1),
+                "x": pa.array(np_round_half_away(x, 6), pa.float64()),
+            }
+        )
+
+    return counted.map_batches(finalize, batch_format="pyarrow")

@@ -1644,3 +1644,67 @@ def test_corpus_datacard_scalars(sf_dir):
     distinct = len({hashlib.md5(x.encode()).hexdigest() for x in texts})
     assert abs(card["dup_rate"] - (1 - distinct / len(texts))) < 1e-6
     assert 0.0 <= card["mean_quality"] <= 1.0
+
+
+def test_glove_cooccurrence_subsumes_skipgram(sf_dir):
+    """The d<=2 window slice of the GloVe matrix must agree with
+    skipgram counts at the pair level: x >= count(d<=2)/2 never holds
+    trivially, but every skipgram pair is a GloVe pair and every
+    GloVe weight is a positive multiple of 1/12."""
+    from outbreak_kg_ray.pipelines import lmdata
+
+    glove = {
+        (r["center"], r["context"]): r["x"]
+        for r in lmdata.glove_cooccurrence(sf_dir).take_all()
+    }
+    assert glove
+    sg = {
+        (r["center"], r["context"])
+        for r in lmdata.skipgram_pairs(sf_dir).take_all()
+    }
+    # skipgram requires raw count >= 2 within d<=2; such pairs carry
+    # GloVe weight >= 2 * (1/2) = 1.0 = the min_weight cut
+    missing = sg - set(glove)
+    assert not missing
+    for v in glove.values():
+        assert v > 0
+        assert abs(v * 12 - round(v * 12)) < 1e-5  # 6dp rounding x12
+
+
+def test_heldout_perplexity_model_semantics(sf_dir):
+    """Scores match a direct add-1 unigram replay; no train doc is
+    scored; OOV-heavy docs score higher ppl than in-vocab ones."""
+    import collections
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    cut = (100 * 65536) // 1000
+    train, test = [], []
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        (test if h < cut else train).append(r)
+    cnt = collections.Counter()
+    for r in train:
+        cnt.update(r["text"].split())
+    denom = sum(cnt.values()) + len(cnt) + 1
+    got = {r["doc_id"]: r for r in
+           docops.heldout_perplexity(sf_dir).take_all()}
+    test_ids = {r["doc_id"] for r in test if r["text"].split()}
+    assert set(got) == test_ids
+    for r in test:
+        toks = r["text"].split()
+        if not toks:
+            continue
+        nll = sum(-math.log((cnt.get(w, 0) + 1) / denom) for w in toks)
+        mean = round(nll / len(toks), 6)
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert abs(g["nll_mean"] - mean) < 2e-6
+        assert abs(g["ppl"] - math.exp(g["nll_mean"])) < 2e-4
