@@ -321,6 +321,14 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             _lmdata().token_dropout_augment(sf_dir)
         ),
         "corpus_datacard": lambda: docops.corpus_datacard(sf_dir),
+        "leave_last_out_split": lambda: (
+            temporal.leave_last_out_split(sf_dir)
+        ),
+        "bpr_triples": lambda: temporal.bpr_triples(sf_dir),
+        "glove_cooccurrence": lambda: (
+            _lmdata().glove_cooccurrence(sf_dir)
+        ),
+        "heldout_perplexity": lambda: docops.heldout_perplexity(sf_dir),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
