@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_rank": docops.curriculum_rank,
         "corpus_datacard": docops.corpus_datacard,
         "heldout_perplexity": docops.heldout_perplexity,
+        "png_image_augments": mm.png_image_augments,
         # absolute min_df=2 pinned for the audit query (the library
         # default is corpus-relative, which is correct at scale but
         # empties on the testdata's sf0.1 dup density)
@@ -1525,6 +1526,47 @@ FROM fr GROUP BY doc_id, sr, n
     # analytic oracle for the REAL-PNG decode path: the payload is a
     # spec-valid PNG but the pixels follow the same closed-form
     # formula as FIMG, so the decoded statistics are computable in SQL
+    # deterministic crop+flip augmentation over the REAL PNG decode
+    # path — mirrors stages/multimodal.py:png_image_augments
+    # (analytic pixel formula (doc*131 + (y*w+x)*29) % 256)
+    sql["png_image_augments"] = """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, w, h,
+         GREATEST(8, w // 2) AS cw, GREATEST(8, h // 2) AS ch,
+         (doc_id * 13) % (w - GREATEST(8, w // 2) + 1) AS x0,
+         (doc_id * 17) % (h - GREATEST(8, h // 2) + 1) AS y0,
+         doc_id % 2 = 1 AS flipped
+  FROM dims
+),
+cells AS (
+  SELECT a.doc_id, a.w, a.y0 + r.range AS yy, a.x0 + c.range AS xx
+  FROM aug a
+  CROSS JOIN range(0, 64) r CROSS JOIN range(0, 64) c
+  WHERE r.range < a.ch AND c.range < a.cw
+),
+m AS (
+  SELECT doc_id,
+         round(avg((doc_id * 131 + (yy * w + xx) * 29) % 256), 6)
+           AS c_mean
+  FROM cells GROUP BY doc_id
+)
+SELECT a.doc_id AS media_id, a.x0, a.y0,
+       a.cw AS crop_w, a.ch AS crop_h, a.flipped,
+       CAST((a.doc_id * 131 + (a.y0 * a.w
+             + CASE WHEN a.flipped THEN a.x0 + a.cw - 1
+                    ELSE a.x0 END) * 29) % 256 AS DOUBLE) AS c_first,
+       CAST((a.doc_id * 131 + ((a.y0 + a.ch - 1) * a.w
+             + CASE WHEN a.flipped THEN a.x0
+                    ELSE a.x0 + a.cw - 1 END) * 29) % 256 AS DOUBLE)
+         AS c_last,
+       m.c_mean
+FROM aug a JOIN m USING (doc_id)
+"""
+
     sql["png_image_features"] = """
 WITH dims AS (
   SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h

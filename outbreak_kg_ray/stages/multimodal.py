@@ -724,3 +724,66 @@ def audio_frames(sf_dir: str, *, stride: int = 4, batch_size: int = 64,
         ds, AudioFrameSampleStage,
         batch_size=batch_size, concurrency=concurrency, stride=stride,
     )
+
+
+class ImageAugmentStage:
+    """media(payload) → deterministic random-crop + horizontal-flip
+    augmentation executed on the REAL decoded pixel matrix — the
+    vision-training data-prep step (RandomResizedCrop/RandomFlip made
+    reproducible).  Crop box and flip flag are closed-form functions
+    of media_id, so the DuckDB oracle replays the cropped statistics
+    analytically while the engine does genuine codec + slicing work."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, xs, ys, cws, chs, flips = [], [], [], [], [], []
+        c_first, c_last, c_mean = [], [], []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            w, h, mat = decode_png(payload)
+            mat = mat.reshape(h, w)
+            cw, ch = max(8, w // 2), max(8, h // 2)
+            x0 = (mid * 13) % (w - cw + 1)
+            y0 = (mid * 17) % (h - ch + 1)
+            crop = mat[y0:y0 + ch, x0:x0 + cw]
+            flip = mid % 2 == 1
+            if flip:
+                crop = crop[:, ::-1]
+            ids.append(mid)
+            xs.append(x0)
+            ys.append(y0)
+            cws.append(cw)
+            chs.append(ch)
+            flips.append(flip)
+            c_first.append(float(crop[0, 0]))
+            c_last.append(float(crop[-1, -1]))
+            c_mean.append(round_half_away(float(crop.mean()), 6))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "x0": pa.array(xs, pa.int64()),
+                "y0": pa.array(ys, pa.int64()),
+                "crop_w": pa.array(cws, pa.int64()),
+                "crop_h": pa.array(chs, pa.int64()),
+                "flipped": pa.array(flips, pa.bool_()),
+                "c_first": pa.array(c_first, pa.float64()),
+                "c_last": pa.array(c_last, pa.float64()),
+                "c_mean": pa.array(c_mean, pa.float64()),
+            }
+        )
+
+
+def png_image_augments(sf_dir: str, *, batch_size: int = 64,
+                       concurrency=None):
+    """Deterministic crop+flip augmentation over REAL PNG payloads
+    (see :class:`ImageAugmentStage`) — the full decode→augment
+    plumbing of a vision data pipeline, oracle-checked through the
+    analytic pixel formula."""
+    return _map_stage(
+        png_media_dataset(sf_dir), ImageAugmentStage,
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -221,3 +221,36 @@ def test_wav_spectrogram_matches_numpy(sf_dir):
         assert (sub["n_frames"] == n_frames).all()
         assert np.allclose(sub["energy"], np.round(energies, 4))
         assert np.allclose(sub["centroid_hz"], round(centroid, 4))
+
+
+def test_png_image_augments_pixel_exact(sf_dir):
+    """Crop stats equal the analytic formula applied to the decoded
+    matrix; the crop is a real sub-slice (first/last pixels differ
+    across flips for asymmetric content)."""
+    from outbreak_kg_ray.stages import multimodal as mm
+
+    rows = mm.png_image_augments(sf_dir).take_all()
+    assert rows
+    for r in rows[:100]:
+        mid = r["media_id"]
+        w, h = mm.image_dims(mid)
+        assert r["crop_w"] == max(8, w // 2)
+        assert r["crop_h"] == max(8, h // 2)
+        assert 0 <= r["x0"] <= w - r["crop_w"]
+        assert 0 <= r["y0"] <= h - r["crop_h"]
+        assert r["flipped"] == (mid % 2 == 1)
+
+        def px(y, x):
+            return float((mid * 131 + (y * w + x) * 29) % 256)
+
+        x_first = r["x0"] + r["crop_w"] - 1 if r["flipped"] else r["x0"]
+        x_last = r["x0"] if r["flipped"] else r["x0"] + r["crop_w"] - 1
+        assert r["c_first"] == px(r["y0"], x_first)
+        assert r["c_last"] == px(r["y0"] + r["crop_h"] - 1, x_last)
+        total = sum(
+            px(y, x)
+            for y in range(r["y0"], r["y0"] + r["crop_h"])
+            for x in range(r["x0"], r["x0"] + r["crop_w"])
+        )
+        mean = total / (r["crop_w"] * r["crop_h"])
+        assert abs(r["c_mean"] - mean) < 1e-6
