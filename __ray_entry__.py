@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_datacard": docops.corpus_datacard,
         "heldout_perplexity": docops.heldout_perplexity,
         "png_image_augments": mm.png_image_augments,
+        "wav_audio_augments": mm.wav_audio_augments,
         # absolute min_df=2 pinned for the audit query (the library
         # default is corpus-relative, which is correct at scale but
         # empties on the testdata's sf0.1 dup density)
@@ -481,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_report": temporal.late_event_report,
         "leave_last_out_split": temporal.leave_last_out_split,
         "bpr_triples": temporal.bpr_triples,
+        "watermark_window_counts": temporal.watermark_window_counts,
         "revenue_yoy": relational.revenue_yoy,
         "langid_confusion": docops.langid_confusion,
         "export_by_lang": docops.export_by_lang,
@@ -1526,6 +1528,37 @@ FROM fr GROUP BY doc_id, sr, n
     # analytic oracle for the REAL-PNG decode path: the payload is a
     # spec-valid PNG but the pixels follow the same closed-form
     # formula as FIMG, so the decoded statistics are computable in SQL
+    # deterministic shift+invert augmentation over the REAL WAV
+    # decode path — mirrors stages/multimodal.py:wav_audio_augments
+    # (sample16[i] = ((doc*37 + i*11) % 65536) - 32768)
+    sql["wav_audio_augments"] = """
+WITH p AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+         256 + (doc_id * 13) % 768 AS n,
+         (doc_id * 19) % (256 + (doc_id * 13) % 768) AS shift,
+         doc_id % 2 = 1 AS inverted,
+         CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END AS sgn
+  FROM documents
+),
+m AS (
+  SELECT p.doc_id,
+         round(avg(((p.doc_id * 37 + r.range * 11) % 65536) - 32768)
+               * ANY_VALUE(p.sgn), 6) AS a_mean
+  FROM p CROSS JOIN range(0, 1024) r
+  WHERE r.range < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id AS media_id, p.sr AS sample_rate, p.n AS n_samples,
+       p.shift, p.inverted,
+       CAST(p.sgn * (((p.doc_id * 37 + p.shift * 11) % 65536)
+                     - 32768) AS DOUBLE) AS a_first,
+       CAST(p.sgn * (((p.doc_id * 37
+                       + ((p.shift + p.n - 1) % p.n) * 11) % 65536)
+                     - 32768) AS DOUBLE) AS a_last,
+       m.a_mean
+FROM p JOIN m USING (doc_id)
+"""
+
     # deterministic crop+flip augmentation over the REAL PNG decode
     # path — mirrors stages/multimodal.py:png_image_augments
     # (analytic pixel formula (doc*131 + (y*w+x)*29) % 256)
@@ -3942,6 +3975,27 @@ GROUP BY e.event_type, q.qlo, q.qhi
 
     # per-user inter-event gap statistics (exact microsecond gaps).
     # Mirrors pipelines/temporal.py:user_gap_stats
+    # watermark tumbling windows — mirrors
+    # pipelines/temporal.py:watermark_window_counts (same block-4
+    # delivery shuffle lateness rule as late_event_report)
+    sql["watermark_window_counts"] = """
+WITH o AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id
+                       ORDER BY event_id - event_id % 4
+                                + (3 - event_id % 4)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prior_max
+  FROM events
+)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(SUM(CASE WHEN prior_max IS NULL OR ts >= prior_max
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late
+FROM o GROUP BY 1, 2
+"""
+
     # BPR implicit-feedback triples — mirrors
     # pipelines/temporal.py:bpr_triples
     sql["bpr_triples"] = """

@@ -1391,3 +1391,108 @@ def bpr_triples(sf_dir: str):
         )
 
     return keyed_partitions(counts, ["user_id"], pairs, schema=schema)
+
+
+def watermark_window_counts(sf_dir: str):
+    """Streaming-semantics tumbling windows: per (hour, event_type),
+    how many events a zero-allowed-lateness streaming engine would
+    have counted on time vs dropped as late — late under the same
+    deterministic block-4 delivery shuffle as
+    :func:`late_event_report` → (hour, event_type, n_on_time,
+    n_late).  The batch-vs-stream reconciliation table a pipeline
+    uses to size watermark allowances per window.
+
+    Scale shape: ONE user-keyed exchange computes per-row late flags
+    (whole-partition segment cummax, zero per-group Python) and
+    pre-collapses to (hour, type) partials INSIDE the partition; the
+    final grouped sum is calendar×vocab-bounded."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from outbreak_kg_ray.sources.io import (
+        empty_dataset,
+        parquet_rows,
+        read_parquet_clean,
+    )
+    from outbreak_kg_ray.stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("hour", pa.timestamp("us")), ("event_type", pa.string()),
+         ("n_on_time", pa.int64()), ("n_late", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/events.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    HOUR_US = 3_600_000_000
+
+    def partials(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        arr = eid - eid % 4 + (3 - eid % 4)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = np.asarray(
+            g.column("event_type").to_pylist(), dtype=object
+        )
+        order = np.lexsort((arr, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        n = len(uid)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gidx = np.cumsum(first) - 1
+        span = (ts.max() - ts.min() + 1) if n else 1
+        shifted = (ts - ts.min()) + gidx * span
+        cummax = np.maximum.accumulate(shifted)
+        prior = np.concatenate(
+            ([np.iinfo(np.int64).min], cummax[:-1])
+        )
+        prior[first] = np.iinfo(np.int64).min
+        late = shifted < prior
+        hour = ts - ts % HOUR_US
+        return (
+            pa.table(
+                {
+                    "hour": pa.array(hour, pa.int64()),
+                    "event_type": pa.array(et, pa.string()),
+                    "ot": pa.array((~late).astype(np.int64), pa.int64()),
+                    "lt": pa.array(late.astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by(["hour", "event_type"])
+            .aggregate([("ot", "sum"), ("lt", "sum")])
+            .rename_columns(["hour", "event_type", "ot", "lt"])
+        )
+
+    agg = (
+        keyed_partitions(
+            events, ["user_id"], partials,
+            schema=pa.schema(
+                [("hour", pa.int64()), ("event_type", pa.string()),
+                 ("ot", pa.int64()), ("lt", pa.int64())]
+            ),
+        )
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Sum("ot", alias_name="n_on_time"),
+            Sum("lt", alias_name="n_late"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "hour" not in t.column_names or len(t) == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "hour": t.column("hour").cast(pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "n_on_time": t.column("n_on_time"),
+                "n_late": t.column("n_late"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -787,3 +787,59 @@ def png_image_augments(sf_dir: str, *, batch_size: int = 64,
         png_media_dataset(sf_dir), ImageAugmentStage,
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class AudioAugmentStage:
+    """media(payload) → deterministic audio augmentation on the REAL
+    decoded PCM buffer: circular time-shift by ``(media_id*19) % n``
+    samples plus polarity inversion for odd ids — the reproducible
+    stand-in for random shift/invert audio augmentation, exact in
+    int16 so the oracle replays it analytically."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, srs, ns, shifts, invs = [], [], [], [], []
+        a_first, a_last, a_mean = [], [], []
+        for mid, payload in zip(
+            t.column("media_id").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            sr, samples = decode_wav(payload)
+            n = samples.size
+            shift = (mid * 19) % n
+            aug = np.roll(samples.astype(np.int64), -shift)
+            inv = mid % 2 == 1
+            if inv:
+                aug = -aug
+            ids.append(mid)
+            srs.append(sr)
+            ns.append(n)
+            shifts.append(shift)
+            invs.append(inv)
+            a_first.append(float(aug[0]))
+            a_last.append(float(aug[-1]))
+            a_mean.append(round_half_away(float(aug.mean()), 6))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "shift": pa.array(shifts, pa.int64()),
+                "inverted": pa.array(invs, pa.bool_()),
+                "a_first": pa.array(a_first, pa.float64()),
+                "a_last": pa.array(a_last, pa.float64()),
+                "a_mean": pa.array(a_mean, pa.float64()),
+            }
+        )
+
+
+def wav_audio_augments(sf_dir: str, *, batch_size: int = 64,
+                       concurrency=None):
+    """Deterministic shift+invert augmentation over REAL RIFF/WAVE
+    PCM-16 payloads (see :class:`AudioAugmentStage`)."""
+    return _map_stage(
+        wav_media_dataset(sf_dir), AudioAugmentStage,
+        batch_size=batch_size, concurrency=concurrency,
+    )

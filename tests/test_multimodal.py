@@ -254,3 +254,26 @@ def test_png_image_augments_pixel_exact(sf_dir):
         )
         mean = total / (r["crop_w"] * r["crop_h"])
         assert abs(r["c_mean"] - mean) < 1e-6
+
+
+def test_wav_audio_augments_sample_exact(sf_dir):
+    """Shift/invert stats equal the analytic int16 formula."""
+    from outbreak_kg_ray.stages import multimodal as mm
+
+    rows = mm.wav_audio_augments(sf_dir).take_all()
+    assert rows
+    for r in rows[:100]:
+        mid = r["media_id"]
+        sr, n = mm.audio_params(mid)
+        assert (r["sample_rate"], r["n_samples"]) == (sr, n)
+        assert r["shift"] == (mid * 19) % n
+        assert r["inverted"] == (mid % 2 == 1)
+        sgn = -1 if r["inverted"] else 1
+
+        def s16(i):
+            return ((mid * 37 + i * 11) % 65536) - 32768
+
+        assert r["a_first"] == sgn * s16(r["shift"])
+        assert r["a_last"] == sgn * s16((r["shift"] + n - 1) % n)
+        mean = sgn * sum(s16(i) for i in range(n)) / n
+        assert abs(r["a_mean"] - mean) < 1e-6

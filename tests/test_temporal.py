@@ -1381,3 +1381,32 @@ def test_bpr_triples_strict_preference(sf_dir):
     }
     assert got == expect
     assert got  # non-degenerate
+
+
+def test_watermark_window_counts_reconciles_hourly(sf_dir):
+    """(n_on_time + n_late) per (hour, type) equals the batch-truth
+    hourly counts; total lateness equals the per-user audit."""
+    import collections
+
+    from outbreak_kg_ray.pipelines import temporal
+
+    wm = temporal.watermark_window_counts(sf_dir).take_all()
+    assert wm
+    total = collections.Counter()
+    for r in wm:
+        assert r["n_on_time"] >= 0 and r["n_late"] >= 0
+        total[(r["hour"], r["event_type"])] += (
+            r["n_on_time"] + r["n_late"]
+        )
+    import pyarrow.parquet as pq
+
+    truth = collections.Counter()
+    for e in pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pylist():
+        truth[(e["ts"].replace(minute=0, second=0, microsecond=0),
+               e["event_type"])] += 1
+    assert total == truth
+    audit = temporal.late_event_report(sf_dir).take_all()
+    assert sum(r["n_late"] for r in wm) == \
+        sum(r["n_late"] for r in audit)
