@@ -329,6 +329,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             _lmdata().glove_cooccurrence(sf_dir)
         ),
         "heldout_perplexity": lambda: docops.heldout_perplexity(sf_dir),
+        "png_image_augments": lambda: _mm().png_image_augments(sf_dir),
+        "wav_audio_augments": lambda: _mm().wav_audio_augments(sf_dir),
+        "watermark_window_counts": lambda: (
+            temporal.watermark_window_counts(sf_dir)
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
