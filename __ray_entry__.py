@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_rank": docops.curriculum_rank,
         "corpus_datacard": docops.corpus_datacard,
         "heldout_perplexity": docops.heldout_perplexity,
+        "source_dedup_matrix": docops.source_dedup_matrix,
         "png_image_augments": mm.png_image_augments,
         "wav_audio_augments": mm.wav_audio_augments,
         # absolute min_df=2 pinned for the audit query (the library
@@ -1091,6 +1092,19 @@ f AS (
 )
 SELECT e.vec_id, e.label, unnest(range(f.k)) AS copy_idx
 FROM pool e JOIN f ON f.label = e.label
+"""
+
+    # cross-source duplication matrix — mirrors
+    # docops.py:source_dedup_matrix
+    sql["source_dedup_matrix"] = """
+WITH hs AS (
+  SELECT DISTINCT md5(substr(text, 1, 32)) AS h, source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
 """
 
     # held-out unigram perplexity — mirrors

@@ -5062,3 +5062,89 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_dedup_matrix(sf_dir: str, *, lead_chars: int = 32):
+    """Cross-source duplication matrix (content-syndication audit):
+    for every unordered source pair, how many distinct document
+    LEADS (first ``lead_chars`` characters — how syndicated wire
+    copy shows up across feeds even when the body diverges) appear
+    in BOTH sources → (source_a, source_b, n_shared_texts),
+    source_a < source_b.  The provenance table a corpus release
+    reads to find mirrored feeds before weighting sources
+    independently.
+
+    Scale shape: ONE hash-keyed exchange of (text_hash, source)
+    pairs (batch-local distinct combiner); per content group the
+    distinct-source set is source-vocab-bounded, so the pair fan-out
+    is ≤ |sources|² per group; the final grouped sum is bounded by
+    the source-pair vocabulary."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import keyed_partitions
+
+    schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n_shared_texts", pa.int64())]
+    )
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return empty_dataset(dict(zip(schema.names, schema.types)))
+
+    docs = _documents(sf_dir, ("text", "source"))
+
+    def hashed(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(x[:lead_chars].encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return (
+            pa.table(
+                {"h": pa.array(hs, pa.string()),
+                 "source": t.column("source")}
+            )
+            .group_by(["h", "source"])
+            .aggregate([])
+        )
+
+    pairs_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("c", pa.int64())]
+    )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        h = np.asarray(g.column("h").to_pylist(), dtype=object)
+        src = np.asarray(g.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((src, h))
+        h, src = h[order], src[order]
+        first = np.concatenate(([True], h[1:] != h[:-1]))
+        starts = np.flatnonzero(first).tolist() + [len(h)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, starts[1:]):
+            uniq = sorted(set(src[s:e]))
+            for a, b in itertools.combinations(uniq, 2):
+                out_a.append(a)
+                out_b.append(b)
+        return (
+            pa.table(
+                {"source_a": pa.array(out_a, pa.string()),
+                 "source_b": pa.array(out_b, pa.string()),
+                 "c": pa.array([1] * len(out_a), pa.int64())}
+            )
+            .group_by(["source_a", "source_b"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["source_a", "source_b", "c"])
+        )
+
+    return (
+        keyed_partitions(
+            docs.map_batches(hashed, batch_format="pyarrow"),
+            ["h"], group_pairs, schema=pairs_schema,
+        )
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("c", alias_name="n_shared_texts"))
+    )

@@ -1708,3 +1708,31 @@ def test_heldout_perplexity_model_semantics(sf_dir):
         assert g["n_tokens"] == len(toks)
         assert abs(g["nll_mean"] - mean) < 2e-6
         assert abs(g["ppl"] - math.exp(g["nll_mean"])) < 2e-4
+
+
+def test_source_dedup_matrix_counts_shared_leads(sf_dir):
+    """Pair counts equal a direct recount of 32-char leads shared
+    across sources; pairs are ordered source_a < source_b."""
+    import collections
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from outbreak_kg_ray.pipelines import docops
+
+    lead_sources = collections.defaultdict(set)
+    for r in pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).to_pylist():
+        lead_sources[r["text"][:32]].add(r["source"])
+    expect = collections.Counter()
+    for srcs in lead_sources.values():
+        for a, b in itertools.combinations(sorted(srcs), 2):
+            expect[(a, b)] += 1
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in docops.source_dedup_matrix(sf_dir).take_all()
+    }
+    assert got == dict(expect)
+    assert got
+    assert all(a < b for a, b in got)
