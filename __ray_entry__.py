@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_datacard": docops.corpus_datacard,
         "heldout_perplexity": docops.heldout_perplexity,
         "source_dedup_matrix": docops.source_dedup_matrix,
+        "quality_lift_report": docops.quality_lift_report,
         "png_image_augments": mm.png_image_augments,
         "wav_audio_augments": mm.wav_audio_augments,
         # absolute min_df=2 pinned for the audit query (the library
@@ -2464,6 +2465,42 @@ s4 AS (SELECT s3.* FROM s3 JOIN mix USING (doc_id))
 """
     sql["curated_docs"] = _curation_ctes + """
 SELECT doc_id, source FROM s4
+"""
+
+    # per-gate filter-bias audit — mirrors
+    # docops.py:quality_lift_report (each gate evaluated
+    # independently on the full corpus; MATERIALIZED per the
+    # CTE-re-inlining lesson)
+    sql["quality_lift_report"] = f"""
+WITH q AS MATERIALIZED ({sql["quality_scores"]}),
+dec AS MATERIALIZED ({sql["decontaminate"]}),
+mix AS MATERIALIZED ({sql["mixture_downsample"]}),
+flags AS (
+  SELECT q.doc_id, q.quality,
+         q.quality >= 0.5 AS gq,
+         COALESCE(NOT dec.contaminated, FALSE) AS gd,
+         mix.doc_id IS NOT NULL AS gm
+  FROM q
+  LEFT JOIN dec ON dec.doc_id = q.doc_id
+  LEFT JOIN mix ON mix.doc_id = q.doc_id
+),
+sel AS (
+  SELECT 'quality_gate' AS stage, gq AS keep, quality FROM flags
+  UNION ALL SELECT 'decontaminate', gd, quality FROM flags
+  UNION ALL SELECT 'mixture_downsample', gm, quality FROM flags
+)
+SELECT stage,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       round(SUM(CASE WHEN keep THEN quality ELSE 0 END)
+             / GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 1), 6)
+         AS kept_mean_quality,
+       round(SUM(CASE WHEN keep THEN 0 ELSE quality END)
+             / GREATEST(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 1), 6)
+         AS dropped_mean_quality
+FROM sel GROUP BY stage
 """
     sql["curation_funnel"] = _curation_ctes + """
 SELECT 0 AS stage_idx, 'input' AS stage,

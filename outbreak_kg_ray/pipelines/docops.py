@@ -5148,3 +5148,135 @@ def source_dedup_matrix(sf_dir: str, *, lead_chars: int = 32):
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("c", alias_name="n_shared_texts"))
     )
+
+
+def quality_lift_report(sf_dir: str):
+    """Filter-bias audit: for each curation gate evaluated
+    independently on the full corpus — quality ≥ 0.5, benchmark
+    decontamination, declared-mixture downsample — the kept vs
+    dropped population sizes and mean quality → (stage, n_kept,
+    n_dropped, kept_mean_quality, dropped_mean_quality).  The table
+    that shows what each filter selects FOR (a decontamination pass
+    should be quality-neutral; a mixture gate should not be a hidden
+    quality filter).
+
+    Scale shape: ONE streamed pass reuses the fused CurationGate
+    predicates per batch and emits 6 partial rows (stage × kept)
+    per batch; the grouped sum is 6-key-bounded and the driver holds
+    12 scalars."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from ..stages import decontam as dc
+
+    cols = ["stage", "n_kept", "n_dropped", "kept_mean_quality",
+            "dropped_mean_quality"]
+    if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
+        return pd.DataFrame(
+            {"stage": pd.Series(dtype=str),
+             "n_kept": pd.Series(dtype="int64"),
+             "n_dropped": pd.Series(dtype="int64"),
+             "kept_mean_quality": pd.Series(dtype=float),
+             "dropped_mean_quality": pd.Series(dtype=float)}
+        )
+
+    n, modulus = 4, 50
+    bench_parts = [
+        b.column("g").to_numpy()
+        for b in _documents(sf_dir)
+        .map_batches(
+            dc.bench_grams_batch(n, modulus), batch_format="pyarrow"
+        )
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench = (
+        np.unique(np.concatenate(bench_parts))
+        if bench_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    class GateStats:
+        def __init__(self, ref) -> None:
+            self._decon = dc.DecontaminateStage(ref, n, modulus)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            qual = (
+                ts.quality_batch(t)
+                .column("quality")
+                .to_numpy(zero_copy_only=False)
+            )
+            gates = {}
+            gates["quality_gate"] = qual >= 0.5
+            nonbench = np.flatnonzero(ids % modulus != 0)
+            d = self._decon(t)
+            ok = np.zeros(len(ids), dtype=bool)
+            ok[nonbench] = ~(
+                d.column("contaminated").to_numpy(zero_copy_only=False)
+            )
+            gates["decontaminate"] = ok
+            thresh: dict[str, int] = {}
+            mix = np.empty(len(ids), dtype=bool)
+            for i, (did, s) in enumerate(
+                zip(ids.tolist(), t.column("source").to_pylist())
+            ):
+                th = thresh.get(s)
+                if th is None:
+                    digit = int(
+                        hashlib.md5(s.encode()).hexdigest()[0], 16
+                    )
+                    th = int((digit % 4 + 1) / 4.0 * 65536)
+                    thresh[s] = th
+                h4 = int(
+                    hashlib.md5(str(did).encode()).hexdigest()[:4], 16
+                )
+                mix[i] = h4 < th
+            gates["mixture_downsample"] = mix
+            st, kp, cnt, sq = [], [], [], []
+            for stage, keep in gates.items():
+                for flag in (True, False):
+                    m = keep if flag else ~keep
+                    st.append(stage)
+                    kp.append(flag)
+                    cnt.append(int(m.sum()))
+                    sq.append(float(qual[m].sum()))
+            return pa.table(
+                {
+                    "stage": pa.array(st, pa.string()),
+                    "kept": pa.array(kp, pa.bool_()),
+                    "n": pa.array(cnt, pa.int64()),
+                    "sq": pa.array(sq, pa.float64()),
+                }
+            )
+
+    agg = (
+        map_stage(
+            _documents(sf_dir, ("doc_id", "text", "source")), GateStats,
+            batch_size=1024, ctor_args=(bench_ref,),
+        )
+        .groupby(["stage", "kept"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+        .take_all()
+    )  # 6 rows
+    by = {(r["stage"], r["kept"]): r for r in agg}
+    rows = []
+    for stage in ("quality_gate", "decontaminate", "mixture_downsample"):
+        k = by.get((stage, True), {"n": 0, "sq": 0.0})
+        d_ = by.get((stage, False), {"n": 0, "sq": 0.0})
+        rows.append({
+            "stage": stage,
+            "n_kept": k["n"],
+            "n_dropped": d_["n"],
+            "kept_mean_quality": round_half_away(
+                k["sq"] / k["n"], 6) if k["n"] else 0.0,
+            "dropped_mean_quality": round_half_away(
+                d_["sq"] / d_["n"], 6) if d_["n"] else 0.0,
+        })
+    return pd.DataFrame(rows, columns=cols)

@@ -1736,3 +1736,25 @@ def test_source_dedup_matrix_counts_shared_leads(sf_dir):
     assert got == dict(expect)
     assert got
     assert all(a < b for a, b in got)
+
+
+def test_quality_lift_report_consistency(sf_dir):
+    """Populations tile the corpus per stage; the quality gate's
+    kept mean strictly exceeds its dropped mean (it selects FOR
+    quality), and quality_gate counts reconcile with quality_scores."""
+    from outbreak_kg_ray.pipelines import docops
+
+    df = docops.quality_lift_report(sf_dir)
+    assert sorted(df["stage"]) == [
+        "decontaminate", "mixture_downsample", "quality_gate"
+    ]
+    n_docs = len(docops.quality_scores(sf_dir).take_all())
+    for _, r in df.iterrows():
+        assert r["n_kept"] + r["n_dropped"] == n_docs
+    qg = df[df["stage"] == "quality_gate"].iloc[0]
+    assert qg["kept_mean_quality"] > qg["dropped_mean_quality"]
+    n_hi = sum(
+        1 for r in docops.quality_scores(sf_dir).take_all()
+        if r["quality"] >= 0.5
+    )
+    assert qg["n_kept"] == n_hi
