@@ -334,6 +334,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "watermark_window_counts": lambda: (
             temporal.watermark_window_counts(sf_dir)
         ),
+        "source_dedup_matrix": lambda: docops.source_dedup_matrix(
+            sf_dir
+        ),
+        "quality_lift_report": lambda: docops.quality_lift_report(
+            sf_dir
+        ),
     }
     best_of = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     out: dict[str, float] = {}
