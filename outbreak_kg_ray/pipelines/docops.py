@@ -4926,21 +4926,20 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
         return t.filter(pa.array(keep))
 
     def train_counts(t: pa.Table) -> pa.Table:
+        # shared oracle-exact tokenizer, vectorized value_counts
+        from ..functions.tokenize import flat_tokens
+
         t = split_mask(t, want_test=False)
-        toks: list[str] = []
-        for x in t.column("text").to_pylist():
-            toks.extend(x.split())
-        if not toks:
+        toks, _ = flat_tokens(t.column("text"))
+        if len(toks) == 0:
             return pa.table(
                 {"w": pa.array([], pa.string()),
                  "c": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(
-            np.asarray(toks, dtype=object), return_counts=True
-        )
+        vc = _pc.value_counts(toks)
         return pa.table(
-            {"w": pa.array(uniq.tolist(), pa.string()),
-             "c": pa.array(cnt, pa.int64())}
+            {"w": vc.field("values").cast(pa.string()),
+             "c": vc.field("counts").cast(pa.int64())}
         )
 
     counts = (
@@ -4948,17 +4947,28 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
         .groupby("w")
         .aggregate(Sum("c", alias_name="c"))
     ).materialize()
-    scal = counts.map_batches(
-        lambda t: pa.table(
-            {"n": pa.array([int(sum(t.column("c").to_pylist() or [0]))],
-                           pa.int64()),
-             "v": pa.array([t.num_rows], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).sum(["n", "v"])
-    N, V = scal["sum(n)"], scal["sum(v)"]
-    denom = float(N + V + 1)
-    nll_oov = -math.log(1.0 / denom)
+    train_empty = counts.count() == 0
+    if train_empty:
+        # empty TRAIN split (tiny corpus / high holdout_permille):
+        # every holdout token is OOV against an empty model, so skip
+        # the join entirely (its empty side is the schema-less-empty
+        # crash class) and score the closed-form all-OOV constant
+        # with denom = N + V + 1 = 1
+        denom = 1.0
+        nll_oov = 0.0
+    else:
+        scal = counts.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array(
+                    [int(sum(t.column("c").to_pylist() or [0]))],
+                    pa.int64()),
+                 "v": pa.array([t.num_rows], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum(["n", "v"])
+        N, V = scal["sum(n)"], scal["sum(v)"]
+        denom = float(N + V + 1)
+        nll_oov = -math.log(1.0 / denom)
 
     _part_schema = pa.schema(
         [("doc_id", pa.int64()), ("nll_sum", pa.float64()),
@@ -4966,39 +4976,46 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
     )
 
     def test_tokens(t: pa.Table) -> pa.Table:
+        # vectorized explode: one Arrow split + a doc-index repeat
+        from ..functions.tokenize import flat_tokens
+
         t = split_mask(t, want_test=True)
-        ids_out, tok_out = [], []
-        for doc_id, x in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            toks = x.split()
-            if not toks:
-                continue
-            ids_out.extend([doc_id] * len(toks))
-            tok_out.extend(toks)
+        toks, idx = flat_tokens(t.column("text"))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"doc_id": pa.array(ids_out, pa.int64()),
-             "w": pa.array(tok_out, pa.string())}
+            {"doc_id": pa.array(ids[idx], pa.int64()),
+             "w": toks.cast(pa.string())}
         )
 
     def test_totals(t: pa.Table) -> pa.Table:
+        from ..functions.tokenize import token_counts
+
         t = split_mask(t, want_test=True)
-        ids_out, n_out = [], []
-        for doc_id, x in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            n = len(x.split())
-            if n:
-                ids_out.append(doc_id)
-                n_out.append(n)
+        n_tok = token_counts(t.column("text"))
+        keep = n_tok > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
         return pa.table(
             {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "nll_sum": pa.array([0.0] * len(ids_out), pa.float64()),
-                "n_matched": pa.array([0] * len(ids_out), pa.int64()),
-                "n_tok": pa.array(n_out, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "nll_sum": pa.array([0.0] * len(ids), pa.float64()),
+                "n_matched": pa.array([0] * len(ids), pa.int64()),
+                "n_tok": pa.array(n_tok[keep], pa.int64()),
             },
             schema=_part_schema,
+        )
+
+    if train_empty:
+        agg = (
+            docs.map_batches(test_totals, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(
+                Sum("nll_sum", alias_name="nll_sum"),
+                Sum("n_matched", alias_name="n_matched"),
+                Sum("n_tok", alias_name="n_tok"),
+            )
+        )
+        return agg.map_batches(
+            _make_ppl_finalize(schema, nll_oov), batch_format="pyarrow"
         )
 
     te_tok = docs.map_batches(test_tokens, batch_format="pyarrow")
@@ -5037,6 +5054,23 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
         Sum("n_tok", alias_name="n_tok"),
     )
 
+    return agg.map_batches(
+        _make_ppl_finalize(schema, nll_oov), batch_format="pyarrow"
+    )
+
+
+def _make_ppl_finalize(schema: "pa.Schema", nll_oov: float):
+    """(doc_id, nll_sum, n_matched, n_tok) partial sums → the final
+    perplexity row, charging the OOV closed-form constant for every
+    unmatched token.  Shared by the joined path and the empty-train
+    all-OOV shortcut of :func:`heldout_perplexity`."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.rounding import round_half_away
+
     def finalize(t: pa.Table) -> pa.Table:
         if "doc_id" not in t.column_names or len(t) == 0:
             return schema.empty_table()
@@ -5061,7 +5095,7 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return finalize
 
 
 def source_dedup_matrix(sf_dir: str, *, lead_chars: int = 32):

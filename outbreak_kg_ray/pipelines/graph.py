@@ -1014,18 +1014,21 @@ def two_hop_neighbors(sf_dir: str):
     )
 
 
-def degree_assortativity(sf_dir: str):
+def degree_assortativity(sf_dir: str, *, distributed: bool | None = None):
     """Degree assortativity coefficient of the co-occurrence graph —
     the Pearson correlation of endpoint degrees over (directed
     symmetric) edges, the one-scalar summary of hub-hub vs
     hub-leaf mixing (Newman 2002).
 
-    Scale shape: degrees come from one edge groupby (node-bounded);
-    each edge picks up its endpoint degrees via TWO broadcast
-    lookups (the degree table is node-vocabulary bounded — for a
-    web-scale graph swap in two hash joins); the correlation itself
-    is a single algebraic moment aggregate (n, Σx, Σy, Σxy, Σx²,
-    Σy²), so nothing corpus-sized reaches the driver."""
+    Scale shape: degrees come from one edge groupby (node-bounded).
+    Below ``EDGE_FASTPATH_ROWS`` each edge picks up its endpoint
+    degrees from one broadcast degree dict (node-vocabulary bounded);
+    above it — or with ``distributed=True`` — the dict is replaced
+    by TWO hash joins of the edge list against the DISTRIBUTED
+    degree table (the same auto-split as the other graph ops), so no
+    node-sized structure ever reaches the driver.  Either way the
+    correlation itself is a single algebraic moment aggregate (n,
+    Σx, Σy, Σxy, Σx², Σy²) — six floats to the driver."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -1039,20 +1042,10 @@ def degree_assortativity(sf_dir: str):
         return empty_dataset(out_schema)
 
     edges = symmetric_cooccurrence_edges(sf_dir).materialize()
-    deg_rows = (
-        edges.groupby("u").aggregate(Count(alias_name="d")).take_all()
-    )  # node-vocabulary bounded
-    deg = {r["u"]: int(r["d"]) for r in deg_rows}
-    deg_ref = ray.put(deg)
+    if distributed is None:
+        distributed = _edge_count(edges) > EDGE_FASTPATH_ROWS
 
-    def moments(t: pa.Table) -> pa.Table:
-        dm = ray.get(deg_ref)
-        x = np.array(
-            [dm[u] for u in t.column("u").to_pylist()], dtype=np.float64
-        )
-        y = np.array(
-            [dm[v] for v in t.column("v").to_pylist()], dtype=np.float64
-        )
+    def _moments_cols(x: np.ndarray, y: np.ndarray) -> pa.Table:
         return pa.table(
             {
                 "n": pa.array([len(x)], pa.int64()),
@@ -1064,8 +1057,56 @@ def degree_assortativity(sf_dir: str):
             }
         )
 
+    if distributed:
+        deg_ds = (
+            edges.groupby("u").aggregate(Count(alias_name="du"))
+        ).materialize()
+        nparts = _join_partitions(_edge_count(edges))
+        deg_v = deg_ds.map_batches(
+            lambda t: pa.table(
+                {"v": t.column("u"),
+                 "dv": t.column("du")}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = edges.join(
+            deg_ds, "inner", nparts, on=("u",)
+        ).join(deg_v, "inner", nparts, on=("v",))
+
+        def moments(t: pa.Table) -> pa.Table:
+            if "du" not in t.column_names or len(t) == 0:
+                z = np.zeros(0, dtype=np.float64)
+                return _moments_cols(z, z)
+            x = t.column("du").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            y = t.column("dv").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            return _moments_cols(x, y)
+
+        moment_src = joined
+    else:
+        deg_rows = (
+            edges.groupby("u").aggregate(Count(alias_name="d")).take_all()
+        )  # node-vocabulary bounded
+        deg = {r["u"]: int(r["d"]) for r in deg_rows}
+        deg_ref = ray.put(deg)
+
+        def moments(t: pa.Table) -> pa.Table:
+            dm = ray.get(deg_ref)
+            x = np.array(
+                [dm[u] for u in t.column("u").to_pylist()],
+                dtype=np.float64,
+            )
+            y = np.array(
+                [dm[v] for v in t.column("v").to_pylist()],
+                dtype=np.float64,
+            )
+            return _moments_cols(x, y)
+
+        moment_src = edges
+
     rows = (
-        edges.map_batches(moments, batch_format="pyarrow")
+        moment_src.map_batches(moments, batch_format="pyarrow")
         .groupby(None)
         .aggregate(
             Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),

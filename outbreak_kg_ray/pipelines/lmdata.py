@@ -22,9 +22,12 @@ embarrassingly parallel and I/O-bound by construction.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
+from outbreak_kg_ray.functions.tokenize import tokens
 from outbreak_kg_ray.sources.io import (
     empty_dataset,
     parquet_rows,
@@ -201,20 +204,22 @@ def negative_sampling_table(sf_dir: str, *, table_size: int = 1 << 16,
     )
 
     def tf_partial(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for x in t.column("text").to_pylist():
-            toks.extend(w for w in x.split(" ") if w)
-        if not toks:
+        # shared oracle-exact tokenizer, one Arrow split kernel +
+        # value_counts combiner — no Python loop over tokens
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import flat_tokens
+
+        toks, _ = flat_tokens(t.column("text"))
+        if len(toks) == 0:
             return pa.table(
                 {"w": pa.array([], pa.string()),
                  "c": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(
-            np.array(toks, dtype=object), return_counts=True
-        )
+        vc = pc.value_counts(toks)
         return pa.table(
-            {"w": pa.array(uniq.tolist(), pa.string()),
-             "c": pa.array(cnt, pa.int64())}
+            {"w": vc.field("values").cast(pa.string()),
+             "c": vc.field("counts").cast(pa.int64())}
         )
 
     tf = (
@@ -314,27 +319,34 @@ def skipgram_pairs(sf_dir: str, *, window: int = 2,
     )
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        pairs: list[str] = []
-        for x in t.column("text").to_pylist():
-            toks = x.split()
-            for d in range(1, window + 1):
-                if len(toks) <= d:
-                    continue
-                left, right = toks[:-d], toks[d:]
-                # both directions: (center, context) and mirrored
-                pairs.extend(map("\x1f".join, zip(left, right)))
-                pairs.extend(map("\x1f".join, zip(right, left)))
-        if not pairs:
+        # vectorized adjacency: flatten the batch's tokens ONCE
+        # (shared oracle-exact tokenizer), then distance-d pairs are
+        # an aligned slice compare on the doc index — no Python loop
+        from ..functions.tokenize import flat_tokens
+
+        toks, idx = flat_tokens(t.column("text"))
+        n_tok = len(toks)
+        parts: list[pa.Array] = []
+        for d in range(1, window + 1):
+            if n_tok <= d:
+                continue
+            same_doc = pa.array(idx[:-d] == idx[d:])
+            left = toks.slice(0, n_tok - d).filter(same_doc)
+            right = toks.slice(d).filter(same_doc)
+            # both directions: (center, context) and mirrored
+            parts.append(pc.binary_join_element_wise(left, right, "\x1f"))
+            parts.append(pc.binary_join_element_wise(right, left, "\x1f"))
+        if not parts:
             return pa.table(
                 {"pair": pa.array([], pa.string()),
                  "c": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(
-            np.array(pairs, dtype=object), return_counts=True
-        )
+        vc = pc.value_counts(pa.concat_arrays(
+            [p.cast(pa.string()) for p in parts]
+        ))
         return pa.table(
-            {"pair": pa.array(uniq.tolist(), pa.string()),
-             "c": pa.array(cnt, pa.int64())}
+            {"pair": vc.field("values").cast(pa.string()),
+             "c": vc.field("counts").cast(pa.int64())}
         )
 
     counted = (
@@ -453,7 +465,7 @@ def token_dropout_augment(sf_dir: str, *, n_augments: int = 2,
         for doc_id, x in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
-            toks = x.split()
+            toks = tokens(x)
             n = len(toks)
             p = np.arange(1, n + 1, dtype=np.int64)
             for a in range(n_augments):
@@ -505,42 +517,52 @@ def glove_cooccurrence(sf_dir: str, *, window: int = 4,
     if parquet_rows(f"{sf_dir}/documents.parquet") == 0:
         return empty_dataset(dict(zip(schema.names, schema.types)))
 
-    # 1/d in twelfths: d=1→12, 2→6, 3→4, 4→3 (exact ints)
-    TWELFTHS = {d: 12 // d for d in range(1, window + 1)}
-    assert all(12 % d == 0 for d in range(1, window + 1))
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    # 1/d as exact integer shares of lcm(1..window) — for the
+    # default window=4 that is twelfths (d=1→12, 2→6, 3→4, 4→3),
+    # and any larger window scales by its own lcm instead of dying
+    # on a hardcoded-12 assert (round-4 advisor finding)
+    denom = math.lcm(*range(1, window + 1))
+    WEIGHT = {d: denom // d for d in range(1, window + 1)}
 
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        pairs: list[str] = []
-        weights: list[int] = []
-        for x in t.column("text").to_pylist():
-            toks = x.split()
-            for d in range(1, window + 1):
-                if len(toks) <= d:
-                    continue
-                w12 = TWELFTHS[d]
-                left, right = toks[:-d], toks[d:]
-                for a, b in zip(left, right):
-                    pairs.append(a + "\x1f" + b)
-                    weights.append(w12)
-                    pairs.append(b + "\x1f" + a)
-                    weights.append(w12)
-        if not pairs:
+        # vectorized like skipgram_pairs: one flatten, distance-d
+        # adjacency via aligned slice compare, Arrow group_by combiner
+        from ..functions.tokenize import flat_tokens
+
+        toks, idx = flat_tokens(t.column("text"))
+        n_tok = len(toks)
+        pair_parts: list[pa.Array] = []
+        w_parts: list[np.ndarray] = []
+        for d in range(1, window + 1):
+            if n_tok <= d:
+                continue
+            same_doc = pa.array(idx[:-d] == idx[d:])
+            left = toks.slice(0, n_tok - d).filter(same_doc)
+            right = toks.slice(d).filter(same_doc)
+            fwd = pc.binary_join_element_wise(left, right, "\x1f")
+            rev = pc.binary_join_element_wise(right, left, "\x1f")
+            pair_parts.extend([fwd, rev])
+            w = np.full(len(fwd), WEIGHT[d], dtype=np.int64)
+            w_parts.extend([w, w])
+        if not pair_parts:
             return pa.table(
                 {"pair": pa.array([], pa.string()),
                  "w12": pa.array([], pa.int64())}
             )
-        arr = np.array(pairs, dtype=object)
-        uniq, inv = np.unique(arr, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(sums, inv, np.asarray(weights, dtype=np.int64))
-        return pa.table(
-            {"pair": pa.array(uniq.tolist(), pa.string()),
-             "w12": pa.array(sums, pa.int64())}
+        raw = pa.table(
+            {"pair": pa.concat_arrays(
+                [p.cast(pa.string()) for p in pair_parts]
+             ),
+             "w12": pa.array(np.concatenate(w_parts), pa.int64())}
         )
+        agg = raw.group_by("pair").aggregate([("w12", "sum")])
+        return agg.rename_columns(["pair", "w12"])
 
     counted = (
         docs.map_batches(pair_partial, batch_format="pyarrow")
@@ -553,11 +575,11 @@ def glove_cooccurrence(sf_dir: str, *, window: int = 4,
             return schema.empty_table()
         t = t.filter(
             pc.greater_equal(
-                t.column("w12"), pa.scalar(int(min_weight * 12))
+                t.column("w12"), pa.scalar(int(min_weight * denom))
             )
         )
         parts = pc.split_pattern(t.column("pair"), "\x1f")
-        x = t.column("w12").to_numpy(zero_copy_only=False) / 12.0
+        x = t.column("w12").to_numpy(zero_copy_only=False) / float(denom)
         return pa.table(
             {
                 "center": pc.list_element(parts, 0),

@@ -444,19 +444,17 @@ def _map_stage(ds, cls, *, batch_size: int, concurrency=None, **ctor):
 
 def decode_image_real(payload: bytes):
     """Real-codec dispatch: PNG decodes natively (pure stdlib
-    decoder above). Other real formats (JPEG, ...) would need PIL,
-    absent in this container."""
+    decoder above).  Other real formats (JPEG, ...) would need an
+    external codec library (e.g. PIL), not present in this
+    container — a capability guard, not a stub: adding a format
+    means adding a sniff + decoder branch here."""
     if payload.startswith(PNG_SIG):
         return decode_png(payload)
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "non-PNG image decode requires PIL, which is not available "
-            "in this environment; PNG and the FIMG fake container are "
-            "the supported paths"
-        ) from e
-    raise NotImplementedError("real decode wiring lands with the codec")
+    raise NotImplementedError(
+        "non-PNG image decode requires an external codec (e.g. PIL), "
+        "not available in this environment; PNG and the FIMG fake "
+        "container are the supported paths"
+    )
 
 
 class ImageDecodeStage:
@@ -745,8 +743,12 @@ class ImageAugmentStage:
             t.column("payload").to_pylist(),
         ):
             w, h, mat = decode_png(payload)
+            if w < 1 or h < 1:
+                continue  # degenerate payload: nothing to crop
             mat = mat.reshape(h, w)
-            cw, ch = max(8, w // 2), max(8, h // 2)
+            # clamp so the crop never exceeds the image (w < 8 would
+            # otherwise make the modulus zero/negative)
+            cw, ch = min(w, max(8, w // 2)), min(h, max(8, h // 2))
             x0 = (mid * 13) % (w - cw + 1)
             y0 = (mid * 17) % (h - ch + 1)
             crop = mat[y0:y0 + ch, x0:x0 + cw]
@@ -808,6 +810,8 @@ class AudioAugmentStage:
         ):
             sr, samples = decode_wav(payload)
             n = samples.size
+            if n == 0:
+                continue  # degenerate zero-sample WAV: skip
             shift = (mid * 19) % n
             aug = np.roll(samples.astype(np.int64), -shift)
             inv = mid % 2 == 1

@@ -31,13 +31,11 @@ from outbreak_kg_ray.sources.io import read_parquet_clean
 
 
 def _token_counts(t: pa.Table) -> np.ndarray:
-    # str.split() semantics (runs of whitespace, no empties) ==
-    # the oracle's list_filter(string_split(text,' '), x -> x <> '')
-    return np.fromiter(
-        (len(s.split()) for s in t.column("text").to_pylist()),
-        dtype=np.int64,
-        count=len(t),
-    )
+    # shared oracle-exact tokenizer, vectorized (one Arrow split
+    # kernel + bincount — no Python loop over rows)
+    from outbreak_kg_ray.functions.tokenize import token_counts
+
+    return token_counts(t.column("text"))
 
 
 def pack_sequences(sf_dir: str, *, cap: int = 2048,
