@@ -2145,7 +2145,7 @@ def _curation_chain(sf_dir: str, *, pin_stages: bool = False):
     return stages
 
 
-def curate_corpus(sf_dir: str):
+def curate_corpus(sf_dir: str, *, bench_sf_dir: str | None = None):
     """Final survivors of the composed curation DAG → (doc_id,
     source).  Same set as :func:`_curation_chain`'s last stage (the
     funnel keeps the staged path for its per-stage counts), but
@@ -2155,7 +2155,14 @@ def curate_corpus(sf_dir: str):
     streamed pass over the corpus, leaving exactly one semi-join
     against the exact-dedup keep set.  7 corpus scans + 4 joins in
     the staged path → 3 scans + 1 join here; the sorted benchmark
-    gram array loads once per actor in ``__init__``."""
+    gram array loads once per actor in ``__init__``.
+
+    ``bench_sf_dir`` pins the benchmark-gram universe to a FIXED
+    corpus (real eval suites don't grow with the training corpus);
+    default None derives it from ``sf_dir`` itself, the
+    oracle-mirrored behavior.  The ×N docs stress passes the base
+    corpus here so the driver-held eval broadcast is constant-size
+    while the scanned corpus scales."""
     import hashlib
 
     import numpy as np
@@ -2174,7 +2181,7 @@ def curate_corpus(sf_dir: str):
     n, modulus = 4, 50
     bench_parts = [
         b.column("g").to_numpy()
-        for b in _documents(sf_dir)
+        for b in _documents(bench_sf_dir or sf_dir)
         .map_batches(
             dc.bench_grams_batch(n, modulus), batch_format="pyarrow"
         )
