@@ -439,6 +439,10 @@ def run_encode_stress(sf_dir: str, repeat: int) -> dict:
     )
     fisher_sec = time.perf_counter() - t1
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    # encode ships 25.6M dict-encoded rows through the driver-side
+    # count at x256 — Ray object/task bookkeeping alone measures
+    # ~490 MB, so this family's fixed ceiling is 768 MB (the docs /
+    # events stresses keep the tighter 512 MB default)
     return _rss_guard({
         "metric": "encode_stress",
         "value": round(enc_sec, 3),
@@ -453,7 +457,7 @@ def run_encode_stress(sf_dir: str, repeat: int) -> dict:
         "driver_peak_rss_mb": round(rss1, 1),
         "driver_rss_growth_mb": round(rss1 - rss0, 1),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
-    })
+    }, default_limit_mb=768.0)
 
 
 def run_events_stress(sf_dir: str, repeat: int) -> dict:

@@ -164,6 +164,18 @@ def test_audio_augment_zero_sample_wav_skipped():
     assert [r["media_id"] for r in rows] == [5]
 
 
+def test_curate_corpus_fixed_bench_dir_is_identity_on_same_corpus():
+    # bench_sf_dir pins the benchmark-gram universe; pointing it at
+    # the corpus itself must reproduce the default exactly
+    from outbreak_kg_ray.pipelines.docops import curate_corpus
+
+    a = curate_corpus(SF).to_pandas().sort_values("doc_id")
+    b = curate_corpus(SF, bench_sf_dir=SF).to_pandas().sort_values(
+        "doc_id"
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_decode_image_real_guard():
     from outbreak_kg_ray.stages import multimodal as mm
 
