@@ -4983,37 +4983,46 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
     )
 
     def test_tokens(t: pa.Table) -> pa.Table:
-        # vectorized explode: one Arrow split + a doc-index repeat
+        # vectorized explode (one Arrow split + doc-index repeat),
+        # then a batch-local (doc_id, w) collapse with occurrence
+        # counts: the join exchange is bounded by doc × DISTINCT
+        # tokens instead of doc length — the standard
+        # combiner-before-join move, worth ~3× on the join input
+        # here and never worse at web scale
         from ..functions.tokenize import flat_tokens
 
         t = split_mask(t, want_test=True)
         toks, idx = flat_tokens(t.column("text"))
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table(
+        raw = pa.table(
             {"doc_id": pa.array(ids[idx], pa.int64()),
              "w": toks.cast(pa.string())}
         )
+        agg = raw.group_by(["doc_id", "w"]).aggregate([("w", "count")])
+        return agg.rename_columns(["doc_id", "w", "m"])
 
-    def test_totals(t: pa.Table) -> pa.Table:
-        from ..functions.tokenize import token_counts
-
-        t = split_mask(t, want_test=True)
-        n_tok = token_counts(t.column("text"))
-        keep = n_tok > 0
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+    def totals_from_tok(t: pa.Table) -> pa.Table:
+        # per-doc token totals ride the SAME (doc_id, w, m) table as
+        # the join side — no separate corpus read / tokenize pass;
+        # the downstream per-doc Sum collapses the per-word rows
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return _part_schema.empty_table()
+        n = len(t)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "nll_sum": pa.array([0.0] * len(ids), pa.float64()),
-                "n_matched": pa.array([0] * len(ids), pa.int64()),
-                "n_tok": pa.array(n_tok[keep], pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "nll_sum": pa.array([0.0] * n, pa.float64()),
+                "n_matched": pa.array([0] * n, pa.int64()),
+                "n_tok": t.column("m").cast(pa.int64()),
             },
             schema=_part_schema,
         )
 
+    te_tok = docs.map_batches(test_tokens, batch_format="pyarrow")
+
     if train_empty:
         agg = (
-            docs.map_batches(test_totals, batch_format="pyarrow")
+            te_tok.map_batches(totals_from_tok, batch_format="pyarrow")
             .groupby("doc_id")
             .aggregate(
                 Sum("nll_sum", alias_name="nll_sum"),
@@ -5025,7 +5034,10 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
             _make_ppl_finalize(schema, nll_oov), batch_format="pyarrow"
         )
 
-    te_tok = docs.map_batches(test_tokens, batch_format="pyarrow")
+    # materialized once: it feeds BOTH the model join and the totals
+    # union, and is bounded by holdout-docs × distinct-tokens (the
+    # combiner output), never the raw corpus
+    te_tok = te_tok.materialize()
     matched = te_tok.join(
         counts, "inner", _join_partitions_for(counts), on=("w",)
     )
@@ -5033,14 +5045,15 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
     def matched_partials(t: pa.Table) -> pa.Table:
         if "doc_id" not in t.column_names or len(t) == 0:
             return _part_schema.empty_table()
+        m = t.column("m").to_numpy(zero_copy_only=False)
         nll = -np.log(
             (t.column("c").to_numpy(zero_copy_only=False) + 1.0) / denom
-        )
+        ) * m  # m identical occurrences score m · v
         return (
             pa.table(
                 {"doc_id": t.column("doc_id"),
                  "nll_sum": pa.array(nll, pa.float64()),
-                 "n_matched": pa.array([1] * len(t), pa.int64()),
+                 "n_matched": pa.array(m.astype(np.int64), pa.int64()),
                  "n_tok": pa.array([0] * len(t), pa.int64())}
             )
             .group_by("doc_id")
@@ -5053,7 +5066,7 @@ def heldout_perplexity(sf_dir: str, *, holdout_permille: int = 100):
 
     partials = matched.map_batches(
         matched_partials, batch_format="pyarrow"
-    ).union(docs.map_batches(test_totals, batch_format="pyarrow"))
+    ).union(te_tok.map_batches(totals_from_tok, batch_format="pyarrow"))
 
     agg = partials.groupby("doc_id").aggregate(
         Sum("nll_sum", alias_name="nll_sum"),
